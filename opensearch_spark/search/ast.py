@@ -1,0 +1,109 @@
+"""Query AST — the engine's intermediate representation.
+
+Mirrors the reference's QueryBuilder tree (SURVEY.md §3.1 step 1:
+``index/query/AbstractQueryBuilder.java``) as plain dataclasses. The DSL
+parser (dsl.py) produces these; the engine compiles them to DataFrames.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Union
+
+
+@dataclass
+class Node:
+    boost: float = 1.0
+
+
+@dataclass
+class Match(Node):
+    """Full-text match (reference: MatchQueryBuilder, default operator OR)."""
+    field_name: str = ""
+    query: str = ""
+    operator: str = "or"            # "or" | "and"
+    minimum_should_match: int = 0   # int form only (v1)
+    zero_terms_query: str = "none"  # "none" | "all"
+
+
+@dataclass
+class MatchPhrase(Node):
+    field_name: str = ""
+    query: str = ""
+    slop: int = 0                   # v1 supports slop=0 (exact adjacency)
+
+
+@dataclass
+class Bool(Node):
+    must: List["AnyNode"] = field(default_factory=list)
+    filter: List["AnyNode"] = field(default_factory=list)
+    should: List["AnyNode"] = field(default_factory=list)
+    must_not: List["AnyNode"] = field(default_factory=list)
+    minimum_should_match: Optional[int] = None
+
+    def effective_msm(self) -> int:
+        if self.minimum_should_match is not None:
+            return self.minimum_should_match
+        # reference default: >=1 should must match only when there is no
+        # must/filter context (BoolQueryBuilder semantics)
+        if self.should and not self.must and not self.filter:
+            return 1
+        return 0
+
+
+@dataclass
+class TermQ(Node):
+    field_name: str = ""
+    value: Any = None
+
+
+@dataclass
+class TermsQ(Node):
+    field_name: str = ""
+    values: List[Any] = field(default_factory=list)
+
+
+@dataclass
+class RangeQ(Node):
+    field_name: str = ""
+    gte: Any = None
+    gt: Any = None
+    lte: Any = None
+    lt: Any = None
+
+
+@dataclass
+class Exists(Node):
+    field_name: str = ""
+
+
+@dataclass
+class Ids(Node):
+    values: List[int] = field(default_factory=list)
+
+
+@dataclass
+class MatchAll(Node):
+    pass
+
+
+@dataclass
+class MatchNone(Node):
+    pass
+
+
+@dataclass
+class ConstantScore(Node):
+    filter: Optional["AnyNode"] = None
+
+
+@dataclass
+class DisMax(Node):
+    queries: List["AnyNode"] = field(default_factory=list)
+    tie_breaker: float = 0.0
+
+
+AnyNode = Union[
+    Match, MatchPhrase, Bool, TermQ, TermsQ, RangeQ, Exists, Ids,
+    MatchAll, MatchNone, ConstantScore, DisMax,
+]

@@ -1,0 +1,157 @@
+"""Query-DSL JSON -> AST parser + logical normalization.
+
+Accepts the OpenSearch search-DSL subset (SURVEY.md §2.2-2.4): match,
+match_phrase, bool, term, terms, range, exists, ids, match_all,
+match_none, constant_score, dis_max. Shorthand and object forms both
+supported, e.g.::
+
+    {"match": {"content": "import numpy"}}
+    {"match": {"content": {"query": "a b", "operator": "and", "boost": 2}}}
+
+Normalization mirrors the reference's query rewriters
+(``search/query/rewriters/*`` — boolean flattening, match_all removal):
+- single-clause bool { must: [X] } with no other clauses -> X
+- match_all dropped from must/filter when other clauses exist
+- match_none anywhere in must/filter -> whole bool is match_none
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from opensearch_spark.search import ast as A
+
+
+def parse(dsl: dict) -> A.AnyNode:
+    if not isinstance(dsl, dict) or len(dsl) != 1:
+        raise ValueError(f"query must be a single-key dict, got: {dsl!r}")
+    kind, body = next(iter(dsl.items()))
+    fn = _PARSERS.get(kind)
+    if fn is None:
+        raise ValueError(f"unsupported query type: {kind}")
+    return normalize(fn(body))
+
+
+def _field_body(body: dict) -> tuple[str, Any]:
+    if not isinstance(body, dict) or len(body) != 1:
+        raise ValueError(f"expected {{field: ...}}, got {body!r}")
+    return next(iter(body.items()))
+
+
+def _parse_match(body: dict) -> A.Match:
+    fld, spec = _field_body(body)
+    if isinstance(spec, dict):
+        return A.Match(
+            field_name=fld,
+            query=str(spec["query"]),
+            operator=str(spec.get("operator", "or")).lower(),
+            minimum_should_match=int(spec.get("minimum_should_match", 0)),
+            zero_terms_query=str(spec.get("zero_terms_query", "none")).lower(),
+            boost=float(spec.get("boost", 1.0)),
+        )
+    return A.Match(field_name=fld, query=str(spec))
+
+
+def _parse_match_phrase(body: dict) -> A.MatchPhrase:
+    fld, spec = _field_body(body)
+    if isinstance(spec, dict):
+        return A.MatchPhrase(
+            field_name=fld,
+            query=str(spec["query"]),
+            slop=int(spec.get("slop", 0)),
+            boost=float(spec.get("boost", 1.0)),
+        )
+    return A.MatchPhrase(field_name=fld, query=str(spec))
+
+
+def _clauses(x) -> list:
+    if x is None:
+        return []
+    if isinstance(x, dict):
+        return [parse(x)]
+    return [parse(c) for c in x]
+
+
+def _parse_bool(body: dict) -> A.Bool:
+    msm = body.get("minimum_should_match")
+    return A.Bool(
+        must=_clauses(body.get("must")),
+        filter=_clauses(body.get("filter")),
+        should=_clauses(body.get("should")),
+        must_not=_clauses(body.get("must_not")),
+        minimum_should_match=int(msm) if msm is not None else None,
+        boost=float(body.get("boost", 1.0)),
+    )
+
+
+def _parse_term(body: dict) -> A.TermQ:
+    fld, spec = _field_body(body)
+    if isinstance(spec, dict):
+        return A.TermQ(field_name=fld, value=spec["value"], boost=float(spec.get("boost", 1.0)))
+    return A.TermQ(field_name=fld, value=spec)
+
+
+def _parse_terms(body: dict) -> A.TermsQ:
+    body = dict(body)
+    body.pop("boost", None)
+    fld, vals = _field_body(body)
+    return A.TermsQ(field_name=fld, values=list(vals))
+
+
+def _parse_range(body: dict) -> A.RangeQ:
+    fld, spec = _field_body(body)
+    return A.RangeQ(
+        field_name=fld,
+        gte=spec.get("gte"), gt=spec.get("gt"),
+        lte=spec.get("lte"), lt=spec.get("lt"),
+        boost=float(spec.get("boost", 1.0)),
+    )
+
+
+_PARSERS = {
+    "match": _parse_match,
+    "match_phrase": _parse_match_phrase,
+    "bool": _parse_bool,
+    "term": _parse_term,
+    "terms": _parse_terms,
+    "range": _parse_range,
+    "exists": lambda b: A.Exists(field_name=b["field"]),
+    "ids": lambda b: A.Ids(values=[int(v) for v in b["values"]]),
+    "match_all": lambda b: A.MatchAll(boost=float((b or {}).get("boost", 1.0))),
+    "match_none": lambda b: A.MatchNone(),
+    "constant_score": lambda b: A.ConstantScore(
+        filter=parse(b["filter"]), boost=float(b.get("boost", 1.0))
+    ),
+    "dis_max": lambda b: A.DisMax(
+        queries=[parse(q) for q in b["queries"]],
+        tie_breaker=float(b.get("tie_breaker", 0.0)),
+        boost=float(b.get("boost", 1.0)),
+    ),
+}
+
+
+def normalize(node: A.AnyNode) -> A.AnyNode:
+    """AST-level rewrites (reference: QueryRewriterRegistry passes)."""
+    if isinstance(node, A.Bool):
+        node.must = [normalize(c) for c in node.must]
+        node.filter = [normalize(c) for c in node.filter]
+        node.should = [normalize(c) for c in node.should]
+        node.must_not = [normalize(c) for c in node.must_not]
+        # match_none in a required context kills the query
+        if any(isinstance(c, A.MatchNone) for c in node.must + node.filter):
+            return A.MatchNone()
+        # match_all removal (keep if it is the ONLY clause)
+        n_clauses = len(node.must) + len(node.filter) + len(node.should) + len(node.must_not)
+        if n_clauses > 1:
+            kept_m = [c for c in node.must if not isinstance(c, A.MatchAll)]
+            kept_f = [c for c in node.filter if not isinstance(c, A.MatchAll)]
+            if kept_m or kept_f or node.should or node.must_not:
+                node.must, node.filter = kept_m, kept_f
+        # single-must bool flattening
+        if (
+            node.boost == 1.0
+            and len(node.must) == 1
+            and not node.filter and not node.should and not node.must_not
+        ):
+            return node.must[0]
+    return node

@@ -1,0 +1,323 @@
+"""SearchEngine: compiles query ASTs to DataFrame plans over the index.
+
+Query lifecycle (the Spark re-expression of SURVEY.md §3.1):
+
+1. parse DSL -> AST (dsl.py; coordinator-side rewrite = dsl.normalize)
+2. term lookup: query terms' global df from the tiny ``termstats`` table
+   (driver-side collect — the analog of the DFS phase's global stats;
+   global IDF matches a 1-shard reference index, SURVEY §1.5)
+3. per-segment query phase: the postings scan is filtered to the query
+   terms (parquet partition pruning on ``seg`` dirs + row-group min/max
+   skipping on the sorted ``term`` column), then ``groupBy("seg").
+   applyInPandas(scorer)`` — each group holds all query-term posting
+   blocks of one segment; the scorer decodes, scores BM25 in vectorized
+   numpy, and emits only its per-segment top-k (bounded heap analog)
+4. coordinator reduce: global ``orderBy(score desc, docId asc).limit(k)``
+   — Spark's TakeOrderedAndProject, the TopDocs.merge analog
+5. fetch phase: broadcast-join winners back to the corpus row
+
+Scoring-context notes:
+- full-text clauses (match / match_phrase) score BM25 (bm25.py)
+- term-level clauses (term/terms/range/exists/ids) contribute a constant
+  ``boost`` score (reference semantics for filter/constant_score contexts;
+  the reference's BM25-on-keyword-field scoring for term-in-must is NOT
+  reproduced — use filter context, which is also the reference's
+  recommended usage)
+- bool combines clauses with one union + one aggregation (single shuffle):
+  each clause emits (docId, score, kind, cid); the aggregate enforces
+  must-count / must_not-absence / minimum_should_match and sums scores.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from opensearch_spark.analysis.analyzer import tokenize
+from opensearch_spark.index.build import IndexPaths, load_index
+from opensearch_spark.search import ast as A, bm25, dsl as dsl_mod
+
+SCORE_SCHEMA = "docId long, score double"
+
+
+# ---- picklable scorer factories (no Spark objects captured) ----------------
+
+def _make_match_scorer(idfs: Dict[str, float], avgdl: float, operator: str,
+                       msm: int, boost: float, topk: Optional[int]):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = bm25.decode_term_group(pdf)
+        docs, scores = bm25.score_terms_in_segment(decoded, idfs, avgdl, operator, msm)
+        if boost != 1.0:
+            scores = scores * boost
+        if topk is not None:
+            docs, scores = bm25.topk_by_score(docs, scores, topk)
+        return pd.DataFrame({"docId": docs.astype(np.int64), "score": scores})
+    return fn
+
+
+def _make_phrase_scorer(terms: List[str], idf_sum: float, avgdl: float,
+                        boost: float, topk: Optional[int]):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = bm25.decode_term_group(pdf, want_positions=True)
+        docs, pf, dl_q = bm25.phrase_freq_in_segment(decoded, terms)
+        scores = (
+            boost * idf_sum * (bm25.K1 + 1.0)
+            * bm25.tf_norm(pf.astype(np.float64), dl_q, avgdl)
+        )
+        if topk is not None:
+            docs, scores = bm25.topk_by_score(docs, scores, topk)
+        return pd.DataFrame({"docId": docs.astype(np.int64), "score": scores})
+    return fn
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        corpus: DataFrame | None = None,
+        text_field: str = "content",
+        id_cols: Sequence[str] = ("repo", "path", "commit"),
+        doc_id_col: str | None = None,
+        cache: bool = False,
+    ):
+        self.spark = spark
+        ix = load_index(spark, index_dir)
+        self.paths: IndexPaths = ix["paths"]
+        self.postings: DataFrame = ix["postings"]
+        self.docstats: DataFrame = ix["docstats"]
+        self.termstats: DataFrame = ix["termstats"]
+        self.globals = ix["globals"]
+        self.avgdl = float(self.globals["avgdl"])
+        self.doc_count = int(self.globals["field_doc_count"])
+        self.text_field = text_field
+        self.corpus: DataFrame | None = None
+        if corpus is not None:
+            if doc_id_col is None:
+                self.corpus = corpus.withColumn(
+                    "docId", F.xxhash64(*[F.col(c) for c in id_cols])
+                )
+            else:
+                self.corpus = corpus.withColumn("docId", F.col(doc_id_col).cast("long"))
+        if cache:
+            self.postings = self.postings.persist()
+            self.docstats = self.docstats.persist()
+        self._idf_cache: Dict[str, float] = {}
+
+    # ---- public API ---------------------------------------------------
+
+    def search(self, query: dict | A.AnyNode, k: int = 10) -> DataFrame:
+        """Top-k (docId, score), ordered by (score desc, docId asc)."""
+        node = dsl_mod.parse(query) if isinstance(query, dict) else dsl_mod.normalize(query)
+        df = self.compile(node, topk=k)
+        return df.orderBy(F.desc("score"), F.asc("docId")).limit(k)
+
+    def fetch(self, hits: DataFrame) -> DataFrame:
+        """Join top-k hits back to corpus rows (the fetch phase)."""
+        if self.corpus is None:
+            raise ValueError("no corpus attached")
+        return self.corpus.join(F.broadcast(hits), "docId").orderBy(
+            F.desc("score"), F.asc("docId")
+        )
+
+    def count(self, query: dict | A.AnyNode) -> int:
+        node = dsl_mod.parse(query) if isinstance(query, dict) else dsl_mod.normalize(query)
+        return self.compile(node).count()
+
+    # ---- compilation ----------------------------------------------------
+
+    def compile(self, node: A.AnyNode, topk: Optional[int] = None) -> DataFrame:
+        """AST -> DataFrame(docId, score) of ALL matching docs. ``topk``
+        enables per-segment pruning (safe only at the top level)."""
+        if isinstance(node, A.Match):
+            return self._match(node, topk)
+        if isinstance(node, A.MatchPhrase):
+            return self._phrase(node, topk)
+        if isinstance(node, A.Bool):
+            return self._bool(node)
+        if isinstance(node, A.MatchAll):
+            return self.docstats.select("docId", F.lit(float(node.boost)).alias("score"))
+        if isinstance(node, A.MatchNone):
+            return self._empty()
+        if isinstance(node, A.Ids):
+            return self.docstats.where(F.col("docId").isin(node.values)).select(
+                "docId", F.lit(float(node.boost)).alias("score")
+            )
+        if isinstance(node, A.ConstantScore):
+            inner = self.compile(node.filter)
+            return inner.select("docId", F.lit(float(node.boost)).alias("score"))
+        if isinstance(node, A.DisMax):
+            return self._dismax(node)
+        if isinstance(node, (A.TermQ, A.TermsQ, A.RangeQ, A.Exists)):
+            return self._meta_filter(node).select(
+                "docId", F.lit(float(node.boost)).alias("score")
+            )
+        raise ValueError(f"cannot compile: {node!r}")
+
+    # ---- leaves ---------------------------------------------------------
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], SCORE_SCHEMA)
+
+    def _check_field(self, name: str) -> None:
+        if name not in (self.text_field,):
+            raise ValueError(
+                f"full-text query on non-indexed field {name!r} (index covers {self.text_field!r})"
+            )
+
+    def _idfs(self, terms: Iterable[str]) -> Dict[str, float]:
+        need = [t for t in set(terms) if t not in self._idf_cache]
+        if need:
+            rows = self.termstats.where(F.col("term").isin(need)).collect()
+            found = {r["term"]: bm25.idf(int(r["df"]), self.doc_count) for r in rows}
+            for t in need:
+                self._idf_cache[t] = found.get(t, float("nan"))  # nan = not in index
+        return {t: self._idf_cache[t] for t in set(terms)}
+
+
+    def _postings_for(self, terms: Sequence[str]) -> DataFrame:
+        return self.postings.where(F.col("term").isin(list(set(terms))))
+
+    def _match(self, node: A.Match, topk: Optional[int]) -> DataFrame:
+        self._check_field(node.field_name)
+        terms = tokenize(node.query)
+        if not terms:
+            if node.zero_terms_query == "all":
+                return self.compile(A.MatchAll(boost=node.boost))
+            return self._empty()
+        idfs = {t: v for t, v in self._idfs(terms).items() if v == v}  # drop NaN (missing)
+        if not idfs:
+            return self._empty()
+        if node.operator == "and" and len(idfs) < len(set(terms)):
+            return self._empty()  # a required term is absent from the index
+        scorer = _make_match_scorer(
+            idfs, self.avgdl, node.operator, node.minimum_should_match,
+            float(node.boost), topk,
+        )
+        return (
+            self._postings_for(list(idfs))
+            .groupBy("seg")
+            .applyInPandas(scorer, SCORE_SCHEMA)
+        )
+
+    def _phrase(self, node: A.MatchPhrase, topk: Optional[int]) -> DataFrame:
+        self._check_field(node.field_name)
+        if node.slop != 0:
+            raise NotImplementedError("slop > 0 not implemented (v1: exact phrases)")
+        terms = tokenize(node.query)
+        if not terms:
+            return self._empty()
+        idf_map = self._idfs(terms)
+        if any(v != v for v in idf_map.values()):
+            return self._empty()  # phrase term absent from index
+        if len(terms) == 1:
+            return self._match(
+                A.Match(field_name=node.field_name, query=node.query, boost=node.boost), topk
+            )
+        idf_sum = sum(idf_map[t] for t in terms)  # repeats counted (Lucene PhraseWeight)
+        scorer = _make_phrase_scorer(terms, idf_sum, self.avgdl, float(node.boost), topk)
+        return (
+            self._postings_for(terms)
+            .groupBy("seg")
+            .applyInPandas(scorer, SCORE_SCHEMA)
+        )
+
+    def _meta_filter(self, node) -> DataFrame:
+        if self.corpus is None:
+            raise ValueError("term-level query needs an attached corpus")
+        c = F.col(node.field_name)
+        if isinstance(node, A.TermQ):
+            cond = c == F.lit(node.value)
+        elif isinstance(node, A.TermsQ):
+            cond = c.isin(node.values)
+        elif isinstance(node, A.RangeQ):
+            cond = F.lit(True)
+            if node.gte is not None:
+                cond = cond & (c >= F.lit(node.gte))
+            if node.gt is not None:
+                cond = cond & (c > F.lit(node.gt))
+            if node.lte is not None:
+                cond = cond & (c <= F.lit(node.lte))
+            if node.lt is not None:
+                cond = cond & (c < F.lit(node.lt))
+        elif isinstance(node, A.Exists):
+            cond = c.isNotNull()
+        else:
+            raise ValueError(f"not a meta filter: {node!r}")
+        return self.corpus.where(cond).select("docId")
+
+    # ---- compound ---------------------------------------------------------
+
+    def _bool(self, node: A.Bool) -> DataFrame:
+        KIND_MUST, KIND_FILTER, KIND_SHOULD, KIND_NOT = 0, 1, 2, 3
+        parts: List[DataFrame] = []
+
+        def tag(df: DataFrame, kind: int, cid: int) -> DataFrame:
+            return df.select(
+                "docId", "score",
+                F.lit(kind).alias("kind"), F.lit(cid).alias("cid"),
+            )
+
+        pure_negative = not node.must and not node.filter and not node.should
+        if pure_negative:
+            # reference adjustPureNegative: implicit match_all, score 1
+            parts.append(tag(self.compile(A.MatchAll()), KIND_MUST, 0))
+        for i, c in enumerate(node.must):
+            parts.append(tag(self.compile(c), KIND_MUST, i))
+        for i, c in enumerate(node.filter):
+            parts.append(tag(self.compile(c).withColumn("score", F.lit(0.0)), KIND_FILTER, i))
+        for i, c in enumerate(node.should):
+            parts.append(tag(self.compile(c), KIND_SHOULD, i))
+        for i, c in enumerate(node.must_not):
+            parts.append(tag(self.compile(c).withColumn("score", F.lit(0.0)), KIND_NOT, i))
+
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+
+        n_must = len(node.must) + (1 if pure_negative else 0)
+        msm = node.effective_msm()
+        agg = u.groupBy("docId").agg(
+            F.sum(
+                F.when(F.col("kind").isin(KIND_MUST, KIND_SHOULD), F.col("score")).otherwise(0.0)
+            ).alias("score"),
+            F.count(F.when(F.col("kind") == KIND_MUST, 1)).alias("m_cnt"),
+            F.count(F.when(F.col("kind") == KIND_FILTER, 1)).alias("f_cnt"),
+            F.count(F.when(F.col("kind") == KIND_SHOULD, 1)).alias("s_cnt"),
+            F.count(F.when(F.col("kind") == KIND_NOT, 1)).alias("n_cnt"),
+        )
+        cond = (
+            (F.col("m_cnt") == n_must)
+            & (F.col("f_cnt") == len(node.filter))
+            & (F.col("n_cnt") == 0)
+        )
+        if node.should:
+            cond = cond & (F.col("s_cnt") >= msm)
+        out = agg.where(cond).select("docId", "score")
+        if node.boost != 1.0:
+            out = out.withColumn("score", F.col("score") * F.lit(float(node.boost)))
+        return out
+
+    def _dismax(self, node: A.DisMax) -> DataFrame:
+        parts = [
+            self.compile(q).select("docId", "score", F.lit(i).alias("cid"))
+            for i, q in enumerate(node.queries)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        tie = float(node.tie_breaker)
+        return (
+            u.groupBy("docId")
+            .agg(F.max("score").alias("best"), F.sum("score").alias("total"))
+            .select(
+                "docId",
+                (
+                    (F.col("best") + F.lit(tie) * (F.col("total") - F.col("best")))
+                    * F.lit(float(node.boost))
+                ).alias("score"),
+            )
+        )
