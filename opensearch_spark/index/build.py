@@ -225,8 +225,16 @@ def build_index(
                 int_to_byte4_np(dl.to_numpy(dtype=np.int64)).astype(np.int64), index=dl.index
             )
 
-        base = base.withColumn("norm_byte", norm_byte_udf("dl"))
-        docstats = base.select("docId", "seg", "dl", "norm_byte", "content_sha")
+        @F.pandas_udf("long")
+        def dl_q_udf(nb: pd.Series) -> pd.Series:
+            return pd.Series(
+                decode_norms_np(nb.to_numpy(dtype=np.int64).astype(np.uint8)), index=nb.index
+            )
+
+        base = base.withColumn("norm_byte", norm_byte_udf("dl")).withColumn(
+            "dl_q", dl_q_udf("norm_byte")
+        )
+        docstats = base.select("docId", "seg", "dl", "norm_byte", "dl_q", "content_sha")
         docstats.write.mode("overwrite").parquet(paths.docstats)
 
         tv = (

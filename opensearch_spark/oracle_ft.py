@@ -1,0 +1,234 @@
+"""DuckDB oracle-SQL generator for the full-text engine.
+
+The driver's correctness gate runs each Spark query side-by-side with an
+ANSI-SQL equivalent on DuckDB over the same parquet tables. This module
+emits SQL that reproduces the ENGINE's exact scoring contract — same
+tokenizer (RE2 dialect of the same grammar), same byte4 doc-length
+quantization (embedded as a breakpoint lookup CTE generated from
+analysis/smallfloat.py), same BM25 formula with the same floating-point
+association order — so rounded scores hash-match.
+
+Scores are rounded to 4 decimals on BOTH sides; queries return ALL
+matching docs (no top-k) so float ties cannot flip a limit boundary.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from opensearch_spark.analysis.analyzer import duckdb_token_regex, tokenize
+from opensearch_spark.analysis.smallfloat import quantize_breakpoints
+
+K1 = 1.2
+B = 0.75
+
+TABLE = "documents"
+ID = "doc_id"
+TEXT = "text"
+
+
+def _qlit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def base_ctes() -> str:
+    """Shared CTEs: tok (doc_id, term, pos), dl, dlq (quantized), gl
+    (docCount N + avgdl), tf, dfreq."""
+    rx = _qlit(duckdb_token_regex())
+    bps = quantize_breakpoints(1 << 20)
+    qvals = ", ".join(f"({v})" for v in bps)
+    return f"""
+tok AS (
+  SELECT {ID} AS doc_id,
+         unnest(regexp_extract_all(lower({TEXT}), {rx})) AS term,
+         generate_subscripts(regexp_extract_all(lower({TEXT}), {rx}), 1) - 1 AS pos
+  FROM {TABLE}
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+qz(q_val) AS (VALUES {qvals}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(q_val) FROM qz WHERE q_val <= d.dl) AS dlq
+  FROM dl d
+),
+gl AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+""".strip()
+
+
+def _match_clause_sql(name: str, terms: Sequence[str], operator: str = "or",
+                      msm: int = 0) -> str:
+    """CTE ``name``(doc_id, raw) for a match clause (unrounded score)."""
+    qt = ", ".join(f"({_qlit(t)})" for t in sorted(set(terms)))
+    n_distinct = len(set(terms))
+    having = ""
+    if operator == "and":
+        having = f"HAVING count(DISTINCT f.term) = {n_distinct}"
+    elif msm > 1:
+        having = f"HAVING count(DISTINCT f.term) >= {msm}"
+    return f"""
+{name}_qt(term) AS (VALUES {qt}),
+{name} AS (
+  SELECT f.doc_id,
+         sum(ln(1 + (gl.n - d.df + 0.5) / (d.df + 0.5)) * {K1 + 1.0!r}
+             * f.tf / (f.tf + {K1!r} * (1 - {B!r} + {B!r} * q.dlq / gl.avgdl))) AS raw
+  FROM tf f
+  JOIN {name}_qt USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dlq q USING (doc_id)
+  CROSS JOIN gl
+  GROUP BY f.doc_id
+  {having}
+)""".strip()
+
+
+def _phrase_clause_sql(name: str, terms: Sequence[str]) -> str:
+    """CTE ``name``(doc_id, raw) for an exact (slop=0) phrase clause."""
+    assert len(terms) >= 2
+    joins = []
+    for i, t in enumerate(terms[1:], start=1):
+        joins.append(
+            f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i} "
+            f"AND t{i}.term = {_qlit(t)}"
+        )
+    idf_terms = " + ".join(
+        f"(SELECT ln(1 + (gl.n - df + 0.5) / (df + 0.5)) FROM dfreq WHERE term = {_qlit(t)})"
+        for t in terms
+    )
+    return f"""
+{name}_pf AS (
+  SELECT t0.doc_id, count(*) AS pf
+  FROM tok t0
+  {' '.join(joins)}
+  WHERE t0.term = {_qlit(terms[0])}
+  GROUP BY t0.doc_id
+),
+{name} AS (
+  SELECT p.doc_id,
+         ({idf_terms}) * {K1 + 1.0!r}
+           * p.pf / (p.pf + {K1!r} * (1 - {B!r} + {B!r} * q.dlq / gl.avgdl)) AS raw
+  FROM {name}_pf p
+  JOIN dlq q USING (doc_id)
+  CROSS JOIN gl
+)""".strip()
+
+
+def match_sql(query: str, operator: str = "or", msm: int = 0) -> str:
+    terms = tokenize(query)
+    return (
+        f"WITH {base_ctes()},\n"
+        + _match_clause_sql("m0", terms, operator, msm)
+        + "\nSELECT doc_id, round(raw, 4) AS score FROM m0"
+    )
+
+
+def phrase_sql(query: str) -> str:
+    terms = tokenize(query)
+    if len(terms) == 1:
+        return match_sql(query)
+    return (
+        f"WITH {base_ctes()},\n"
+        + _phrase_clause_sql("p0", terms)
+        + "\nSELECT doc_id, round(raw, 4) AS score FROM p0"
+    )
+
+
+def bool_sql(
+    must: Sequence[dict] = (),
+    should: Sequence[dict] = (),
+    must_not: Sequence[dict] = (),
+    filter_sql: str | None = None,
+    msm: int | None = None,
+) -> str:
+    """Bool query oracle. ``must``/``should``/``must_not`` are clause specs:
+    {kind: 'match'|'phrase', query, operator?, msm?}. ``filter_sql`` is an
+    optional SQL predicate over the documents row (joined by doc_id)."""
+    if msm is None:
+        msm = 1 if (should and not must and not filter_sql) else 0
+    ctes: List[str] = [base_ctes()]
+    names_m, names_s, names_n = [], [], []
+
+    def emit(prefix: str, i: int, spec: dict) -> str:
+        name = f"{prefix}{i}"
+        terms = tokenize(spec["query"])
+        if spec.get("kind") == "phrase":
+            ctes.append(_phrase_clause_sql(name, terms))
+        else:
+            ctes.append(
+                _match_clause_sql(name, terms, spec.get("operator", "or"), spec.get("msm", 0))
+            )
+        return name
+
+    for i, c in enumerate(must):
+        names_m.append(emit("m", i, c))
+    for i, c in enumerate(should):
+        names_s.append(emit("s", i, c))
+    for i, c in enumerate(must_not):
+        names_n.append(emit("n", i, c))
+
+    if names_m:
+        base = names_m[0]
+        from_clause = f"FROM {base}"
+        for nm in names_m[1:]:
+            from_clause += f" JOIN {nm} USING (doc_id)"
+        score_parts = [f"{nm}.raw" for nm in names_m]
+        join_kind_should = "LEFT JOIN"
+    elif filter_sql:
+        from_clause = f"FROM (SELECT {ID} AS doc_id FROM {TABLE} WHERE {filter_sql}) fbase"
+        base = "fbase"
+        score_parts = ["0.0"]
+        join_kind_should = "LEFT JOIN"
+    else:
+        # should-only: docs matching >= msm should clauses
+        base = names_s[0]
+        u = " UNION ".join(f"SELECT doc_id FROM {nm}" for nm in names_s)
+        from_clause = f"FROM ({u}) sbase"
+        base = "sbase"
+        score_parts = ["0.0"]
+        join_kind_should = "LEFT JOIN"
+
+    for nm in names_s:
+        from_clause += f" {join_kind_should} {nm} ON {nm}.doc_id = {base}.doc_id"
+        score_parts.append(f"coalesce({nm}.raw, 0.0)")
+
+    where = []
+    if filter_sql and names_m:
+        where.append(
+            f"{base}.doc_id IN (SELECT {ID} FROM {TABLE} WHERE {filter_sql})"
+        )
+    for nm in names_n:
+        where.append(f"{base}.doc_id NOT IN (SELECT doc_id FROM {nm})")
+    if names_s and msm > 0:
+        matched = " + ".join(
+            f"(CASE WHEN {nm}.doc_id IS NOT NULL THEN 1 ELSE 0 END)" for nm in names_s
+        )
+        where.append(f"({matched}) >= {msm}")
+    where_clause = ("WHERE " + " AND ".join(where)) if where else ""
+
+    score_expr = " + ".join(score_parts)
+    ctes_sql = ",\n".join(ctes)
+    return (
+        f"WITH {ctes_sql}\n"
+        f"SELECT {base}.doc_id AS doc_id, round({score_expr}, 4) AS score\n"
+        f"{from_clause}\n{where_clause}"
+    )
+
+
+def term_df_sql(top_n: int = 25) -> str:
+    """Top-N terms by document frequency (validates index construction)."""
+    return (
+        f"WITH {base_ctes()}\n"
+        f"SELECT term, df, ttf FROM (\n"
+        f"  SELECT f.term AS term, d.df AS df, CAST(sum(f.tf) AS BIGINT) AS ttf\n"
+        f"  FROM tf f JOIN dfreq d USING (term) GROUP BY f.term, d.df\n"
+        f") ORDER BY df DESC, term ASC LIMIT {top_n}"
+    )
+
+
+def doclen_sql() -> str:
+    """Per-doc length + quantized length (validates analyzer + norms)."""
+    return (
+        f"WITH {base_ctes()}\n"
+        f"SELECT d.doc_id AS doc_id, d.dl AS dl, q.dlq AS dl_q\n"
+        f"FROM dl d JOIN dlq q USING (doc_id)"
+    )
