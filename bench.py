@@ -1,0 +1,105 @@
+"""Benchmark harness: index build throughput + BM25 query latency.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: p50 sec, ...}, "sf": ..., ...extras}
+
+Headline numbers:
+- index_build_sec / index_docs_per_sec: full inverted-index build over the
+  documents table (analyze -> shuffle -> pack -> write)
+- per-query p50 latency over REPEAT runs of the reference query families
+  (match OR/AND, bool, phrase) top-10
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+
+    from opensearch_spark.session import get_spark
+    from opensearch_spark.index.build import build_index
+    from opensearch_spark.search.engine import SearchEngine
+
+    spark = get_spark("opensearch-spark-bench", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+
+    ix_dir = f"/tmp/osx_bench_ix_{os.path.basename(os.path.normpath(sf_dir))}_{cpus}"
+    shutil.rmtree(ix_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    build_index(
+        spark, docs, ix_dir, text_col="text", doc_id_col="doc_id",
+        n_segments=max(cpus // 2, 8), shuffle_partitions=cpus,
+    )
+    build_sec = time.perf_counter() - t0
+
+    eng = SearchEngine(
+        spark, ix_dir, corpus=docs, text_field="text", doc_id_col="doc_id", cache=True
+    )
+    # warm the postings/docstats cache
+    eng.search({"match": {"text": "hash"}}, k=10).collect()
+
+    bench_queries = {
+        "q_match_or": {"match": {"text": "hash join table"}},
+        "q_match_and": {"match": {"text": {"query": "vector stream window", "operator": "and"}}},
+        "q_match_top10": {"match": {"text": "customer order line"}},
+        "q_bool": {
+            "bool": {
+                "must": [{"match": {"text": "customer"}}],
+                "should": [{"match": {"text": "vector"}}, {"match": {"text": "stream"}}],
+                "minimum_should_match": 1,
+            }
+        },
+        "q_bool_not": {
+            "bool": {
+                "must": [{"match": {"text": "scan filter"}}],
+                "must_not": [{"match": {"text": "vector"}}],
+            }
+        },
+        "q_phrase_2": {"match_phrase": {"text": "table hash"}},
+        "q_phrase_3": {"match_phrase": {"text": "slow hash batch"}},
+    }
+
+    lat: dict[str, float] = {}
+    for name, dsl in bench_queries.items():
+        times = []
+        for _ in range(repeats):
+            t = time.perf_counter()
+            eng.search(dsl, k=10).collect()
+            times.append(time.perf_counter() - t)
+        times.sort()
+        lat[name] = round(times[len(times) // 2], 4)
+
+    total = round(build_sec + sum(lat.values()), 3)
+    out = {
+        "metric": "index_build_plus_query_p50_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": lat,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "index_build_sec": round(build_sec, 3),
+        "index_docs_per_sec": round(n_docs / build_sec, 1),
+        "query_p50_sec": round(sorted(lat.values())[len(lat) // 2], 4),
+    }
+    print(json.dumps(out))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -206,7 +206,10 @@ def build_index(
         os.makedirs(out_dir)
         lineage = {"phase1_done": False, "waves_done": [], "n_segments": n_segments, "waves": waves}
 
-    # ---- phase 1: analyze once; stage termvecs; derive stats ------------
+    # ---- phase 1: ONE tokenization pass -> staged analyzed table ---------
+    # Everything downstream (docstats, termstats, globals, posting packing)
+    # derives from the stage via column-pruned parquet scans, so the corpus
+    # text is read and analyzed exactly once (the dominant cost at scale).
     if not lineage["phase1_done"]:
         if doc_id_col is None:
             base = corpus.withColumn("docId", F.xxhash64(*[F.col(c) for c in id_cols]))
@@ -234,23 +237,18 @@ def build_index(
         base = base.withColumn("norm_byte", norm_byte_udf("dl")).withColumn(
             "dl_q", dl_q_udf("norm_byte")
         )
-        docstats = base.select("docId", "seg", "dl", "norm_byte", "dl_q", "content_sha")
-        docstats.write.mode("overwrite").parquet(paths.docstats)
+        base.select(
+            "docId", "seg", "dl", "norm_byte", "dl_q", "content_sha", "_tv"
+        ).write.mode("overwrite").partitionBy("seg").parquet(paths.termvecs)
 
-        tv = (
-            base.select("docId", "seg", "norm_byte", F.explode("_tv").alias("e"))
-            .select(
-                "docId", "seg", "norm_byte",
-                F.col("e.term").alias("term"),
-                F.col("e.tf").alias("tf"),
-                F.col("e.positions").alias("positions"),
-            )
-        )
-        tv.write.mode("overwrite").partitionBy("seg").parquet(paths.termvecs)
+        stage = spark.read.parquet(paths.termvecs)
+        # docstats: column-pruned scan (never touches the _tv column)
+        stage.select("docId", "seg", "dl", "norm_byte", "dl_q", "content_sha").write.mode(
+            "overwrite"
+        ).parquet(paths.docstats)
 
-        tvr = spark.read.parquet(paths.termvecs)
-        tvr.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("ttf")
+        stage.select(F.explode("_tv").alias("e")).groupBy(F.col("e.term").alias("term")).agg(
+            F.count("*").alias("df"), F.sum("e.tf").alias("ttf")
         ).write.mode("overwrite").parquet(paths.termstats)
 
         ds = spark.read.parquet(paths.docstats)
@@ -289,7 +287,17 @@ def build_index(
         if w in lineage["waves_done"]:
             continue
         segs = seg_of_wave[w]
-        tv = spark.read.parquet(paths.termvecs).where(F.col("seg").isin(segs))
+        tv = (
+            spark.read.parquet(paths.termvecs)
+            .where(F.col("seg").isin(segs))  # partition pruning per wave
+            .select("docId", "seg", "norm_byte", F.explode("_tv").alias("e"))
+            .select(
+                "docId", "seg", "norm_byte",
+                F.col("e.term").alias("term"),
+                F.col("e.tf").alias("tf"),
+                F.col("e.positions").alias("positions"),
+            )
+        )
         packed = (
             tv.repartition(nshuf, "seg", "term")
             .mapInPandas(_pack_partition(avgdl, block_size), schema=POSTINGS_SCHEMA)
