@@ -1,0 +1,197 @@
+"""Deduplication operators for training-data pipelines.
+
+All four families are implemented as pure Catalyst plans (no Python UDFs)
+so they scale: the LSH plans are the standard shingle -> signature ->
+band -> bucket-join shuffles, with the verify step an equi-join on bucket
+keys rather than a cross join.
+
+Portability contract with the DuckDB oracles: every hash is derived from
+``md5`` hex strings (min over hex strings is a valid MinHash because md5
+is uniform), so Spark and the oracle compute bit-identical results.
+
+Scale notes (100 TB):
+- exact dedup: one groupBy on sha2(text) — map-side partial agg, AQE
+  handles skew (identical boilerplate docs -> hot hash).
+- MinHash-LSH: shingling explodes ~L rows/doc, the signature groupBy is
+  the big shuffle (key = doc), the band bucket-join shuffles only
+  (doc, band_key) pairs; candidate verification joins shingle sets only
+  for bucket-colliding pairs. This is the textbook plan that avoids the
+  O(n^2) cross join.
+- SimHash: one groupBy(doc) with 32 conditional sums; near-dup lookup is
+  a self-join on band keys of the signature (not implemented here).
+
+``near_dup_corpus`` unions the input with truncated copies of itself
+(deterministic) so dedup queries have real near-duplicates to find in the
+synthetic test tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+N_MINHASH = 8          # minhash permutations
+BAND_SIZE = 2          # -> 4 bands
+JACCARD_THRESHOLD = 0.35
+SHIFT_ID = 1_000_000   # synthetic near-dup doc_id offset
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def near_dup_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ truncated copies (first 3/4 of the words, doc_id+1e6)."""
+    trunc = docs.select(
+        (F.col("doc_id") + SHIFT_ID).alias("doc_id"),
+        F.expr(
+            "array_join(slice(split(text, ' '), 1,"
+            " greatest(1, (size(split(text, ' ')) * 3) div 4)), ' ')"
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(trunc)
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical representative (min doc_id) per content hash."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams."""
+    return (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split(text,' ')) - {n - 1}, 0)),"
+                    f" i -> array_join(slice(split(text,' '), i, {n}), ' '))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def _signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, h0..h7) minhash signature: min md5 hex per seeded hash."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over the near-dup corpus, verified with
+    exact shingle Jaccard >= threshold. Returns (a, b, jaccard)."""
+    d = near_dup_corpus(_docs(spark, sf_dir))
+    sh = _shingles(d).cache()
+    sig = _signatures(sh)
+
+    bands = None
+    n_bands = N_MINHASH // BAND_SIZE
+    for bi in range(n_bands):
+        cols = [F.col(f"h{bi * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+        b = sig.select(
+            "doc_id",
+            F.lit(bi).alias("band"),
+            F.md5(F.concat(*cols)).alias("band_key"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    shared = (
+        cand.join(sa, "a").join(sb, ["b", "shingle"])
+        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+        .select(
+            "a", "b",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return out
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc from whitespace tokens.
+
+    Bit j comes from the top bit of the j-th hex digit of each token's md5
+    (portable between Spark and DuckDB); bit set when the +-1 sum > 0.
+    Returns (doc_id, simhash:long)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).where(
+        F.col("term") != ""
+    )
+    tok = tok.withColumn("h", F.md5("term"))
+    aggs = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).rlike("[89a-f]"), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(32)
+    ]
+    sums = tok.groupBy("doc_id").agg(*aggs)
+    expr = " + ".join(f"shiftleft(CAST(s{j} > 0 AS LONG), {j})" for j in range(32))
+    return sums.select("doc_id", F.expr(expr).alias("simhash"))
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within same-source buckets of
+    the near-dup corpus (bucketed to avoid the full cross join).
+    Returns (a, b, jaccard) above threshold."""
+    raw = _docs(spark, sf_dir)
+    d = near_dup_corpus(raw).join(
+        raw.select(
+            F.col("doc_id").alias("orig_id"), F.col("source")
+        ),
+        F.pmod(F.col("doc_id"), F.lit(SHIFT_ID)) == F.col("orig_id"),
+    ).select("doc_id", "text", "source")
+    sh = _shingles(d, n=3)
+    src = d.select("doc_id", "source")
+    sh = sh.join(src, "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle", F.col("source").alias("src"))
+    b = sh.select(F.col("doc_id").alias("b"), "shingle", F.col("source").alias("src"))
+    shared = (
+        a.join(b, ["shingle", "src"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+        .select(
+            "a", "b",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

@@ -1,0 +1,246 @@
+"""DuckDB oracle SQL for the training-data pipeline operators.
+
+Each oracle reproduces the exact hash/score derivations of the Spark
+implementations (md5-hex-based MinHash/SimHash/LSH signs, identical float
+association order, same rounding).
+"""
+
+from opensearch_spark.pipelines.dedup import (
+    BAND_SIZE, JACCARD_THRESHOLD, N_MINHASH, SHIFT_ID,
+)
+from opensearch_spark.pipelines.textstats import LANG_MARKERS, STOPWORDS
+from opensearch_spark.pipelines.similarity import N_PLANES
+
+# near-dup corpus: documents ∪ truncated copies (matches dedup.near_dup_corpus)
+_ND = f"""
+nd AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {SHIFT_ID},
+         array_to_string(
+           list_slice(string_split(text, ' '), 1,
+                      greatest(1, (len(string_split(text, ' ')) * 3) // 4)), ' ')
+  FROM documents
+)
+""".strip()
+
+# distinct word 3-gram shingles of the near-dup corpus (positional
+# self-joins: DuckDB's generate_series cannot lateral-reference columns)
+_SHINGLES = """
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM nd),
+tokp AS (
+  SELECT doc_id, unnest(words) AS term, generate_subscripts(words, 1) AS pos
+  FROM w
+),
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         a.term || ' ' || b.term || ' ' || c.term AS shingle
+  FROM tokp a
+  JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+)
+""".strip()
+
+_SIG_COLS = ", ".join(
+    f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(N_MINHASH)
+)
+
+_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band, md5(h{bi * BAND_SIZE} || h{bi * BAND_SIZE + 1}) AS band_key FROM sig"
+    for bi in range(N_MINHASH // BAND_SIZE)
+)
+
+
+def _simhash_sql() -> str:
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN substr(h, {j + 1}, 1) SIMILAR TO '[89a-f]' THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(32)
+    )
+    combine = " + ".join(f"(CASE WHEN s{j} > 0 THEN 1::BIGINT << {j} ELSE 0 END)" for j in range(32))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+th AS (SELECT doc_id, md5(term) AS h FROM tok WHERE term <> ''),
+sums AS (
+  SELECT doc_id, {sums}
+  FROM th GROUP BY doc_id
+)
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def _langid_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        vals = ", ".join("'" + m + "'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(words, x -> x IN ({vals}))) AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "CASE "
+    for l in langs:
+        pred += f"WHEN {best} > 0 AND score_{l} = {best} THEN '{l}' "
+    pred += "ELSE 'und' END"
+    cols = ", ".join(f"score_{l}" for l in langs)
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+scored AS (SELECT doc_id, {', '.join(score_cols)} FROM w)
+SELECT doc_id, {cols}, {pred} AS pred_lang FROM scored
+"""
+
+
+def _lsh_sql(query_vec_id: int = 0) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+comp AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x
+  FROM e
+),
+planes AS (
+  SELECT p.p AS plane, d.d AS dim,
+         CASE WHEN substr(md5('plane|' || p.p || '|' || d.d), 1, 1)
+                   SIMILAR TO '[89a-f]' THEN 1.0 ELSE -1.0 END AS sign
+  FROM generate_series(0, {N_PLANES - 1}) AS p(p),
+       (SELECT DISTINCT dim AS d FROM comp) d
+),
+proj AS (
+  SELECT c.vec_id, pl.plane, sum(c.x * pl.sign) AS proj
+  FROM comp c JOIN planes pl USING (dim)
+  GROUP BY c.vec_id, pl.plane
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN proj > 0 THEN 1::BIGINT << CAST(plane AS INT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+)
+""".strip()
+
+
+_COSINE = """
+cos AS (
+  SELECT e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 5) AS cosine
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+)
+""".strip()
+
+
+ORACLES: dict[str, str] = {
+    "d_exact_dedup": """
+        SELECT sha256(text) AS text_sha, min(doc_id) AS rep_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY sha256(text)
+    """,
+    "d_minhash_lsh": f"""
+        WITH {_ND},
+        {_SHINGLES},
+        sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+        bands AS ({_BANDS}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT c.a, c.b, count(*) AS inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.a
+          JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+          GROUP BY c.a, c.b
+        )
+        SELECT s.a, s.b,
+               round(s.inter / (za.sz + zb.sz - s.inter), 4) AS jaccard
+        FROM shared s
+        JOIN sizes za ON za.doc_id = s.a
+        JOIN sizes zb ON zb.doc_id = s.b
+        WHERE round(s.inter / (za.sz + zb.sz - s.inter), 4) >= {JACCARD_THRESHOLD}
+    """,
+    "d_simhash": _simhash_sql(),
+    "d_ngram_jaccard": f"""
+        WITH {_ND},
+        src AS (
+          SELECT n.doc_id, n.text, d.source
+          FROM nd n JOIN documents d ON (n.doc_id % {SHIFT_ID}) = d.doc_id
+        ),
+        w AS (SELECT doc_id, string_split(text, ' ') AS words, source FROM src),
+        tokp AS (
+          SELECT doc_id, unnest(words) AS term,
+                 generate_subscripts(words, 1) AS pos, source
+          FROM w
+        ),
+        sh AS (
+          SELECT DISTINCT a.doc_id,
+                 a.term || ' ' || b.term || ' ' || c.term AS shingle,
+                 a.source
+          FROM tokp a
+          JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT s.a, s.b, round(s.inter / (za.sz + zb.sz - s.inter), 4) AS jaccard
+        FROM shared s
+        JOIN sizes za ON za.doc_id = s.a
+        JOIN sizes zb ON zb.doc_id = s.b
+        WHERE round(s.inter / (za.sz + zb.sz - s.inter), 4) >= {JACCARD_THRESHOLD}
+    """,
+    "t_quality": f"""
+        WITH w AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS words
+          FROM documents
+        )
+        SELECT doc_id, len(words) AS n_tokens,
+               length(text) AS n_chars_computed,
+               round((length(text) - len(words) + 1) / greatest(len(words), 1), 4)
+                 AS mean_word_len,
+               round(len(list_filter(words, x -> x IN ({", ".join("'" + s + "'" for s in STOPWORDS)})))
+                     / greatest(len(words), 1)::DOUBLE, 4) AS stopword_ratio,
+               CAST(len(words) >= 20
+                    AND length(text) / greatest(len(words), 1) <= 12 AS INT) AS quality_ok
+        FROM w
+    """,
+    "t_langid": _langid_sql(),
+    "t_tokencount": r"""
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+               len(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS regex_tokens,
+               CAST(ceil(length(text) / 4) AS BIGINT) AS bpe_estimate
+        FROM documents
+    """,
+    "t_fingerprint": """
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+                 AS fingerprint,
+               sha256(text) AS content_sha
+        FROM documents
+    """,
+    "s_cosine_topk": f"""
+        WITH {_COSINE}
+        SELECT vec_id, cosine FROM cos
+    """,
+    "s_lsh_buckets": _lsh_sql() + "\nSELECT vec_id, bucket FROM buckets",
+    "s_lsh_ann": (
+        _lsh_sql()
+        + f""",
+        {_COSINE},
+        qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0)
+        SELECT b.vec_id, b.bucket, c.cosine
+        FROM buckets b JOIN qb ON b.bucket = qb.qbucket
+        JOIN cos c ON c.vec_id = b.vec_id
+        """
+    ),
+    "m_payload_integrity": """
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS payload_sha
+        FROM documents
+    """,
+}
