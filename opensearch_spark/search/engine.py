@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from opensearch_spark.analysis.analyzer import tokenize
 from opensearch_spark.index.build import IndexPaths, load_index
-from opensearch_spark.search import ast as A, bm25, dsl as dsl_mod
+from opensearch_spark.search import ast as A, bm25, dsl as dsl_mod, wand
 
 SCORE_SCHEMA = "docId long, score double"
 
@@ -48,27 +48,36 @@ SCORE_SCHEMA = "docId long, score double"
 def _make_match_scorer(idfs: Dict[str, float], avgdl: float, operator: str,
                        msm: int, boost: float, topk: Optional[int]):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        decoded = bm25.decode_term_group(pdf)
-        docs, scores = bm25.score_terms_in_segment(decoded, idfs, avgdl, operator, msm)
-        if boost != 1.0:
-            scores = scores * boost
         if topk is not None:
-            docs, scores = bm25.topk_by_score(docs, scores, topk)
+            # block-max pruned path (WAND/MaxScore analog, wand.py)
+            docs, scores, _stats = wand.score_match_topk(
+                pdf, idfs, avgdl, topk, operator, msm, boost
+            )
+        else:
+            decoded = bm25.decode_term_group(pdf)
+            docs, scores = bm25.score_terms_in_segment(decoded, idfs, avgdl, operator, msm)
+            if boost != 1.0:
+                scores = scores * boost
         return pd.DataFrame({"docId": docs.astype(np.int64), "score": scores})
     return fn
 
 
-def _make_phrase_scorer(terms: List[str], idf_sum: float, avgdl: float,
+def _make_phrase_scorer(terms: List[str], idfs: Dict[str, float], avgdl: float,
                         boost: float, topk: Optional[int]):
+    idf_sum = sum(idfs[t] for t in terms)
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        decoded = bm25.decode_term_group(pdf, want_positions=True)
-        docs, pf, dl_q = bm25.phrase_freq_in_segment(decoded, terms)
-        scores = (
-            boost * idf_sum * (bm25.K1 + 1.0)
-            * bm25.tf_norm(pf.astype(np.float64), dl_q, avgdl)
-        )
         if topk is not None:
-            docs, scores = bm25.topk_by_score(docs, scores, topk)
+            docs, scores, _stats = wand.score_phrase_topk(
+                pdf, terms, idfs, avgdl, topk, boost
+            )
+        else:
+            decoded = bm25.decode_term_group(pdf, want_positions=True)
+            docs, pf, dl_q = bm25.phrase_freq_in_segment(decoded, terms)
+            scores = (
+                boost * idf_sum * (bm25.K1 + 1.0)
+                * bm25.tf_norm(pf.astype(np.float64), dl_q, avgdl)
+            )
         return pd.DataFrame({"docId": docs.astype(np.int64), "score": scores})
     return fn
 
@@ -217,8 +226,7 @@ class SearchEngine:
             return self._match(
                 A.Match(field_name=node.field_name, query=node.query, boost=node.boost), topk
             )
-        idf_sum = sum(idf_map[t] for t in terms)  # repeats counted (Lucene PhraseWeight)
-        scorer = _make_phrase_scorer(terms, idf_sum, self.avgdl, float(node.boost), topk)
+        scorer = _make_phrase_scorer(terms, idf_map, self.avgdl, float(node.boost), topk)
         return (
             self._postings_for(terms)
             .groupBy("seg")

@@ -1,0 +1,153 @@
+"""Block-max pruning correctness: the pruned top-k scorer must return
+exactly the same (docId, score) top-k as exhaustive scoring, while
+decoding fewer blocks on prunable inputs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from opensearch_spark.analysis.smallfloat import int_to_byte4_np, decode_norms_np
+from opensearch_spark.index import codec
+from opensearch_spark.search import bm25, wand
+
+AVGDL = 50.0
+BLOCK = 8
+
+
+def make_group_pdf(term_postings: dict, avgdl: float = AVGDL, block: int = BLOCK):
+    """term -> (docs sorted, tfs, dls) packed into posting-block rows."""
+    rows = []
+    for term, (docs, tfs, dls) in term_postings.items():
+        docs = np.asarray(docs, dtype=np.int64)
+        tfs = np.asarray(tfs, dtype=np.int64)
+        dls = np.asarray(dls, dtype=np.int64)
+        nb = int_to_byte4_np(dls)
+        dl_q = decode_norms_np(nb).astype(np.float64)
+        impact = tfs / (tfs + bm25.K1 * (1 - bm25.B + bm25.B * dl_q / avgdl))
+        for bno, s in enumerate(range(0, len(docs), block)):
+            e = min(s + block, len(docs))
+            # positions: synthetic ascending ints matching tf counts
+            pos = np.concatenate([np.arange(t) for t in tfs[s:e]])
+            rows.append({
+                "seg": 0, "term": term, "block_no": bno, "n_docs": e - s,
+                "first_doc": int(docs[s]), "last_doc": int(docs[e - 1]),
+                "doc_bytes": codec.delta_encode_sorted(docs[s:e]),
+                "tf_bytes": codec.varint_encode(tfs[s:e].astype(np.uint64)),
+                "norm_bytes": nb[s:e].tobytes(),
+                "pos_bytes": codec.encode_positions(pos, tfs[s:e]),
+                "max_tf": int(tfs[s:e].max()),
+                "max_impact": float(impact[s:e].max()),
+            })
+    return pd.DataFrame(rows)
+
+
+def exhaustive(term_postings, idfs, operator="or", msm=0):
+    decoded = {}
+    for t, (docs, tfs, dls) in term_postings.items():
+        if t not in idfs:
+            continue
+        nb = int_to_byte4_np(np.asarray(dls, dtype=np.int64))
+        decoded[t] = (
+            np.asarray(docs, dtype=np.int64),
+            np.asarray(tfs, dtype=np.int64),
+            decode_norms_np(nb).astype(np.float64),
+            None,
+        )
+    return bm25.score_terms_in_segment(decoded, idfs, AVGDL, operator, msm)
+
+
+def random_postings(rng, n_terms=4, n_docs=400):
+    doc_pool = np.sort(rng.choice(10**6, size=n_docs, replace=False).astype(np.int64))
+    dl_by_doc = rng.integers(5, 300, size=n_docs)
+    out = {}
+    for i in range(n_terms):
+        sz = int(rng.integers(1, n_docs))
+        sel = np.sort(rng.choice(n_docs, size=sz, replace=False))
+        tfs = rng.integers(1, 8, size=sz)
+        out[f"t{i}"] = (doc_pool[sel], tfs, dl_by_doc[sel])
+    return out
+
+
+@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("operator", ["or", "and"])
+def test_pruned_matches_exhaustive(seed, operator):
+    rng = np.random.default_rng(seed)
+    tp = random_postings(rng)
+    idfs = {t: float(rng.uniform(0.2, 4.0)) for t in tp}
+    pdf = make_group_pdf(tp)
+    k = 10
+    docs_p, scores_p, stats = wand.score_match_topk(pdf, idfs, AVGDL, k, operator)
+    docs_e, scores_e = exhaustive(tp, idfs, operator)
+    docs_e, scores_e = bm25.topk_by_score(docs_e, scores_e, k)
+    assert docs_p.tolist() == docs_e.tolist(), (seed, operator)
+    assert np.allclose(scores_p, scores_e, atol=1e-9)
+    assert stats["decoded"] <= stats["total"]
+
+
+def test_or_pruning_skips_blocks():
+    """Skewed idfs: one dominant rare term + huge low-idf terms -> the
+    low-impact terms' blocks must not all be decoded."""
+    rng = np.random.default_rng(7)
+    n = 2000
+    docs = np.sort(rng.choice(10**7, size=n, replace=False).astype(np.int64))
+    dls = rng.integers(20, 200, size=n)
+    # rare high-idf term over 30 docs; two common low-idf terms everywhere
+    sel = np.sort(rng.choice(n, 30, replace=False))
+    tp = {
+        "rare": (docs[sel], rng.integers(3, 6, size=30), dls[sel]),
+        "common1": (docs, np.ones(n, dtype=np.int64), dls),
+        "common2": (docs, np.ones(n, dtype=np.int64), dls),
+    }
+    idfs = {"rare": 8.0, "common1": 0.05, "common2": 0.05}
+    pdf = make_group_pdf(tp, block=128)
+    docs_p, scores_p, stats = wand.score_match_topk(pdf, idfs, AVGDL, 10, "or")
+    docs_e, scores_e = exhaustive(tp, idfs)
+    docs_e, scores_e = bm25.topk_by_score(docs_e, scores_e, 10)
+    assert docs_p.tolist() == docs_e.tolist()
+    assert np.allclose(scores_p, scores_e, atol=1e-9)
+    assert stats["decoded"] < stats["total"], stats
+
+
+def test_and_pruning_skips_blocks():
+    """Sparse ∧ dense: dense term decodes only candidate-overlapping blocks."""
+    rng = np.random.default_rng(3)
+    n = 5000
+    docs = np.sort(rng.choice(10**7, size=n, replace=False).astype(np.int64))
+    dls = rng.integers(20, 200, size=n)
+    sel = np.sort(rng.choice(n, 5, replace=False))
+    tp = {
+        "sparse": (docs[sel], np.ones(5, dtype=np.int64), dls[sel]),
+        "dense": (docs, np.ones(n, dtype=np.int64), dls),
+    }
+    idfs = {"sparse": 6.0, "dense": 0.1}
+    pdf = make_group_pdf(tp, block=128)
+    docs_p, scores_p, stats = wand.score_match_topk(pdf, idfs, AVGDL, 10, "and")
+    docs_e, scores_e = exhaustive(tp, idfs, "and")
+    docs_e, scores_e = bm25.topk_by_score(docs_e, scores_e, 10)
+    assert docs_p.tolist() == docs_e.tolist()
+    assert np.allclose(scores_p, scores_e, atol=1e-9)
+    assert stats["decoded"] < stats["total"], stats
+
+
+def test_phrase_pruned_path():
+    """Pruned phrase scorer agrees with the exhaustive phrase scorer."""
+    rng = np.random.default_rng(11)
+    n = 300
+    docs = np.sort(rng.choice(10**6, size=n, replace=False).astype(np.int64))
+    dls = np.full(n, 40)
+    tfs = np.full(n, 2, dtype=np.int64)
+    # positions engineered inside make_group_pdf are arange(tf) = [0,1] for
+    # every doc -> phrase "a b" matches where a has pos p and b pos p+1:
+    # a positions [0,1], b positions [0,1] -> b at 1 follows a at 0: match.
+    tp = {"a": (docs, tfs, dls), "b": (docs[: n // 2], tfs[: n // 2], dls[: n // 2])}
+    idfs = {"a": 1.0, "b": 2.0}
+    pdf = make_group_pdf(tp, block=32)
+    docs_p, scores_p, stats = wand.score_phrase_topk(pdf, ["a", "b"], idfs, AVGDL, 10)
+    decoded = bm25.decode_term_group(pdf, want_positions=True)
+    d_e, pf, dl_q = bm25.phrase_freq_in_segment(decoded, ["a", "b"])
+    s_e = (idfs["a"] + idfs["b"]) * (bm25.K1 + 1.0) * bm25.tf_norm(
+        pf.astype(np.float64), dl_q, AVGDL
+    )
+    d_e, s_e = bm25.topk_by_score(d_e, s_e, 10)
+    assert docs_p.tolist() == d_e.tolist()
+    assert np.allclose(scores_p, s_e, atol=1e-9)
