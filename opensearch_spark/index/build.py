@@ -54,10 +54,14 @@ K1 = 1.2
 B = 0.75
 DEFAULT_BLOCK = 128
 
+# Block-max metadata is stored avgdl-independent: (max_tf, min_dl_q) give
+# the query-time upper bound idf*(k1+1)*max_tf/(max_tf+k1*(1-b+b*min_dl_q/avgdl))
+# — valid under ANY current avgdl, so incremental batches and compaction
+# never invalidate stored bounds (impact is increasing in tf, decreasing in dl).
 POSTINGS_SCHEMA = (
     "seg int, term string, block_no int, n_docs int, first_doc long, last_doc long, "
     "doc_bytes binary, tf_bytes binary, norm_bytes binary, pos_bytes binary, "
-    "max_tf int, max_impact double"
+    "max_tf int, min_dl_q long"
 )
 
 
@@ -106,7 +110,7 @@ def _write_json_atomic(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
-def _pack_partition(avgdl: float, block_size: int):
+def _pack_partition(block_size: int):
     """mapInPandas fn: rows (seg,term,docId,tf,positions,norm_byte) ->
     packed posting-block rows. Requires all rows of a (seg,term) group to
     be co-located (guaranteed by the preceding repartition)."""
@@ -135,12 +139,11 @@ def _pack_partition(avgdl: float, block_size: int):
         group_starts = np.flatnonzero(new_group)
         group_ends = np.append(group_starts[1:], n)
 
-        dl_q = decode_norms_np(nb).astype(np.float64)
-        impact = tf / (tf + K1 * (1.0 - B + B * dl_q / avgdl))
+        dl_q = decode_norms_np(nb)
 
         out: dict[str, list] = {k: [] for k in (
             "seg", "term", "block_no", "n_docs", "first_doc", "last_doc",
-            "doc_bytes", "tf_bytes", "norm_bytes", "pos_bytes", "max_tf", "max_impact",
+            "doc_bytes", "tf_bytes", "norm_bytes", "pos_bytes", "max_tf", "min_dl_q",
         )}
         for gs, ge in zip(group_starts, group_ends):
             t = terms[gs]
@@ -165,7 +168,7 @@ def _pack_partition(avgdl: float, block_size: int):
                 out["norm_bytes"].append(nb[bs:be].tobytes())
                 out["pos_bytes"].append(codec.encode_positions(pos_concat, f_))
                 out["max_tf"].append(int(f_.max()))
-                out["max_impact"].append(float(impact[bs:be].max()))
+                out["min_dl_q"].append(int(dl_q[bs:be].min()))
         yield pd.DataFrame(out)
 
     return pack
@@ -277,8 +280,6 @@ def build_index(
         lineage["globals"] = globals_row
         _write_json_atomic(paths.lineage, lineage)
 
-    avgdl = float(lineage["globals"]["avgdl"])
-
     # ---- phase 2: pack posting blocks per segment wave -------------------
     nshuf = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     all_waves = list(range(waves))
@@ -300,7 +301,7 @@ def build_index(
         )
         packed = (
             tv.repartition(nshuf, "seg", "term")
-            .mapInPandas(_pack_partition(avgdl, block_size), schema=POSTINGS_SCHEMA)
+            .mapInPandas(_pack_partition(block_size), schema=POSTINGS_SCHEMA)
         )
         (
             packed.sortWithinPartitions("term", "block_no")

@@ -71,6 +71,14 @@ def decode_term_group(
         tfs = np.concatenate(tf_parts)
         dl_q = decode_norms_np(np.concatenate(norm_parts)).astype(np.float64)
         positions = np.concatenate(pos_parts) if (want_positions and pos_parts) else None
+        if docs.size > 1 and (docs[1:] < docs[:-1]).any():
+            # multi-generation blocks overlap in doc range: merge-sort
+            order = np.argsort(docs, kind="stable")
+            if positions is not None:
+                starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                idx = np.repeat(starts[order], tfs[order]) + _ragged_arange(tfs[order])
+                positions = positions[idx]
+            docs, tfs, dl_q = docs[order], tfs[order], dl_q[order]
         out[str(term)] = (docs, tfs, dl_q, positions)
     return out
 

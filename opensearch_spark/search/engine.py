@@ -180,7 +180,12 @@ class SearchEngine:
     def _idfs(self, terms: Iterable[str]) -> Dict[str, float]:
         need = [t for t in set(terms) if t not in self._idf_cache]
         if need:
-            rows = self.termstats.where(F.col("term").isin(need)).collect()
+            # sum df across generations (incremental batches append rows)
+            rows = (
+                self.termstats.where(F.col("term").isin(need))
+                .groupBy("term").agg(F.sum("df").alias("df"))
+                .collect()
+            )
             found = {r["term"]: bm25.idf(int(r["df"]), self.doc_count) for r in rows}
             for t in need:
                 self._idf_cache[t] = found.get(t, float("nan"))  # nan = not in index

@@ -4,10 +4,11 @@ Reference behavior (SURVEY.md §4.2): Lucene's TopScoreDocCollector raises
 ``minCompetitiveScore`` once the per-shard heap holds k docs, letting the
 scorer skip posting blocks whose max impact cannot beat it (block-max
 WAND). The same information lives in our postings: every 128-doc block
-row carries ``max_impact`` = max over the block of
-tf/(tf + k1*(1-b+b*dl/avgdl)) (norm included), so
-``ub(block) = idf * (k1+1) * max_impact`` bounds any score contribution
-from that block.
+row carries ``(max_tf, min_dl_q)``, so
+``ub(block) = idf * (k1+1) * max_tf / (max_tf + k1*(1-b+b*min_dl_q/avgdl))``
+bounds any score contribution from that block (impact is increasing in tf
+and decreasing in dl; storing the pieces instead of the value keeps the
+bound valid when avgdl drifts under incremental updates).
 
 This module implements the vectorized-numpy equivalent, per segment:
 
@@ -51,16 +52,27 @@ _EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
 
 
 class TermBlocks:
-    """Lazy per-term view over a segment's posting-block rows."""
+    """Lazy per-term view over a segment's posting-block rows.
+
+    Handles multi-generation indexes (incremental batches append blocks
+    whose doc ranges overlap older generations): decode() merge-sorts the
+    concatenation when needed, preserving the sorted-docs invariant the
+    scorers rely on."""
 
     __slots__ = ("first", "last", "ub_blocks", "n_docs", "_rows", "_decoded",
                  "want_positions")
 
-    def __init__(self, rows: pd.DataFrame, idf_x_k1p1: float, want_positions: bool = False):
-        rows = rows.sort_values("block_no", kind="stable")
+    def __init__(self, rows: pd.DataFrame, idf_x_k1p1: float, avgdl: float,
+                 want_positions: bool = False):
+        rows = rows.sort_values(["first_doc", "block_no"], kind="stable")
         self.first = rows["first_doc"].to_numpy(dtype=np.int64)
         self.last = rows["last_doc"].to_numpy(dtype=np.int64)
-        self.ub_blocks = idf_x_k1p1 * rows["max_impact"].to_numpy(dtype=np.float64)
+        max_tf = rows["max_tf"].to_numpy(dtype=np.float64)
+        min_dl = rows["min_dl_q"].to_numpy(dtype=np.float64)
+        # avgdl-independent stored bound, resolved against CURRENT avgdl
+        self.ub_blocks = idf_x_k1p1 * max_tf / (
+            max_tf + K1 * (1.0 - B + B * min_dl / avgdl)
+        )
         self.n_docs = rows["n_docs"].to_numpy(dtype=np.int64)
         self._rows = rows
         self._decoded: Dict[int, tuple] = {}
@@ -100,12 +112,20 @@ class TermBlocks:
         if not docs_p:
             return (np.empty(0, np.int64), np.empty(0, np.int64),
                     np.empty(0, np.float64), [] if self.want_positions else None)
-        return (
-            np.concatenate(docs_p),
-            np.concatenate(tf_p),
-            np.concatenate(dl_p),
-            pos_p if self.want_positions else None,
-        )
+        docs = np.concatenate(docs_p)
+        tfs = np.concatenate(tf_p)
+        dls = np.concatenate(dl_p)
+        pos = pos_p if self.want_positions else None
+        if docs.size > 1 and (docs[1:] < docs[:-1]).any():
+            # overlapping generations: merge-sort, keeping positions ragged-aligned
+            order = np.argsort(docs, kind="stable")
+            if self.want_positions:
+                pos_cat = np.concatenate(pos) if pos else np.empty(0, np.int64)
+                starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                idx = np.repeat(starts[order], tfs[order]) + _ragged_arange(tfs[order])
+                pos = [pos_cat[idx]]
+            docs, tfs, dls = docs[order], tfs[order], dls[order]
+        return (docs, tfs, dls, pos)
 
     def decoded_block_count(self) -> int:
         return len(self._decoded)
@@ -124,14 +144,23 @@ def _contrib(tfs: np.ndarray, dl_q: np.ndarray, avgdl: float, idf_x_k1p1: float)
     return idf_x_k1p1 * tfs / (tfs + K1 * (1.0 - B + B * dl_q / avgdl))
 
 
+def _ragged_arange(lens: np.ndarray) -> np.ndarray:
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+
 def build_term_blocks(
-    pdf: pd.DataFrame, idfs: Dict[str, float], want_positions: bool = False
+    pdf: pd.DataFrame, idfs: Dict[str, float], avgdl: float, want_positions: bool = False
 ) -> Dict[str, TermBlocks]:
     out = {}
     for term, rows in pdf.groupby("term", sort=False):
         t = str(term)
         if t in idfs:
-            out[t] = TermBlocks(rows, idfs[t] * (K1 + 1.0), want_positions)
+            out[t] = TermBlocks(rows, idfs[t] * (K1 + 1.0), avgdl, want_positions)
     return out
 
 
@@ -154,7 +183,7 @@ def score_match_topk(
 
     Returns (docIds, scores, stats) where stats records decoded vs total
     blocks (pruning effectiveness, surfaced in tests/bench)."""
-    tb = build_term_blocks(pdf, idfs)
+    tb = build_term_blocks(pdf, idfs, avgdl)
     total_blocks = sum(t.n_blocks for t in tb.values())
     if not tb:
         return (*_EMPTY, {"decoded": 0, "total": 0})
@@ -262,7 +291,7 @@ def score_phrase_topk(
 
     uniq_terms = list(dict.fromkeys(phrase_terms))
     tb = build_term_blocks(pdf, {t: idfs[t] for t in uniq_terms if t in idfs},
-                           want_positions=True)
+                           avgdl, want_positions=True)
     total_blocks = sum(t.n_blocks for t in tb.values())
     stats = {"decoded": 0, "total": total_blocks}
     if len(tb) < len(uniq_terms):

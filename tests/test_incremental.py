@@ -1,0 +1,151 @@
+"""Incremental ingest, compaction, kill-and-rerun resume, streaming.
+
+The key contracts:
+- incremental add_batch over A then B produces search results EQUAL to a
+  full rebuild over A ∪ B (global df/avgdl updated; multi-generation
+  decode merge-sorts correctly)
+- compaction folds generations without changing any result
+- a build killed mid-wave resumes from the lineage manifest and produces
+  content-identical index tables without re-tokenizing completed waves
+- the Structured Streaming file-source path bootstraps + appends
+"""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark.index.build import IndexPaths, build_index
+from opensearch_spark.index.incremental import add_batch, compact_index
+from opensearch_spark.search.engine import SearchEngine
+from opensearch_spark.testing.corpus import generate_corpus
+
+QUERIES = [
+    {"match": {"content": "def return import"}},
+    {"match": {"content": {"query": "data load", "operator": "and"}}},
+    {"match_phrase": {"content": "public static"}},
+    {
+        "bool": {
+            "must": [{"match": {"content": "class"}}],
+            "should": [{"match": {"content": "import"}}],
+        }
+    },
+]
+
+
+def results(engine, k=15):
+    out = {}
+    for i, q in enumerate(QUERIES):
+        out[i] = [
+            (int(r["docId"]), round(float(r["score"]), 9))
+            for r in engine.search(q, k=k).collect()
+        ]
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    pdf = generate_corpus(500, seed=42)
+    a = spark.createDataFrame(pdf.iloc[:320])
+    b = spark.createDataFrame(pdf.iloc[320:])
+    full = spark.createDataFrame(pdf)
+    return a, b, full
+
+
+def test_incremental_equals_full_rebuild(spark, corpora, tmp_path):
+    a, b, full = corpora
+    inc_dir, full_dir = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_index(spark, a, inc_dir, n_segments=4)
+    add_batch(spark, b, inc_dir)
+    build_index(spark, full, full_dir, n_segments=4)
+
+    e_inc = SearchEngine(spark, inc_dir)
+    e_full = SearchEngine(spark, full_dir)
+    assert abs(e_inc.avgdl - e_full.avgdl) < 1e-9
+    assert e_inc.doc_count == e_full.doc_count
+    r_inc, r_full = results(e_inc), results(e_full)
+    assert r_inc == r_full
+
+    # compaction changes nothing observable
+    m = compact_index(spark, inc_dir)
+    assert m["generations"] == 1
+    e_c = SearchEngine(spark, inc_dir)
+    assert results(e_c) == r_full
+
+    # compacted postings have one sorted run per (seg, term)
+    p = e_c.postings
+    bad = (
+        p.groupBy("seg", "term", "block_no").count().where(F.col("count") > 1).count()
+    )
+    assert bad == 0
+
+
+def test_kill_and_rerun_resume(spark, corpora, tmp_path):
+    _, _, full = corpora
+    ref_dir = str(tmp_path / "ref")
+    build_index(spark, full, ref_dir, n_segments=8, waves=1)
+
+    # full build with 4 waves, then simulate a crash after wave 0:
+    # delete the postings of waves 1-3 and rewind the lineage manifest
+    kill_dir = str(tmp_path / "killed")
+    build_index(spark, full, kill_dir, n_segments=8, waves=4, keep_stage=True)
+    paths = IndexPaths(kill_dir)
+    with open(paths.lineage) as f:
+        lineage = json.load(f)
+    assert lineage["waves_done"] == [0, 1, 2, 3]
+    for seg in range(8):
+        if seg % 4 != 0:  # wave 0 covers segs {0, 4}
+            shutil.rmtree(os.path.join(paths.postings, f"seg={seg}"))
+    lineage["waves_done"] = [0]
+    with open(paths.lineage, "w") as f:
+        json.dump(lineage, f)
+
+    # rerun resumes (overwrite=False honors the lineage) and must NOT
+    # re-tokenize: corrupt the corpus argument to prove phase 1 is skipped
+    poisoned = full.withColumn("content", F.lit("poison"))
+    build_index(spark, poisoned, kill_dir, n_segments=8, waves=4, overwrite=False)
+
+    e_ref = SearchEngine(spark, ref_dir)
+    e_res = SearchEngine(spark, kill_dir)
+    assert results(e_res) == results(e_ref)
+
+    # content-identical index tables (order-insensitive)
+    for tbl in ("postings", "docstats", "termstats"):
+        a = getattr(e_ref, tbl if tbl != "postings" else "postings")
+        b = getattr(e_res, tbl if tbl != "postings" else "postings")
+        ka = a.select(sorted(a.columns)).exceptAll(b.select(sorted(b.columns))).count()
+        kb = b.select(sorted(b.columns)).exceptAll(a.select(sorted(a.columns))).count()
+        assert ka == 0 and kb == 0, tbl
+
+
+def test_streaming_file_source(spark, corpora, tmp_path):
+    from opensearch_spark.streaming.ingest import start_indexing_stream
+
+    a, b, full = corpora
+    src = str(tmp_path / "src")
+    ix = str(tmp_path / "stream_ix")
+    cp = str(tmp_path / "cp")
+    a.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(a.schema).parquet(src)
+    q = start_indexing_stream(stream, ix, cp, n_segments=4)
+    q.awaitTermination(120)
+
+    e1 = SearchEngine(spark, ix)
+    n1 = e1.doc_count
+
+    # second batch arrives; availableNow restart picks up only new files
+    b.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(a.schema).parquet(src)
+    q = start_indexing_stream(stream, ix, cp, n_segments=4)
+    q.awaitTermination(120)
+
+    e2 = SearchEngine(spark, ix)
+    assert e2.doc_count > n1
+
+    full_dir = str(tmp_path / "stream_full")
+    build_index(spark, full, full_dir, n_segments=4)
+    e_full = SearchEngine(spark, full_dir)
+    assert results(e2) == results(e_full)

@@ -22,8 +22,7 @@ def make_group_pdf(term_postings: dict, avgdl: float = AVGDL, block: int = BLOCK
         tfs = np.asarray(tfs, dtype=np.int64)
         dls = np.asarray(dls, dtype=np.int64)
         nb = int_to_byte4_np(dls)
-        dl_q = decode_norms_np(nb).astype(np.float64)
-        impact = tfs / (tfs + bm25.K1 * (1 - bm25.B + bm25.B * dl_q / avgdl))
+        dl_q = decode_norms_np(nb)
         for bno, s in enumerate(range(0, len(docs), block)):
             e = min(s + block, len(docs))
             # positions: synthetic ascending ints matching tf counts
@@ -36,7 +35,7 @@ def make_group_pdf(term_postings: dict, avgdl: float = AVGDL, block: int = BLOCK
                 "norm_bytes": nb[s:e].tobytes(),
                 "pos_bytes": codec.encode_positions(pos, tfs[s:e]),
                 "max_tf": int(tfs[s:e].max()),
-                "max_impact": float(impact[s:e].max()),
+                "min_dl_q": int(dl_q[s:e].min()),
             })
     return pd.DataFrame(rows)
 
