@@ -83,37 +83,49 @@ def generate_corpus(n_docs: int, seed: int = 42) -> pd.DataFrame:
     lens = np.minimum((rng.pareto(1.6, n_docs) + 1.0) * 18, 4000).astype(np.int64)
     lens = np.maximum(lens, 3)
 
+    # vectorized token sampling: one global draw for all docs' tokens
+    total = int(lens.sum())
+    cat = rng.random(total)
+    vocab_ids = rng.choice(len(vocab), size=total, p=probs)
+    kw_ids = rng.integers(0, 1 << 30, size=total)
+    edge_ids = rng.integers(0, len(EDGE_TOKENS), size=total)
+    op_ids = rng.integers(0, len(OPERATORS), size=total)
+    num_vals = rng.integers(0, 10000, size=total)
+
+    vocab_np = np.array(vocab, dtype=object)
+    edge_np = np.array(EDGE_TOKENS, dtype=object)
+    op_np = np.array(OPERATORS, dtype=object)
+
+    offsets = np.concatenate(([0], np.cumsum(lens)))
     rows = []
     for i in range(n_docs):
         lang = LANGS[int(langs[i])]
-        n_tok = int(lens[i])
         if i % 211 == 0:
             content = ""  # empty docs exercise zero-length handling
         elif i % 211 == 105:
             content = "   \n\t  "
         else:
+            s, e = int(offsets[i]), int(offsets[i + 1])
             kw = KEYWORDS[lang]
-            ids = rng.choice(len(vocab), size=n_tok, p=probs)
-            toks = []
-            for j in range(n_tok):
-                r = rng.random()
-                if r < 0.35:
-                    toks.append(kw[int(rng.integers(0, len(kw)))])
-                elif r < 0.40:
-                    toks.append(EDGE_TOKENS[int(rng.integers(0, len(EDGE_TOKENS)))])
-                elif r < 0.47:
-                    toks.append(OPERATORS[int(rng.integers(0, len(OPERATORS)))])
-                elif r < 0.52:
-                    toks.append(str(int(rng.integers(0, 10000))))
-                else:
-                    toks.append(vocab[int(ids[j])])
-            # sprinkle newlines/comments for realism
-            content_parts = []
-            for j, t in enumerate(toks):
-                content_parts.append(t)
-                if j % 9 == 8:
-                    content_parts.append("\n")
-            content = " ".join(content_parts)
+            c = cat[s:e]
+            toks = np.where(
+                c < 0.35,
+                np.array(kw, dtype=object)[kw_ids[s:e] % len(kw)],
+                np.where(
+                    c < 0.40,
+                    edge_np[edge_ids[s:e]],
+                    np.where(
+                        c < 0.47,
+                        op_np[op_ids[s:e]],
+                        np.where(
+                            c < 0.52,
+                            num_vals[s:e].astype(str).astype(object),
+                            vocab_np[vocab_ids[s:e]],
+                        ),
+                    ),
+                ),
+            )
+            content = " ".join(toks.tolist())
         commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
         rows.append(
             (

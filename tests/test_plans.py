@@ -1,0 +1,74 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must
+actually appear in the executed plans — term filters pushed into the
+parquet scan (row-group skipping), broadcast on the fetch join, and
+whole-stage codegen on the relational facade."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark.index.build import build_index
+from opensearch_spark.relational import queries as R
+from opensearch_spark.search.engine import SearchEngine
+from opensearch_spark.testing.corpus import generate_corpus
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def executed_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    corpus = spark.createDataFrame(generate_corpus(300, seed=42))
+    out = str(tmp_path_factory.mktemp("plans") / "ix")
+    build_index(spark, corpus, out, n_segments=4)
+    return SearchEngine(spark, out, corpus=corpus)
+
+
+def test_term_filter_pushed_to_postings_scan(engine):
+    df = engine._postings_for(["def", "return"])
+    p = plan_str(df)
+    assert "PushedFilters" in p
+    # the In/EqualTo on term must reach the scan, not sit in a Filter above it
+    assert "term" in p.split("PushedFilters")[1][:200], p[:2000]
+
+
+def test_fetch_join_is_broadcast(engine):
+    hits = engine.search({"match": {"content": "def"}}, k=5)
+    p = executed_str(engine.fetch(hits))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_relational_pushdown_and_codegen(spark, sf_dir):
+    df = R.q_term_filter(spark, sf_dir)
+    p = plan_str(df)
+    assert "PushedFilters" in p
+    pushed = p.split("PushedFilters")[1][:300]
+    assert "l_returnflag" in pushed or "l_quantity" in pushed, pushed
+    ex = executed_str(df)
+    assert "WholeStageCodegen" in ex or "*(" in ex  # *(n) = codegen stage
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = R.q_prefix_like(spark, sf_dir)
+    p = plan_str(df)
+    # ReadSchema must not include unprojected columns
+    read = p.split("ReadSchema")[1][:300]
+    assert "p_partkey" in read and "p_name" in read
+    assert "p_retailprice" not in read and "p_brand" not in read
+
+
+def test_aggregation_is_partial_final(spark, sf_dir):
+    p = executed_str(R.q_terms_agg(spark, sf_dir))
+    # partial (map-side) + final hash aggregation
+    assert p.count("HashAggregate") >= 2 or p.count("hashAggregate") >= 2
+
+
+def test_docstats_scan_prunes_termvec_column(engine):
+    # docstats reads must never touch posting binaries
+    p = plan_str(engine.docstats.select("docId", "dl"))
+    read = p.split("ReadSchema")[1][:200]
+    assert "doc_bytes" not in read and "_tv" not in read
