@@ -24,7 +24,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-N_DOCS = int(os.environ.get("SCALE_DOCS", "60000"))
+N_DOCS = int(os.environ.get("SCALE_DOCS", "240000"))
 N_SEGMENTS = 32
 SHUFFLE = 64
 
@@ -48,7 +48,7 @@ def corpus_path() -> str:
         from opensearch_spark.testing.corpus import generate_corpus
 
         pdf = generate_corpus(N_DOCS, seed=42)
-        pdf.to_parquet(p, index=False)
+        pdf.to_parquet(p, index=False, row_group_size=4096)  # splittable input
     return p
 
 

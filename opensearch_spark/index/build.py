@@ -209,11 +209,33 @@ def build_index(
         os.makedirs(out_dir)
         lineage = {"phase1_done": False, "waves_done": [], "n_segments": n_segments, "waves": waves}
 
+    import time as _time
+    _timing = os.environ.get("OSX_BUILD_TIMING") == "1"
+    _t0 = _time.perf_counter()
+
+    def _mark(label: str) -> None:
+        nonlocal _t0
+        if _timing:
+            now = _time.perf_counter()
+            print(f"[build_index] {label}: {now - _t0:.2f}s", flush=True)
+            _t0 = now
+
     # ---- phase 1: ONE tokenization pass -> staged analyzed table ---------
     # Everything downstream (docstats, termstats, globals, posting packing)
     # derives from the stage via column-pruned parquet scans, so the corpus
     # text is read and analyzed exactly once (the dominant cost at scale).
     if not lineage["phase1_done"]:
+        nshuf0 = shuffle_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        # the analysis stage must parallelize even when the input is a
+        # single unsplittable file: widen narrow inputs before tokenizing
+        try:
+            n_in = corpus.rdd.getNumPartitions()
+        except Exception:
+            n_in = nshuf0
+        if n_in < max(nshuf0 // 2, 2):
+            corpus = corpus.repartition(nshuf0)
         if doc_id_col is None:
             base = corpus.withColumn("docId", F.xxhash64(*[F.col(c) for c in id_cols]))
         else:
@@ -243,6 +265,7 @@ def build_index(
         base.select(
             "docId", "seg", "dl", "norm_byte", "dl_q", "content_sha", "_tv"
         ).write.mode("overwrite").partitionBy("seg").parquet(paths.termvecs)
+        _mark("phase1 analyze+stage")
 
         stage = spark.read.parquet(paths.termvecs)
         # docstats: column-pruned scan (never touches the _tv column)
@@ -253,6 +276,7 @@ def build_index(
         stage.select(F.explode("_tv").alias("e")).groupBy(F.col("e.term").alias("term")).agg(
             F.count("*").alias("df"), F.sum("e.tf").alias("ttf")
         ).write.mode("overwrite").parquet(paths.termstats)
+        _mark("phase1 termstats")
 
         ds = spark.read.parquet(paths.docstats)
         g = ds.agg(
@@ -279,6 +303,7 @@ def build_index(
         lineage["phase1_done"] = True
         lineage["globals"] = globals_row
         _write_json_atomic(paths.lineage, lineage)
+        _mark("phase1 docstats+globals")
 
     # ---- phase 2: pack posting blocks per segment wave -------------------
     nshuf = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -311,6 +336,7 @@ def build_index(
         )
         lineage["waves_done"] = sorted(set(lineage["waves_done"]) | {w})
         _write_json_atomic(paths.lineage, lineage)
+        _mark(f"phase2 pack wave {w}")
 
     if not keep_stage and os.path.exists(paths.termvecs):
         shutil.rmtree(paths.termvecs)

@@ -57,8 +57,30 @@ dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 
 
 def _match_clause_sql(name: str, terms: Sequence[str], operator: str = "or",
-                      msm: int = 0) -> str:
-    """CTE ``name``(doc_id, raw) for a match clause (unrounded score)."""
+                      msm: int = 0, qt_sql: str | None = None) -> str:
+    """CTE ``name``(doc_id, raw) for a match clause (unrounded score).
+    ``qt_sql`` overrides the term list with a subquery producing (term)."""
+    if qt_sql is not None:
+        qt_cte = f"{name}_qt AS ({qt_sql})"
+        having = ""
+        if operator == "and":
+            having = f"HAVING count(DISTINCT f.term) = (SELECT count(*) FROM {name}_qt)"
+        elif msm > 1:
+            having = f"HAVING count(DISTINCT f.term) >= {msm}"
+        return f"""
+{qt_cte},
+{name} AS (
+  SELECT f.doc_id,
+         sum(ln(1 + (gl.n - d.df + 0.5) / (d.df + 0.5)) * {K1 + 1.0!r}
+             * f.tf / (f.tf + {K1!r} * (1 - {B!r} + {B!r} * q.dlq / gl.avgdl))) AS raw
+  FROM tf f
+  JOIN {name}_qt USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dlq q USING (doc_id)
+  CROSS JOIN gl
+  GROUP BY f.doc_id
+  {having}
+)""".strip()
     qt = ", ".join(f"({_qlit(t)})" for t in sorted(set(terms)))
     n_distinct = len(set(terms))
     having = ""
@@ -211,6 +233,112 @@ def bool_sql(
         f"WITH {ctes_sql}\n"
         f"SELECT {base}.doc_id AS doc_id, round({score_expr}, 4) AS score\n"
         f"{from_clause}\n{where_clause}"
+    )
+
+
+def _exp_cond(kind: str, value: str, fuzziness: int = 2) -> str:
+    if kind == "prefix":
+        return f"term LIKE {_qlit(value + '%')}"
+    if kind == "wildcard":
+        like = value.replace("*", "%").replace("?", "_")
+        return f"term LIKE {_qlit(like)}"
+    if kind == "regexp":
+        return f"regexp_full_match(term, {_qlit(value)})"
+    if kind == "fuzzy":
+        return f"levenshtein(term, {_qlit(value)}) <= {fuzziness}"
+    raise ValueError(kind)
+
+
+def _exp_cte(name: str, kind: str, value: str, fuzziness: int = 2,
+             max_expansions: int = 50) -> str:
+    return (
+        f"{name} AS (SELECT term FROM (SELECT DISTINCT term FROM dfreq "
+        f"WHERE {_exp_cond(kind, value, fuzziness)} ORDER BY term LIMIT {max_expansions}))"
+    )
+
+
+def multi_term_sql(kind: str, value: str, fuzziness: int = 2) -> str:
+    """prefix/wildcard/regexp/fuzzy: constant-score docs containing any
+    dictionary expansion."""
+    return (
+        f"WITH {base_ctes()},\n{_exp_cte('exp', kind, value, fuzziness)}\n"
+        f"SELECT DISTINCT f.doc_id AS doc_id, 1.0 AS score\n"
+        f"FROM tf f JOIN exp USING (term)"
+    )
+
+
+def match_bool_prefix_sql(query: str) -> str:
+    """OR of fixed terms (BM25) + constant-score 1.0 prefix on the last."""
+    terms = tokenize(query)
+    fixed, last = terms[:-1], terms[-1]
+    exp = _exp_cte("e0x", "prefix", last)
+    e0 = "e0 AS (SELECT DISTINCT f.doc_id FROM tf f JOIN e0x USING (term))"
+    if not fixed:
+        return multi_term_sql("prefix", last)
+    return (
+        f"WITH {base_ctes()},\n"
+        + _match_clause_sql("m0", fixed)
+        + f",\n{exp},\n{e0}\n"
+        + "SELECT coalesce(m0.doc_id, e0.doc_id) AS doc_id,\n"
+        "       round(coalesce(m0.raw, 0.0) + (CASE WHEN e0.doc_id IS NOT NULL"
+        " THEN 1.0 ELSE 0.0 END), 4) AS score\n"
+        "FROM m0 FULL OUTER JOIN e0 ON m0.doc_id = e0.doc_id"
+    )
+
+
+def phrase_prefix_sql(query: str, max_expansions: int = 50) -> str:
+    """Exact phrase whose last slot matches any prefix expansion; scored
+    with idf summed over the FIXED terms (mirrors the engine contract)."""
+    terms = tokenize(query)
+    fixed, last = terms[:-1], terms[-1]
+    if not fixed:
+        return multi_term_sql("prefix", last)
+    joins = []
+    for i, t in enumerate(fixed[1:], start=1):
+        joins.append(
+            f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i} "
+            f"AND t{i}.term = {_qlit(t)}"
+        )
+    n = len(fixed)
+    joins.append(
+        f"JOIN tok tl ON tl.doc_id = t0.doc_id AND tl.pos = t0.pos + {n} "
+        f"AND tl.term IN (SELECT term FROM exp)"
+    )
+    idf_terms = " + ".join(
+        f"(SELECT ln(1 + (gl.n - df + 0.5) / (df + 0.5)) FROM dfreq WHERE term = {_qlit(t)})"
+        for t in fixed
+    )
+    return f"""
+WITH {base_ctes()},
+{_exp_cte('exp', 'prefix', last, max_expansions=max_expansions)},
+pf AS (
+  SELECT t0.doc_id, count(*) AS pf
+  FROM tok t0
+  {' '.join(joins)}
+  WHERE t0.term = {_qlit(fixed[0])}
+  GROUP BY t0.doc_id
+)
+SELECT p.doc_id,
+       round(({idf_terms}) * {K1 + 1.0!r}
+             * p.pf / (p.pf + {K1!r} * (1 - {B!r} + {B!r} * q.dlq / gl.avgdl)), 4) AS score
+FROM pf p JOIN dlq q USING (doc_id) CROSS JOIN gl
+""".strip()
+
+
+def mlt_sql(doc_id: int, max_query_terms: int = 10) -> str:
+    """more_like_this by _id: top tf*idf terms of the doc -> OR match,
+    source doc excluded."""
+    qt = (
+        f"SELECT s.term FROM "
+        f"(SELECT term, count(*) AS tf FROM tok WHERE doc_id = {doc_id} GROUP BY term) s "
+        f"JOIN dfreq d USING (term) CROSS JOIN gl "
+        f"ORDER BY s.tf * ln(1 + (gl.n - d.df + 0.5) / (d.df + 0.5)) DESC, s.term ASC "
+        f"LIMIT {max_query_terms}"
+    )
+    return (
+        f"WITH {base_ctes()},\n"
+        + _match_clause_sql("m0", [], qt_sql=qt)
+        + f"\nSELECT doc_id, round(raw, 4) AS score FROM m0 WHERE doc_id <> {doc_id}"
     )
 
 

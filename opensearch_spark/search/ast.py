@@ -103,7 +103,62 @@ class DisMax(Node):
     tie_breaker: float = 0.0
 
 
+@dataclass
+class Prefix(Node):
+    """Multi-term query over the term dictionary; constant-score rewrite
+    (the reference's default for prefix/wildcard/regexp/fuzzy)."""
+    field_name: str = ""
+    value: str = ""
+    max_expansions: int = 50
+
+
+@dataclass
+class Wildcard(Node):
+    field_name: str = ""
+    value: str = ""          # * = any seq, ? = one char
+    max_expansions: int = 50
+
+
+@dataclass
+class Regexp(Node):
+    field_name: str = ""
+    value: str = ""          # anchored full-match, Lucene-style
+    max_expansions: int = 50
+
+
+@dataclass
+class Fuzzy(Node):
+    field_name: str = ""
+    value: str = ""
+    fuzziness: int = 2       # max Levenshtein distance
+    max_expansions: int = 50
+
+
+@dataclass
+class MatchBoolPrefix(Node):
+    field_name: str = ""
+    query: str = ""
+
+
+@dataclass
+class MatchPhrasePrefix(Node):
+    field_name: str = ""
+    query: str = ""
+    max_expansions: int = 50
+
+
+@dataclass
+class MoreLikeThis(Node):
+    field_name: str = ""
+    like_doc_id: Optional[int] = None
+    like_text: Optional[str] = None
+    max_query_terms: int = 10
+    include: bool = False    # exclude the source doc by default
+
+
 AnyNode = Union[
     Match, MatchPhrase, Bool, TermQ, TermsQ, RangeQ, Exists, Ids,
     MatchAll, MatchNone, ConstantScore, DisMax,
+    Prefix, Wildcard, Regexp, Fuzzy, MatchBoolPrefix, MatchPhrasePrefix,
+    MoreLikeThis,
 ]

@@ -108,9 +108,56 @@ def _parse_range(body: dict) -> A.RangeQ:
     )
 
 
+def _parse_mtq(cls, value_key="value", **extra):
+    def p(body):
+        fld, spec = _field_body(body)
+        if isinstance(spec, dict):
+            kw = dict(
+                field_name=fld,
+                boost=float(spec.get("boost", 1.0)),
+                max_expansions=int(spec.get("max_expansions", 50)),
+            )
+            kw[extra.get("attr", "value")] = str(spec[value_key])
+            if cls is A.Fuzzy and "fuzziness" in spec:
+                kw["fuzziness"] = int(spec["fuzziness"])
+            return cls(**kw)
+        kw = {"field_name": fld, extra.get("attr", "value"): str(spec)}
+        return cls(**kw)
+    return p
+
+
+def _parse_mlt(body: dict) -> A.MoreLikeThis:
+    fields = body.get("fields", [])
+    like = body["like"]
+    node = A.MoreLikeThis(
+        field_name=fields[0] if fields else "",
+        max_query_terms=int(body.get("max_query_terms", 10)),
+        include=bool(body.get("include", False)),
+        boost=float(body.get("boost", 1.0)),
+    )
+    if isinstance(like, dict) and "_id" in like:
+        node.like_doc_id = int(like["_id"])
+    else:
+        node.like_text = str(like)
+    return node
+
+
 _PARSERS = {
     "match": _parse_match,
     "match_phrase": _parse_match_phrase,
+    "prefix": _parse_mtq(A.Prefix),
+    "wildcard": _parse_mtq(A.Wildcard),
+    "regexp": _parse_mtq(A.Regexp),
+    "fuzzy": _parse_mtq(A.Fuzzy),
+    "match_bool_prefix": lambda b: (lambda f, s: A.MatchBoolPrefix(
+        field_name=f, query=str(s["query"] if isinstance(s, dict) else s)
+    ))(*_field_body(b)),
+    "match_phrase_prefix": lambda b: (lambda f, s: A.MatchPhrasePrefix(
+        field_name=f,
+        query=str(s["query"] if isinstance(s, dict) else s),
+        max_expansions=int(s.get("max_expansions", 50)) if isinstance(s, dict) else 50,
+    ))(*_field_body(b)),
+    "more_like_this": _parse_mlt,
     "bool": _parse_bool,
     "term": _parse_term,
     "terms": _parse_terms,

@@ -82,6 +82,58 @@ def _make_phrase_scorer(terms: List[str], idfs: Dict[str, float], avgdl: float,
     return fn
 
 
+def _make_exists_scorer(boost: float):
+    """Constant-score multi-term scorer: docs containing ANY of the group's
+    terms (the reference's constant_score rewrite for prefix/wildcard/
+    regexp/fuzzy)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = bm25.decode_term_group(pdf)
+        if not decoded:
+            return pd.DataFrame({"docId": [], "score": []})
+        docs = np.unique(np.concatenate([d[0] for d in decoded.values()]))
+        return pd.DataFrame(
+            {"docId": docs.astype(np.int64), "score": np.full(docs.size, boost)}
+        )
+
+    return fn
+
+
+def _make_phrase_prefix_scorer(fixed: List[str], expansions: List[str],
+                               idf_sum: float, avgdl: float, boost: float):
+    """Phrase with expansion slot: merge the expansions' postings into one
+    pseudo-term posting list (docs sorted, positions merged per doc), then
+    run the standard position-chain intersection."""
+    exp_set = set(expansions)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = bm25.decode_term_group(pdf, want_positions=True)
+        exp_decoded = [v for t, v in decoded.items() if t in exp_set]
+        fixed_ok = all(t in decoded for t in fixed)
+        if not exp_decoded or not fixed_ok:
+            return pd.DataFrame({"docId": [], "score": []})
+        # merge expansion postings: (doc, pos) pairs sorted -> pseudo posting
+        docs_cat = np.concatenate(
+            [np.repeat(d[0], d[1]) for d in exp_decoded]
+        )
+        pos_cat = np.concatenate([d[3] for d in exp_decoded])
+        dl_cat = np.concatenate([np.repeat(d[2], d[1]) for d in exp_decoded])
+        order = np.lexsort((pos_cat, docs_cat))
+        docs_cat, pos_cat, dl_cat = docs_cat[order], pos_cat[order], dl_cat[order]
+        uniq, start = np.unique(docs_cat, return_index=True)
+        tfs = np.diff(np.append(start, docs_cat.size))
+        dl_u = dl_cat[start]
+        decoded["\x00exp"] = (uniq, tfs, dl_u, pos_cat)
+        docs, pf, dl_q = bm25.phrase_freq_in_segment(decoded, list(fixed) + ["\x00exp"])
+        scores = (
+            boost * idf_sum * (bm25.K1 + 1.0)
+            * bm25.tf_norm(pf.astype(np.float64), dl_q, avgdl)
+        )
+        return pd.DataFrame({"docId": docs.astype(np.int64), "score": scores})
+
+    return fn
+
+
 class SearchEngine:
     def __init__(
         self,
@@ -164,7 +216,135 @@ class SearchEngine:
             return self._meta_filter(node).select(
                 "docId", F.lit(float(node.boost)).alias("score")
             )
+        if isinstance(node, (A.Prefix, A.Wildcard, A.Regexp, A.Fuzzy)):
+            return self._multi_term(node)
+        if isinstance(node, A.MatchBoolPrefix):
+            return self._match_bool_prefix(node)
+        if isinstance(node, A.MatchPhrasePrefix):
+            return self._phrase_prefix(node, topk)
+        if isinstance(node, A.MoreLikeThis):
+            return self._mlt(node)
         raise ValueError(f"cannot compile: {node!r}")
+
+    # ---- multi-term (dictionary expansion) queries ------------------------
+
+    def expand_terms(self, node) -> List[str]:
+        """Term-dictionary expansion (reference: automaton over the FST
+        dictionary; here: predicate over the termstats table, ordered by
+        term, capped at max_expansions — the reference's cap too)."""
+        d = self.termstats.select("term").distinct()
+        c = F.col("term")
+        if isinstance(node, A.Prefix):
+            cond = c.startswith(node.value)
+        elif isinstance(node, A.Wildcard):
+            import re as _re
+            pat = "".join(
+                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                for ch in node.value
+            )
+            cond = c.rlike(f"^(?:{pat})$")
+        elif isinstance(node, A.Regexp):
+            cond = c.rlike(f"^(?:{node.value})$")
+        elif isinstance(node, A.Fuzzy):
+            cond = F.levenshtein(c, F.lit(node.value)) <= node.fuzziness
+        else:
+            raise ValueError(node)
+        rows = d.where(cond).orderBy("term").limit(node.max_expansions).collect()
+        return [r["term"] for r in rows]
+
+    def _multi_term(self, node) -> DataFrame:
+        self._check_field(node.field_name)
+        exp = self.expand_terms(node)
+        if not exp:
+            return self._empty()
+        scorer = _make_exists_scorer(float(node.boost))
+        return self._postings_for(exp).groupBy("seg").applyInPandas(scorer, SCORE_SCHEMA)
+
+    def _match_bool_prefix(self, node: A.MatchBoolPrefix) -> DataFrame:
+        """match_bool_prefix: OR of the fixed terms + the last term as a
+        constant-score prefix (reference: MatchBoolPrefixQueryBuilder)."""
+        self._check_field(node.field_name)
+        terms = tokenize(node.query)
+        if not terms:
+            return self._empty()
+        fixed, last = terms[:-1], terms[-1]
+        clauses: List[A.AnyNode] = []
+        if fixed:
+            clauses.append(A.Match(field_name=node.field_name, query=" ".join(fixed)))
+        clauses.append(
+            A.ConstantScore(filter=A.Prefix(field_name=node.field_name, value=last))
+        )
+        return self._bool(A.Bool(should=clauses, minimum_should_match=1,
+                                 boost=node.boost))
+
+    def _phrase_prefix(self, node: A.MatchPhrasePrefix, topk) -> DataFrame:
+        """match_phrase_prefix: exact phrase whose LAST position matches any
+        dictionary expansion of the prefix. Scored like a phrase with
+        idf = sum over the FIXED terms (documented approximation of the
+        reference's blended expansion stats)."""
+        self._check_field(node.field_name)
+        terms = tokenize(node.query)
+        if not terms:
+            return self._empty()
+        fixed, prefix = terms[:-1], terms[-1]
+        exp = self.expand_terms(
+            A.Prefix(field_name=node.field_name, value=prefix,
+                     max_expansions=node.max_expansions)
+        )
+        if not exp:
+            return self._empty()
+        if not fixed:
+            return self._multi_term(
+                A.Prefix(field_name=node.field_name, value=prefix, boost=node.boost)
+            )
+        idf_map = self._idfs(fixed)
+        if any(v != v for v in idf_map.values()):
+            return self._empty()
+        idf_sum = sum(idf_map[t] for t in fixed)
+        scorer = _make_phrase_prefix_scorer(
+            fixed, list(exp), idf_sum, self.avgdl, float(node.boost)
+        )
+        return (
+            self._postings_for(fixed + exp)
+            .groupBy("seg")
+            .applyInPandas(scorer, SCORE_SCHEMA)
+        )
+
+    def _mlt(self, node: A.MoreLikeThis) -> DataFrame:
+        """more_like_this: top tf*idf terms of the example doc/text -> OR
+        match (reference: MoreLikeThisQueryBuilder term selection)."""
+        if node.like_text is not None:
+            text = node.like_text
+        else:
+            if self.corpus is None:
+                raise ValueError("more_like_this by _id needs an attached corpus")
+            rows = self.corpus.where(F.col("docId") == node.like_doc_id).select(
+                self.text_field
+            ).collect()
+            if not rows:
+                return self._empty()
+            text = rows[0][0] or ""
+        toks = tokenize(text)
+        if not toks:
+            return self._empty()
+        tf: Dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        idfs = {t: v for t, v in self._idfs(list(tf)).items() if v == v}
+        ranked = sorted(
+            ((tf[t] * idfs[t], t) for t in idfs), key=lambda x: (-x[0], x[1])
+        )
+        chosen = [t for _, t in ranked[: node.max_query_terms]]
+        if not chosen:
+            return self._empty()
+        out = self._match(
+            A.Match(field_name=node.field_name or self.text_field,
+                    query=" ".join(chosen), boost=node.boost),
+            topk=None,
+        )
+        if not node.include and node.like_doc_id is not None:
+            out = out.where(F.col("docId") != node.like_doc_id)
+        return out
 
     # ---- leaves ---------------------------------------------------------
 
