@@ -101,6 +101,24 @@ def tokenize_pandas(texts: pd.Series) -> pd.Series:
     return toks
 
 
+def tokenize_offsets(text: str) -> List[Tuple[str, int, int]]:
+    """Analyze with character offsets: [(term, start, end)] — the fetch
+    phase's highlighting input (Lucene token offsets analog). Long-token
+    splitting keeps per-chunk offsets."""
+    if not text:
+        return []
+    out: List[Tuple[str, int, int]] = []
+    for m in TOKEN_PATTERN.finditer(text):
+        tok, s = m.group(0).lower(), m.start()
+        if len(tok) <= MAX_TOKEN_LENGTH:
+            out.append((tok, s, m.end()))
+        else:
+            for i in range(0, len(tok), MAX_TOKEN_LENGTH):
+                chunk = tok[i : i + MAX_TOKEN_LENGTH]
+                out.append((chunk, s + i, s + i + len(chunk)))
+    return out
+
+
 def termvec(tokens: List[str]) -> List[Tuple[str, int, List[int]]]:
     """Per-doc term vector: [(term, tf, positions)] — map-side combine so
     the shuffle carries one row per (doc, term), not per occurrence."""

@@ -187,6 +187,7 @@ def build_index(
     waves: int = 1,
     keep_stage: bool = False,
     overwrite: bool = True,
+    _fail_after_wave: int | None = None,
 ) -> IndexPaths:
     """Build the inverted index for ``corpus[text_col]`` under ``out_dir``.
 
@@ -264,7 +265,7 @@ def build_index(
         )
         base.select(
             "docId", "seg", "dl", "norm_byte", "dl_q", "content_sha", "_tv"
-        ).write.mode("overwrite").partitionBy("seg").parquet(paths.termvecs)
+        ).write.mode("overwrite").parquet(paths.termvecs)
         _mark("phase1 analyze+stage")
 
         stage = spark.read.parquet(paths.termvecs)
@@ -331,12 +332,13 @@ def build_index(
         (
             packed.sortWithinPartitions("term", "block_no")
             .write.mode("append")
-            .partitionBy("seg")
             .parquet(paths.postings)
         )
         lineage["waves_done"] = sorted(set(lineage["waves_done"]) | {w})
         _write_json_atomic(paths.lineage, lineage)
         _mark(f"phase2 pack wave {w}")
+        if _fail_after_wave is not None and w >= _fail_after_wave:
+            raise RuntimeError(f"injected failure after wave {w} (test seam)")
 
     if not keep_stage and os.path.exists(paths.termvecs):
         shutil.rmtree(paths.termvecs)

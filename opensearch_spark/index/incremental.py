@@ -118,7 +118,6 @@ def add_batch(
             .mapInPandas(_pack_partition(block_size), schema=POSTINGS_SCHEMA)
             .sortWithinPartitions("term", "block_no")
             .write.mode("append")
-            .partitionBy("seg")
             .parquet(paths.postings)
         )
 
@@ -182,7 +181,6 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         .mapInPandas(_pack_partition(block_size), schema=POSTINGS_SCHEMA)
         .sortWithinPartitions("term", "block_no")
         .write.mode("overwrite")
-        .partitionBy("seg")
         .parquet(tmp_postings)
     )
 

@@ -148,6 +148,24 @@ class MatchPhrasePrefix(Node):
 
 
 @dataclass
+class FunctionScore(Node):
+    """function_score with field_value_factor (reference:
+    FunctionScoreQueryBuilder); score-column arithmetic in Spark."""
+    query: Optional["AnyNode"] = None
+    field: str = ""
+    factor: float = 1.0
+    modifier: str = "none"   # none | log1p | sqrt | square | ln1p(alias)
+    boost_mode: str = "multiply"  # multiply | sum | replace
+
+
+@dataclass
+class Boosting(Node):
+    positive: Optional["AnyNode"] = None
+    negative: Optional["AnyNode"] = None
+    negative_boost: float = 0.5
+
+
+@dataclass
 class MoreLikeThis(Node):
     field_name: str = ""
     like_doc_id: Optional[int] = None
@@ -160,5 +178,5 @@ AnyNode = Union[
     Match, MatchPhrase, Bool, TermQ, TermsQ, RangeQ, Exists, Ids,
     MatchAll, MatchNone, ConstantScore, DisMax,
     Prefix, Wildcard, Regexp, Fuzzy, MatchBoolPrefix, MatchPhrasePrefix,
-    MoreLikeThis,
+    MoreLikeThis, FunctionScore, Boosting,
 ]

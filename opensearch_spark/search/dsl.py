@@ -158,6 +158,20 @@ _PARSERS = {
         max_expansions=int(s.get("max_expansions", 50)) if isinstance(s, dict) else 50,
     ))(*_field_body(b)),
     "more_like_this": _parse_mlt,
+    "function_score": lambda b: A.FunctionScore(
+        query=parse(b["query"]) if "query" in b else A.MatchAll(),
+        field=b.get("field_value_factor", {}).get("field", ""),
+        factor=float(b.get("field_value_factor", {}).get("factor", 1.0)),
+        modifier=str(b.get("field_value_factor", {}).get("modifier", "none")).lower(),
+        boost_mode=str(b.get("boost_mode", "multiply")).lower(),
+        boost=float(b.get("boost", 1.0)),
+    ),
+    "boosting": lambda b: A.Boosting(
+        positive=parse(b["positive"]),
+        negative=parse(b["negative"]),
+        negative_boost=float(b.get("negative_boost", 0.5)),
+        boost=float(b.get("boost", 1.0)),
+    ),
     "bool": _parse_bool,
     "term": _parse_term,
     "terms": _parse_terms,

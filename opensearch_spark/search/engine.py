@@ -224,7 +224,46 @@ class SearchEngine:
             return self._phrase_prefix(node, topk)
         if isinstance(node, A.MoreLikeThis):
             return self._mlt(node)
+        if isinstance(node, A.FunctionScore):
+            return self._function_score(node)
+        if isinstance(node, A.Boosting):
+            return self._boosting(node)
         raise ValueError(f"cannot compile: {node!r}")
+
+    def _function_score(self, node: A.FunctionScore) -> DataFrame:
+        """field_value_factor: score-column arithmetic against a corpus
+        column (the reference's score-function evaluated per matched doc)."""
+        if self.corpus is None:
+            raise ValueError("function_score needs an attached corpus")
+        inner = self.compile(node.query)
+        vals = self.corpus.select("docId", F.col(node.field).alias("_fv"))
+        j = inner.join(vals, "docId")
+        fv = F.col("_fv").cast("double") * F.lit(float(node.factor))
+        if node.modifier in ("log1p", "ln1p"):
+            fv = F.log1p(fv)
+        elif node.modifier == "sqrt":
+            fv = F.sqrt(fv)
+        elif node.modifier == "square":
+            fv = fv * fv
+        if node.boost_mode == "sum":
+            s = F.col("score") + fv
+        elif node.boost_mode == "replace":
+            s = fv
+        else:
+            s = F.col("score") * fv
+        return j.select("docId", (s * F.lit(float(node.boost))).alias("score"))
+
+    def _boosting(self, node: A.Boosting) -> DataFrame:
+        """boosting query: positive matches demoted by negative_boost when
+        they also match the negative clause."""
+        pos = self.compile(node.positive)
+        neg = self.compile(node.negative).select("docId", F.lit(1).alias("_neg"))
+        j = pos.join(neg, "docId", "left")
+        s = F.when(
+            F.col("_neg").isNotNull(),
+            F.col("score") * F.lit(float(node.negative_boost)),
+        ).otherwise(F.col("score"))
+        return j.select("docId", (s * F.lit(float(node.boost))).alias("score"))
 
     # ---- multi-term (dictionary expansion) queries ------------------------
 

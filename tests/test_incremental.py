@@ -87,20 +87,17 @@ def test_kill_and_rerun_resume(spark, corpora, tmp_path):
     ref_dir = str(tmp_path / "ref")
     build_index(spark, full, ref_dir, n_segments=8, waves=1)
 
-    # full build with 4 waves, then simulate a crash after wave 0:
-    # delete the postings of waves 1-3 and rewind the lineage manifest
+    # crash the build after wave 0 commits (injected failure = kill)
     kill_dir = str(tmp_path / "killed")
-    build_index(spark, full, kill_dir, n_segments=8, waves=4, keep_stage=True)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(
+            spark, full, kill_dir, n_segments=8, waves=4, _fail_after_wave=0
+        )
     paths = IndexPaths(kill_dir)
     with open(paths.lineage) as f:
         lineage = json.load(f)
-    assert lineage["waves_done"] == [0, 1, 2, 3]
-    for seg in range(8):
-        if seg % 4 != 0:  # wave 0 covers segs {0, 4}
-            shutil.rmtree(os.path.join(paths.postings, f"seg={seg}"))
-    lineage["waves_done"] = [0]
-    with open(paths.lineage, "w") as f:
-        json.dump(lineage, f)
+    assert lineage["waves_done"] == [0]
+    assert os.path.exists(paths.termvecs)  # stage kept until completion
 
     # rerun resumes (overwrite=False honors the lineage) and must NOT
     # re-tokenize: corrupt the corpus argument to prove phase 1 is skipped
