@@ -9,26 +9,33 @@ blocks with per-block max-impact data for block-max WAND. We reproduce the
   corpus (repo,path,commit,lang,content)          [input, any DataFrame]
     -> docId = xxhash64(id cols), content_sha = sha2(content,256)
     -> seg   = pmod(docId, n_segments)            [shard analog]
-    -> termvec pandas UDF (map-side combine: one row per (doc,term))
+    -> tokenize pandas UDF -> flat token array (cheap Arrow shape)
+    -> posexplode to per-OCCURRENCE rows (docId, seg, term, pos)
     -> shuffle on (seg, term)                     [the ONE big shuffle]
-    -> per-partition numpy packing into 128-doc blocks
+    -> fully vectorized numpy packing into 128-doc blocks
        (delta+varint docIds, varint tfs, byte4 norms inline, varint
-        position gaps, per-block max_impact for WAND)
+        position gaps, per-block (max_tf, min_dl_q) WAND bounds)
     -> parquet tables: postings/ docstats/ termstats/ globals/
 
 Scale notes (100 TB design):
-- The termvec UDF aggregates within the doc BEFORE the shuffle, so the
-  shuffle carries (doc,term) rows, not per-occurrence rows (~5-20x less).
+- Analysis happens exactly once: the tokenized corpus is staged, and
+  docstats / posting packing derive from it via column-pruned scans.
+- The per-(doc,term) aggregation (tf, positions) happens INSIDE the
+  vectorized packer from occurrence rows — one lexsort + reduceat per
+  reducer partition, no per-row Python objects anywhere on the hot path.
 - Hot-term skew is defused structurally: the shuffle key is (seg, term),
   so one term's postings are split across n_segments reducers — a term in
-  every doc still produces at most |segment| rows per reducer (this is the
-  salted-repartition requirement of the north rule; seg doubles as salt).
-- Postings are written partitioned by seg and sorted by term within files,
-  so query-time term lookups get partition pruning + parquet row-group
-  min/max skipping.
-- Phase 2 (block packing) is checkpointed per segment-wave with a lineage
-  manifest -> kill-and-rerun resumes without re-tokenizing (tokenization
-  output is staged once in phase 1).
+  every doc still produces at most |segment| occurrences per reducer
+  (the salted-repartition requirement of the north rule; seg = the salt).
+- Posting files are sorted by term, so query-time term lookups get
+  parquet row-group min/max skipping; queries re-group by seg themselves,
+  so no physical seg partitioning is needed (it would explode file counts
+  at shuffle-width x n_segments).
+- termstats (global df/ttf per term) derives from the packed postings'
+  metadata columns (n_docs, sum_tf) — a cheap columnar scan, no second
+  pass over token data.
+- Phase 2 packing is checkpointed per segment-wave with a lineage
+  manifest -> kill-and-rerun resumes without re-tokenizing.
 
 BM25 constants k1=1.2, b=0.75 follow the reference defaults
 (``index/similarity/SimilarityProviders.java:276-292``).
@@ -40,14 +47,16 @@ import json
 import os
 import shutil
 from dataclasses import dataclass
-from typing import Iterator, List, Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from opensearch_spark.analysis.analyzer import termvec_udf
-from opensearch_spark.analysis.smallfloat import decode_norms_np, int_to_byte4_np
+from opensearch_spark.analysis.analyzer import tokens_udf
+from opensearch_spark.analysis.smallfloat import (
+    decode_norms_np, int_to_byte4_np, length_table,
+)
 from opensearch_spark.index import codec
 
 K1 = 1.2
@@ -55,13 +64,13 @@ B = 0.75
 DEFAULT_BLOCK = 128
 
 # Block-max metadata is stored avgdl-independent: (max_tf, min_dl_q) give
-# the query-time upper bound idf*(k1+1)*max_tf/(max_tf+k1*(1-b+b*min_dl_q/avgdl))
+# the query-time bound idf*(k1+1)*max_tf/(max_tf+k1*(1-b+b*min_dl_q/avgdl))
 # — valid under ANY current avgdl, so incremental batches and compaction
-# never invalidate stored bounds (impact is increasing in tf, decreasing in dl).
+# never invalidate stored bounds (impact increases in tf, decreases in dl).
 POSTINGS_SCHEMA = (
     "seg int, term string, block_no int, n_docs int, first_doc long, last_doc long, "
     "doc_bytes binary, tf_bytes binary, norm_bytes binary, pos_bytes binary, "
-    "max_tf int, min_dl_q long"
+    "max_tf int, min_dl_q long, sum_tf long"
 )
 
 
@@ -111,9 +120,18 @@ def _write_json_atomic(path: str, obj: dict) -> None:
 
 
 def _pack_partition(block_size: int):
-    """mapInPandas fn: rows (seg,term,docId,tf,positions,norm_byte) ->
-    packed posting-block rows. Requires all rows of a (seg,term) group to
-    be co-located (guaranteed by the preceding repartition)."""
+    """mapInPandas fn: per-OCCURRENCE rows (seg, term, docId, norm_byte,
+    pos) -> packed posting-block rows.
+
+    Fully vectorized: one lexsort orders occurrences by (seg, term, doc,
+    pos); doc-group and block boundaries come from flag arrays; per-block
+    aggregates use ``reduceat``; each byte stream (doc deltas, tfs,
+    position gaps) is varint-encoded ONCE per partition and sliced at
+    block boundaries via prefix sums of per-value byte lengths. The only
+    Python-level loop is the final per-block bytes slicing.
+
+    Requires all rows of a (seg, term) group co-located (guaranteed by
+    the preceding repartition)."""
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frames = [b for b in batches if len(b)]
@@ -121,57 +139,144 @@ def _pack_partition(block_size: int):
             return
         df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
         doc = df["docId"].to_numpy(dtype=np.int64)
-        tf = df["tf"].to_numpy(dtype=np.int64)
         nb = df["norm_byte"].to_numpy(dtype=np.int64).astype(np.uint8)
         seg = df["seg"].to_numpy(dtype=np.int64)
-        terms = df["term"].to_numpy()
-        positions = df["positions"].to_numpy()  # object array of lists
+        pos = df["pos"].to_numpy(dtype=np.int64)
+        codes, uniques = pd.factorize(df["term"].to_numpy(), sort=False)
+        codes = codes.astype(np.int64)
 
-        # sort by (seg, term, docId); groups become contiguous
-        order = np.lexsort((doc, terms, seg))
-        doc, tf, nb, seg, terms, positions = (
-            doc[order], tf[order], nb[order], seg[order], terms[order], positions[order]
+        order = np.lexsort((pos, doc, codes, seg))
+        doc, nb, seg, pos, codes = (
+            doc[order], nb[order], seg[order], pos[order], codes[order]
         )
-        n = len(doc)
-        new_group = np.empty(n, dtype=bool)
-        new_group[0] = True
-        new_group[1:] = (terms[1:] != terms[:-1]) | (seg[1:] != seg[:-1])
-        group_starts = np.flatnonzero(new_group)
-        group_ends = np.append(group_starts[1:], n)
+        n = doc.size
 
-        dl_q = decode_norms_np(nb)
+        # doc-group boundaries: one group per (seg, term, doc)
+        occ_new = np.empty(n, dtype=bool)
+        occ_new[0] = True
+        occ_new[1:] = (
+            (doc[1:] != doc[:-1]) | (codes[1:] != codes[:-1]) | (seg[1:] != seg[:-1])
+        )
+        dg_start = np.flatnonzero(occ_new)
+        dg_end = np.append(dg_start[1:], n)
+        tf = dg_end - dg_start
+        d_doc = np.ascontiguousarray(doc[dg_start])
+        d_nb = nb[dg_start]
+        d_code = codes[dg_start]
+        d_seg = seg[dg_start]
+        n_dg = dg_start.size
 
-        out: dict[str, list] = {k: [] for k in (
-            "seg", "term", "block_no", "n_docs", "first_doc", "last_doc",
-            "doc_bytes", "tf_bytes", "norm_bytes", "pos_bytes", "max_tf", "min_dl_q",
-        )}
-        for gs, ge in zip(group_starts, group_ends):
-            t = terms[gs]
-            s = int(seg[gs])
-            for bno, bs in enumerate(range(gs, ge, block_size)):
-                be = min(bs + block_size, ge)
-                d = doc[bs:be]
-                f_ = tf[bs:be]
-                pos_concat = (
-                    np.concatenate([np.asarray(p, dtype=np.int64) for p in positions[bs:be]])
-                    if (be > bs)
-                    else np.empty(0, dtype=np.int64)
-                )
-                out["seg"].append(s)
-                out["term"].append(t)
-                out["block_no"].append(bno)
-                out["n_docs"].append(be - bs)
-                out["first_doc"].append(int(d[0]))
-                out["last_doc"].append(int(d[-1]))
-                out["doc_bytes"].append(codec.delta_encode_sorted(d))
-                out["tf_bytes"].append(codec.varint_encode(f_.astype(np.uint64)))
-                out["norm_bytes"].append(nb[bs:be].tobytes())
-                out["pos_bytes"].append(codec.encode_positions(pos_concat, f_))
-                out["max_tf"].append(int(f_.max()))
-                out["min_dl_q"].append(int(dl_q[bs:be].min()))
-        yield pd.DataFrame(out)
+        # (seg,term)-group and block boundaries at doc-group level
+        tg_new = np.empty(n_dg, dtype=bool)
+        tg_new[0] = True
+        tg_new[1:] = (d_code[1:] != d_code[:-1]) | (d_seg[1:] != d_seg[:-1])
+        tg_first = np.flatnonzero(tg_new)
+        tg_len = np.append(tg_first[1:], n_dg) - tg_first
+        idx_in_group = np.arange(n_dg, dtype=np.int64) - np.repeat(tg_first, tg_len)
+        blk_new = tg_new | (idx_in_group % block_size == 0)
+        bs = np.flatnonzero(blk_new)
+        be = np.append(bs[1:], n_dg)
+
+        dl_q = length_table()[d_nb]
+
+        # doc-id stream: zigzag(first-of-block) + unsigned deltas
+        du = d_doc.view(np.uint64)
+        u = np.empty(n_dg, dtype=np.uint64)
+        u[1:] = du[1:] - du[:-1]
+        u[bs] = codec.zigzag_encode(d_doc[bs])
+        doc_buf, doc_lens = codec.varint_encode_lengths(u)
+        doc_off = np.concatenate(([0], np.cumsum(doc_lens)))
+
+        tf_buf, tf_lens = codec.varint_encode_lengths(tf.astype(np.uint64))
+        tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
+
+        # position stream: per-doc first position raw, then gaps
+        gaps = pos.copy()
+        gaps[1:] -= pos[:-1]
+        gaps[dg_start] = pos[dg_start]
+        pos_buf, pos_lens = codec.varint_encode_lengths(gaps.astype(np.uint64))
+        pos_off = np.concatenate(([0], np.cumsum(pos_lens)))
+
+        mv_doc = memoryview(doc_buf)
+        mv_tf = memoryview(tf_buf)
+        mv_pos = memoryview(pos_buf)
+        occ_a = dg_start[bs]          # first occurrence of each block
+        occ_b = dg_end[be - 1]        # one past last occurrence of each block
+
+        yield pd.DataFrame({
+            "seg": d_seg[bs].astype(np.int32),
+            "term": uniques[d_code[bs]],
+            "block_no": (idx_in_group[bs] // block_size).astype(np.int32),
+            "n_docs": (be - bs).astype(np.int32),
+            "first_doc": d_doc[bs],
+            "last_doc": d_doc[be - 1],
+            "doc_bytes": [bytes(mv_doc[doc_off[a]:doc_off[b]]) for a, b in zip(bs, be)],
+            "tf_bytes": [bytes(mv_tf[tf_off[a]:tf_off[b]]) for a, b in zip(bs, be)],
+            "norm_bytes": [d_nb[a:b].tobytes() for a, b in zip(bs, be)],
+            "pos_bytes": [
+                bytes(mv_pos[pos_off[a]:pos_off[b]]) for a, b in zip(occ_a, occ_b)
+            ],
+            "max_tf": np.maximum.reduceat(tf, bs).astype(np.int32),
+            "min_dl_q": np.minimum.reduceat(dl_q, bs),
+            "sum_tf": np.add.reduceat(tf, bs),
+        })
 
     return pack
+
+
+def _analyze(
+    corpus: DataFrame,
+    text_col: str,
+    id_cols: Sequence[str],
+    doc_id_col: str | None,
+    n_segments: int,
+) -> DataFrame:
+    """corpus -> (docId, seg, dl, norm_byte, dl_q, content_sha, toks)."""
+    if doc_id_col is None:
+        base = corpus.withColumn("docId", F.xxhash64(*[F.col(c) for c in id_cols]))
+    else:
+        base = corpus.withColumn("docId", F.col(doc_id_col).cast("long"))
+    base = (
+        base.withColumn("content_sha", F.sha2(F.col(text_col).cast("string"), 256))
+        .withColumn("seg", F.pmod(F.col("docId"), F.lit(n_segments)).cast("int"))
+        .withColumn("toks", tokens_udf()(F.col(text_col)))
+        .withColumn("dl", F.size("toks"))
+    )
+
+    @F.pandas_udf("int")
+    def norm_byte_udf(dl: pd.Series) -> pd.Series:
+        return pd.Series(
+            int_to_byte4_np(dl.to_numpy(dtype=np.int64)).astype(np.int64), index=dl.index
+        )
+
+    @F.pandas_udf("long")
+    def dl_q_udf(nbv: pd.Series) -> pd.Series:
+        return pd.Series(
+            decode_norms_np(nbv.to_numpy(dtype=np.int64).astype(np.uint8)), index=nbv.index
+        )
+
+    return base.withColumn("norm_byte", norm_byte_udf("dl")).withColumn(
+        "dl_q", dl_q_udf("norm_byte")
+    ).select("docId", "seg", "dl", "norm_byte", "dl_q", "content_sha", "toks")
+
+
+def _occurrences(stage: DataFrame) -> DataFrame:
+    """staged rows -> per-occurrence (docId, seg, norm_byte, pos, term)."""
+    return stage.select(
+        "docId", "seg", "norm_byte", F.posexplode("toks").alias("pos", "term")
+    )
+
+
+def write_termstats(spark: SparkSession, paths: IndexPaths) -> None:
+    """Global per-term df/ttf from the packed postings' metadata columns
+    (column-pruned scan of n_docs/sum_tf — no pass over token data)."""
+    (
+        spark.read.parquet(paths.postings)
+        .groupBy("term")
+        .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("ttf"))
+        .write.mode("overwrite")
+        .parquet(paths.termstats)
+    )
 
 
 def build_index(
@@ -201,14 +306,16 @@ def build_index(
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    lineage = _read_json(paths.lineage) if os.path.exists(paths.lineage) else {
-        "phase1_done": False, "waves_done": [], "n_segments": n_segments, "waves": waves,
+    fresh = {
+        "phase1_done": False, "waves_done": [], "termstats_done": False,
+        "n_segments": n_segments, "waves": waves,
     }
+    lineage = _read_json(paths.lineage) if os.path.exists(paths.lineage) else dict(fresh)
     if lineage.get("n_segments") != n_segments or lineage.get("waves") != waves:
         # config changed -> full rebuild
         shutil.rmtree(out_dir)
         os.makedirs(out_dir)
-        lineage = {"phase1_done": False, "waves_done": [], "n_segments": n_segments, "waves": waves}
+        lineage = dict(fresh)
 
     import time as _time
     _timing = os.environ.get("OSX_BUILD_TIMING") == "1"
@@ -221,63 +328,30 @@ def build_index(
             print(f"[build_index] {label}: {now - _t0:.2f}s", flush=True)
             _t0 = now
 
+    nshuf = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
     # ---- phase 1: ONE tokenization pass -> staged analyzed table ---------
-    # Everything downstream (docstats, termstats, globals, posting packing)
-    # derives from the stage via column-pruned parquet scans, so the corpus
-    # text is read and analyzed exactly once (the dominant cost at scale).
+    # Everything downstream (docstats, globals, posting packing) derives
+    # from the stage via column-pruned parquet scans, so the corpus text
+    # is read and analyzed exactly once (the dominant cost at scale).
     if not lineage["phase1_done"]:
-        nshuf0 = shuffle_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
         # the analysis stage must parallelize even when the input is a
         # single unsplittable file: widen narrow inputs before tokenizing
         try:
             n_in = corpus.rdd.getNumPartitions()
         except Exception:
-            n_in = nshuf0
-        if n_in < max(nshuf0 // 2, 2):
-            corpus = corpus.repartition(nshuf0)
-        if doc_id_col is None:
-            base = corpus.withColumn("docId", F.xxhash64(*[F.col(c) for c in id_cols]))
-        else:
-            base = corpus.withColumn("docId", F.col(doc_id_col).cast("long"))
-        base = (
-            base.withColumn("content_sha", F.sha2(F.col(text_col).cast("string"), 256))
-            .withColumn("seg", F.pmod(F.col("docId"), F.lit(n_segments)).cast("int"))
-            .withColumn("_tv", termvec_udf()(F.col(text_col)))
-            .withColumn("dl", F.aggregate("_tv", F.lit(0), lambda acc, x: acc + x["tf"]))
-        )
-
-        @F.pandas_udf("int")
-        def norm_byte_udf(dl: pd.Series) -> pd.Series:
-            return pd.Series(
-                int_to_byte4_np(dl.to_numpy(dtype=np.int64)).astype(np.int64), index=dl.index
-            )
-
-        @F.pandas_udf("long")
-        def dl_q_udf(nb: pd.Series) -> pd.Series:
-            return pd.Series(
-                decode_norms_np(nb.to_numpy(dtype=np.int64).astype(np.uint8)), index=nb.index
-            )
-
-        base = base.withColumn("norm_byte", norm_byte_udf("dl")).withColumn(
-            "dl_q", dl_q_udf("norm_byte")
-        )
-        base.select(
-            "docId", "seg", "dl", "norm_byte", "dl_q", "content_sha", "_tv"
-        ).write.mode("overwrite").parquet(paths.termvecs)
+            n_in = nshuf
+        if n_in < max(nshuf // 2, 2):
+            corpus = corpus.repartition(nshuf)
+        stage_df = _analyze(corpus, text_col, id_cols, doc_id_col, n_segments)
+        stage_df.write.mode("overwrite").parquet(paths.termvecs)
         _mark("phase1 analyze+stage")
 
         stage = spark.read.parquet(paths.termvecs)
-        # docstats: column-pruned scan (never touches the _tv column)
+        # docstats: column-pruned scan (never touches the toks column)
         stage.select("docId", "seg", "dl", "norm_byte", "dl_q", "content_sha").write.mode(
             "overwrite"
         ).parquet(paths.docstats)
-
-        stage.select(F.explode("_tv").alias("e")).groupBy(F.col("e.term").alias("term")).agg(
-            F.count("*").alias("df"), F.sum("e.tf").alias("ttf")
-        ).write.mode("overwrite").parquet(paths.termstats)
-        _mark("phase1 termstats")
 
         ds = spark.read.parquet(paths.docstats)
         g = ds.agg(
@@ -307,26 +381,17 @@ def build_index(
         _mark("phase1 docstats+globals")
 
     # ---- phase 2: pack posting blocks per segment wave -------------------
-    nshuf = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     all_waves = list(range(waves))
     seg_of_wave = {w: [s for s in range(n_segments) if s % waves == w] for w in all_waves}
     for w in all_waves:
         if w in lineage["waves_done"]:
             continue
-        segs = seg_of_wave[w]
-        tv = (
-            spark.read.parquet(paths.termvecs)
-            .where(F.col("seg").isin(segs))  # partition pruning per wave
-            .select("docId", "seg", "norm_byte", F.explode("_tv").alias("e"))
-            .select(
-                "docId", "seg", "norm_byte",
-                F.col("e.term").alias("term"),
-                F.col("e.tf").alias("tf"),
-                F.col("e.positions").alias("positions"),
-            )
-        )
+        stage = spark.read.parquet(paths.termvecs)
+        if waves > 1:
+            stage = stage.where(F.col("seg").isin(seg_of_wave[w]))
         packed = (
-            tv.repartition(nshuf, "seg", "term")
+            _occurrences(stage)
+            .repartition(nshuf, "seg", "term")
             .mapInPandas(_pack_partition(block_size), schema=POSTINGS_SCHEMA)
         )
         (
@@ -340,13 +405,20 @@ def build_index(
         if _fail_after_wave is not None and w >= _fail_after_wave:
             raise RuntimeError(f"injected failure after wave {w} (test seam)")
 
+    # ---- phase 3: term stats from packed postings metadata ---------------
+    if not lineage.get("termstats_done"):
+        write_termstats(spark, paths)
+        lineage["termstats_done"] = True
+        _write_json_atomic(paths.lineage, lineage)
+        _mark("phase3 termstats")
+
     if not keep_stage and os.path.exists(paths.termvecs):
         shutil.rmtree(paths.termvecs)
         lineage["stage_cleaned"] = True
         _write_json_atomic(paths.lineage, lineage)
 
     _write_json_atomic(paths.manifest, {
-        "version": 1,
+        "version": 2,
         "analyzer": "standard-uax29-subset-v1",
         **lineage["globals"],
     })

@@ -29,11 +29,25 @@ def zigzag_decode(u: np.ndarray) -> np.ndarray:
     )
 
 
+def varint_encode_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array; also return per-value byte lengths so
+    callers can slice the stream at value boundaries (block packing)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    buf, ngroups = _varint_encode_arr(v)
+    return buf, ngroups
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array (vectorized: builds all bytes at once)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
+    return _varint_encode_arr(v)[0]
+
+
+def _varint_encode_arr(v: np.ndarray) -> tuple[bytes, np.ndarray]:
     # number of 7-bit groups per value (at least 1)
     nbits = np.zeros(v.shape, dtype=np.int64)
     nz = v > 0
@@ -58,7 +72,7 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * g)).astype(np.uint64) & np.uint64(0x7F)
         cont = (ngroups[mask] > g + 1).astype(np.uint8) << np.uint8(7)
         out[idx] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), ngroups
 
 
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:

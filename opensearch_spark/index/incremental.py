@@ -5,16 +5,16 @@ Reference behavior (SURVEY.md §2.9, §3.2): writes create new immutable
 segments, visible after refresh; background merges fold small segments
 into larger ones. Spark-first mapping:
 
-- ``add_batch`` analyzes only the new docs and APPENDS posting blocks
-  into the same seg partitions (a new "generation" of blocks whose doc
-  ranges overlap older ones — scorers merge-sort at decode, wand.py),
-  appends docstats/termstats rows, and atomically updates the globals
-  manifest (doc counts, avgdl). Stored block bounds are (max_tf,
-  min_dl_q), avgdl-independent, so older blocks stay valid.
+- ``add_batch`` analyzes only the new docs and APPENDS posting blocks (a
+  new "generation" of blocks whose doc ranges overlap older ones —
+  scorers merge-sort at decode, wand.py), appends docstats/termstats
+  rows, and atomically updates the globals manifest (doc counts, avgdl).
+  Stored block bounds are (max_tf, min_dl_q), avgdl-independent, so
+  older blocks stay valid.
 - ``compact_index`` rewrites each (seg, term) posting list as one sorted
   single-generation block run — decode -> merge -> repack, no
   re-tokenization (the merge reads index bytes only, like Lucene segment
-  merges). termstats generations fold into one row per term.
+  merges). termstats is recomputed from the compacted postings metadata.
 
 Contract: append-only (no doc updates/deletes in v1 — the reference's
 versioned upsert path is out of scope; noted in SURVEY §2.9 mapping).
@@ -22,7 +22,6 @@ versioned upsert path is out of scope; noted in SURVEY §2.9 mapping).
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 from typing import Iterator, Sequence
@@ -30,52 +29,15 @@ from typing import Iterator, Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
-from opensearch_spark.analysis.analyzer import termvec_udf
-from opensearch_spark.analysis.smallfloat import decode_norms_np, int_to_byte4_np
 from opensearch_spark.index import codec
 from opensearch_spark.index.build import (
-    IndexPaths, POSTINGS_SCHEMA, _pack_partition, _read_json, _write_json_atomic,
+    IndexPaths, POSTINGS_SCHEMA, _analyze, _occurrences, _pack_partition,
+    _read_json, _write_json_atomic, write_termstats,
 )
 
-TERMVEC_SCHEMA = (
-    "docId long, seg int, norm_byte int, term string, tf int, positions array<int>"
-)
-
-
-def _analyze_batch(
-    batch: DataFrame,
-    text_col: str,
-    id_cols: Sequence[str],
-    doc_id_col: str | None,
-    n_segments: int,
-) -> DataFrame:
-    if doc_id_col is None:
-        base = batch.withColumn("docId", F.xxhash64(*[F.col(c) for c in id_cols]))
-    else:
-        base = batch.withColumn("docId", F.col(doc_id_col).cast("long"))
-    base = (
-        base.withColumn("content_sha", F.sha2(F.col(text_col).cast("string"), 256))
-        .withColumn("seg", F.pmod(F.col("docId"), F.lit(n_segments)).cast("int"))
-        .withColumn("_tv", termvec_udf()(F.col(text_col)))
-        .withColumn("dl", F.aggregate("_tv", F.lit(0), lambda acc, x: acc + x["tf"]))
-    )
-
-    @F.pandas_udf("int")
-    def norm_byte_udf(dl: pd.Series) -> pd.Series:
-        return pd.Series(
-            int_to_byte4_np(dl.to_numpy(dtype=np.int64)).astype(np.int64), index=dl.index
-        )
-
-    @F.pandas_udf("long")
-    def dl_q_udf(nb: pd.Series) -> pd.Series:
-        return pd.Series(
-            decode_norms_np(nb.to_numpy(dtype=np.int64).astype(np.uint8)), index=nb.index
-        )
-
-    return base.withColumn("norm_byte", norm_byte_udf("dl")).withColumn(
-        "dl_q", dl_q_udf("norm_byte")
-    )
+OCC_SCHEMA = "docId long, seg int, norm_byte int, pos int, term string"
 
 
 def add_batch(
@@ -93,8 +55,11 @@ def add_batch(
     manifest = _read_json(paths.manifest)
     n_segments = int(manifest["n_segments"])
     block_size = int(manifest["block_size"])
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    base = _analyze_batch(batch, text_col, id_cols, doc_id_col, n_segments).cache()
+    base = _analyze(batch, text_col, id_cols, doc_id_col, n_segments).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     try:
         stats = base.agg(
             F.count("*").alias("n"),
@@ -106,24 +71,22 @@ def add_batch(
             "append"
         ).parquet(paths.docstats)
 
-        tv = base.select("docId", "seg", "norm_byte", F.explode("_tv").alias("e")).select(
-            "docId", "seg", "norm_byte",
-            F.col("e.term").alias("term"),
-            F.col("e.tf").alias("tf"),
-            F.col("e.positions").alias("positions"),
-        )
-        nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        (
-            tv.repartition(nshuf, "seg", "term")
+        packed = (
+            _occurrences(base)
+            .repartition(nshuf, "seg", "term")
             .mapInPandas(_pack_partition(block_size), schema=POSTINGS_SCHEMA)
-            .sortWithinPartitions("term", "block_no")
-            .write.mode("append")
-            .parquet(paths.postings)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-
-        tv.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("ttf")
-        ).write.mode("append").parquet(paths.termstats)
+        try:
+            packed.sortWithinPartitions("term", "block_no").write.mode("append").parquet(
+                paths.postings
+            )
+            # per-generation term stats delta from the batch's own blocks
+            packed.groupBy("term").agg(
+                F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("ttf")
+            ).write.mode("append").parquet(paths.termstats)
+        finally:
+            packed.unpersist()
     finally:
         base.unpersist()
 
@@ -137,36 +100,43 @@ def add_batch(
 
 
 def _unpack_partition():
-    """mapInPandas fn: posting-block rows -> termvec rows (decode side of
-    the merge; inverse of _pack_partition)."""
+    """mapInPandas fn: posting-block rows -> per-occurrence rows (decode
+    side of the merge; inverse of _pack_partition). Vectorized: per block
+    row only numpy expansions, no per-doc Python objects."""
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if not len(b):
                 continue
-            out = {k: [] for k in ("docId", "seg", "norm_byte", "term", "tf", "positions")}
+            docs_p, seg_p, nb_p, pos_p, term_p = [], [], [], [], []
             for row in b.itertuples(index=False):
                 n = int(row.n_docs)
                 docs = codec.delta_decode_sorted(bytes(row.doc_bytes), n)
                 tfs = codec.varint_decode(bytes(row.tf_bytes), n).astype(np.int64)
                 nb = np.frombuffer(bytes(row.norm_bytes), dtype=np.uint8)
                 pos = codec.decode_positions(bytes(row.pos_bytes), tfs)
-                splits = np.split(pos, np.cumsum(tfs)[:-1])
-                out["docId"].extend(docs.tolist())
-                out["seg"].extend([int(row.seg)] * n)
-                out["norm_byte"].extend(nb.astype(np.int64).tolist())
-                out["term"].extend([row.term] * n)
-                out["tf"].extend(tfs.tolist())
-                out["positions"].extend([s.tolist() for s in splits])
-            yield pd.DataFrame(out)
+                docs_p.append(np.repeat(docs, tfs))
+                nb_p.append(np.repeat(nb.astype(np.int64), tfs))
+                pos_p.append(pos)
+                total = int(tfs.sum())
+                seg_p.append(np.full(total, int(row.seg), dtype=np.int64))
+                term_p.append(np.full(total, row.term, dtype=object))
+            yield pd.DataFrame({
+                "docId": np.concatenate(docs_p),
+                "seg": np.concatenate(seg_p),
+                "norm_byte": np.concatenate(nb_p),
+                "pos": np.concatenate(pos_p),
+                "term": np.concatenate(term_p),
+            })
 
     return unpack
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
     """Fold all generations into one: rewrite postings as single sorted
-    block runs per (seg, term) and termstats as one row per term. Safe to
-    re-run; readers opening after the atomic swap see the compacted index."""
+    block runs per (seg, term); recompute termstats from the compacted
+    metadata. Safe to re-run; readers opening after the atomic swap see
+    the compacted index."""
     paths = IndexPaths(index_dir)
     manifest = _read_json(paths.manifest)
     block_size = int(manifest["block_size"])
@@ -176,7 +146,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     shutil.rmtree(tmp_postings, ignore_errors=True)
     (
         spark.read.parquet(paths.postings)
-        .mapInPandas(_unpack_partition(), schema=TERMVEC_SCHEMA)
+        .mapInPandas(_unpack_partition(), schema=OCC_SCHEMA)
         .repartition(nshuf, "seg", "term")
         .mapInPandas(_pack_partition(block_size), schema=POSTINGS_SCHEMA)
         .sortWithinPartitions("term", "block_no")
@@ -184,23 +154,28 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         .parquet(tmp_postings)
     )
 
+    # atomic-ish swap (single-filesystem rename)
+    old = paths.postings + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(paths.postings, old)
+    os.replace(tmp_postings, paths.postings)
+    shutil.rmtree(old, ignore_errors=True)
+
+    # termstats: one row per term again, from compacted metadata
     tmp_ts = paths.termstats + ".compact"
     shutil.rmtree(tmp_ts, ignore_errors=True)
     (
-        spark.read.parquet(paths.termstats)
+        spark.read.parquet(paths.postings)
         .groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+        .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("ttf"))
         .write.mode("overwrite")
         .parquet(tmp_ts)
     )
-
-    # atomic-ish swap (single-filesystem rename)
-    for live, tmp in ((paths.postings, tmp_postings), (paths.termstats, tmp_ts)):
-        old = live + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.replace(live, old)
-        os.replace(tmp, live)
-        shutil.rmtree(old, ignore_errors=True)
+    old = paths.termstats + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(paths.termstats, old)
+    os.replace(tmp_ts, paths.termstats)
+    shutil.rmtree(old, ignore_errors=True)
 
     manifest["generations"] = 1
     _write_json_atomic(paths.manifest, manifest)
