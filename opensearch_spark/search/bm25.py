@@ -93,7 +93,9 @@ def score_terms_in_segment(
     """Sum per-term BM25 over a segment. Returns (docIds, scores) of
     matching docs (operator='and' keeps only docs with ALL terms;
     msm > 1 keeps docs matching at least msm distinct terms)."""
-    terms = [t for t in idf_by_term if t in decoded]
+    # canonical (sorted) term order so float accumulation order is
+    # deterministic and identical across scorer implementations
+    terms = sorted(t for t in idf_by_term if t in decoded)
     if not terms:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     all_docs = np.concatenate([decoded[t][0] for t in terms])

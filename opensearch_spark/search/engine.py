@@ -170,11 +170,72 @@ class SearchEngine:
 
     # ---- public API ---------------------------------------------------
 
-    def search(self, query: dict | A.AnyNode, k: int = 10) -> DataFrame:
-        """Top-k (docId, score), ordered by (score desc, docId asc)."""
+    MAX_RESULT_WINDOW = 10000  # reference: index.max_result_window
+
+    def search(
+        self,
+        query: dict | A.AnyNode,
+        k: int = 10,
+        from_: int = 0,
+        sort: list | None = None,
+        search_after: tuple | list | None = None,
+    ) -> DataFrame:
+        """Top-k hits.
+
+        Default order is (score desc, docId asc). ``sort`` is a list of
+        (corpus_column, "asc"|"desc") field sorts (docId appended as the
+        tiebreaker); ``search_after`` is keyset pagination over the active
+        sort keys; ``from_``+``k`` is capped at max_result_window
+        (reference: from+size window, SURVEY §2.7)."""
+        if from_ + k > self.MAX_RESULT_WINDOW:
+            raise ValueError(
+                f"from+size {from_ + k} exceeds max_result_window {self.MAX_RESULT_WINDOW}"
+            )
         node = dsl_mod.parse(query) if isinstance(query, dict) else dsl_mod.normalize(query)
-        df = self.compile(node, topk=k)
-        return df.orderBy(F.desc("score"), F.asc("docId")).limit(k)
+        prune = sort is None and search_after is None and from_ == 0
+        df = self.compile(node, topk=k if prune else None)
+
+        if sort:
+            if self.corpus is None:
+                raise ValueError("field sort needs an attached corpus")
+            cols = [c for c, _ in sort]
+            df = df.join(self.corpus.select("docId", *cols), "docId")
+            keys = [(c, d.lower()) for c, d in sort] + [("docId", "asc")]
+        else:
+            keys = [("score", "desc"), ("docId", "asc")]
+
+        order = [
+            F.desc(c) if d == "desc" else F.asc(c) for c, d in keys
+        ]
+        if search_after is not None:
+            if len(search_after) != len(keys):
+                raise ValueError(f"search_after needs {len(keys)} values ({keys})")
+            # lexicographic strictly-after predicate over the sort keys
+            pred = None
+            for i in range(len(keys)):
+                eqs = [F.col(keys[j][0]) == F.lit(search_after[j]) for j in range(i)]
+                c, d = keys[i]
+                cmp = (
+                    F.col(c) < F.lit(search_after[i])
+                    if d == "desc"
+                    else F.col(c) > F.lit(search_after[i])
+                )
+                clause = cmp
+                for e in eqs:
+                    clause = e & clause
+                pred = clause if pred is None else (pred | clause)
+            df = df.where(pred)
+        out = df.orderBy(*order)
+        if from_ > 0:
+            from pyspark.sql import Window
+
+            w = Window.orderBy(*order)
+            out = (
+                out.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") > from_)
+                .drop("_rn")
+            )
+        return out.limit(k)
 
     def fetch(self, hits: DataFrame) -> DataFrame:
         """Join top-k hits back to corpus rows (the fetch phase)."""

@@ -141,7 +141,9 @@ class TermBlocks:
 
 
 def _contrib(tfs: np.ndarray, dl_q: np.ndarray, avgdl: float, idf_x_k1p1: float) -> np.ndarray:
-    return idf_x_k1p1 * tfs / (tfs + K1 * (1.0 - B + B * dl_q / avgdl))
+    # parenthesized exactly like bm25.tf_norm so float results are
+    # bit-identical between the pruned and exhaustive scorers
+    return idf_x_k1p1 * (tfs / (tfs + K1 * (1.0 - B + B * dl_q / avgdl)))
 
 
 def _ragged_arange(lens: np.ndarray) -> np.ndarray:
@@ -261,9 +263,11 @@ def _score_and(
         cand = cand[np.isin(cand, docs, assume_unique=True)]
     if cand.size == 0:
         return _EMPTY
-    # exact scores for survivors: all terms, candidate-overlapping blocks only
+    # exact scores for survivors: all terms, candidate-overlapping blocks
+    # only; sorted term order = deterministic float accumulation
     scores = np.zeros(cand.size, dtype=np.float64)
-    for t, blocks in tb.items():
+    for t in sorted(tb):
+        blocks = tb[t]
         sel = blocks.blocks_overlapping(cand)
         docs, tfs, dl_q, _ = blocks.decode(sel)
         idx = np.searchsorted(docs, cand)
@@ -317,8 +321,9 @@ def score_phrase_topk(
         decoded[t] = (docs, tfs, dl_q, pos_cat)
     docs, pf, dl_q = bm25.phrase_freq_in_segment(decoded, phrase_terms)
     idf_sum = sum(idfs[t] for t in phrase_terms)
-    scores = boost * idf_sum * (K1 + 1.0) * pf / (
-        pf + K1 * (1.0 - B + B * dl_q / avgdl)
+    scores = (
+        boost * idf_sum * (K1 + 1.0)
+        * (pf / (pf + K1 * (1.0 - B + B * dl_q / avgdl)))
     )
     docs, scores = _topk_arrays(docs, scores.astype(np.float64), k)
     stats["decoded"] = sum(x.decoded_block_count() for x in tb.values())
@@ -364,10 +369,11 @@ def _score_or_pruned(
         cand_parts.append(docs)
     cand = np.unique(np.concatenate(cand_parts))
 
-    # phase 4: exact scoring of candidates across ALL terms
+    # phase 4: exact scoring of candidates across ALL terms (sorted term
+    # order = deterministic float accumulation, matching the exhaustive path)
     scores = np.zeros(cand.size, dtype=np.float64)
     nmatch = np.zeros(cand.size, dtype=np.int64)
-    for t in names:
+    for t in sorted(names):
         blocks = tb[t]
         sel = blocks.blocks_overlapping(cand)
         docs, tfs, dl_q, _ = blocks.decode(sel)
