@@ -348,23 +348,31 @@ def build_index(
         _mark("phase1 analyze+stage")
 
         stage = spark.read.parquet(paths.termvecs)
-        # docstats: column-pruned scan (never touches the toks column)
-        stage.select("docId", "seg", "dl", "norm_byte", "dl_q", "content_sha").write.mode(
-            "overwrite"
-        ).parquet(paths.docstats)
+        # docstats: column-pruned scan (never touches the toks column).
+        # Global corpus stats piggyback on the SAME job via observe() —
+        # no extra aggregation pass (a second scan would be another full
+        # job; at 100 TB that matters).
+        from pyspark.sql import Observation
 
-        ds = spark.read.parquet(paths.docstats)
-        g = ds.agg(
-            F.count("*").alias("doc_count"),
-            F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("field_doc_count"),
-            F.sum("dl").alias("sum_ttf"),
-        ).collect()[0]
+        obs = Observation("globals")
+        (
+            stage.select("docId", "seg", "dl", "norm_byte", "dl_q", "content_sha")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("doc_count"),
+                F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("field_doc_count"),
+                F.sum("dl").alias("sum_ttf"),
+            )
+            .write.mode("overwrite")
+            .parquet(paths.docstats)
+        )
+        g = obs.get
         # Lucene: avgFieldLength = sumTotalTermFreq / docCount (docs with
         # the field, i.e. with >=1 token), as double
-        field_docs = int(g["field_doc_count"]) or 1
+        field_docs = int(g["field_doc_count"] or 0) or 1
         globals_row = {
             "doc_count": int(g["doc_count"]),
-            "field_doc_count": int(g["field_doc_count"]),
+            "field_doc_count": int(g["field_doc_count"] or 0),
             "sum_ttf": int(g["sum_ttf"] or 0),
             "avgdl": float(int(g["sum_ttf"] or 0) / field_docs),
             "n_segments": n_segments,
@@ -372,8 +380,15 @@ def build_index(
             "k1": K1,
             "b": B,
         }
-        spark.createDataFrame([globals_row]).coalesce(1).write.mode("overwrite").parquet(
-            paths.globals_
+        # 1-row table: write directly with pyarrow (a Spark job for one
+        # row is pure scheduler overhead)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(paths.globals_, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist([globals_row]),
+            os.path.join(paths.globals_, "part-00000.parquet"),
         )
         lineage["phase1_done"] = True
         lineage["globals"] = globals_row

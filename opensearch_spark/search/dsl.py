@@ -142,6 +142,33 @@ def _parse_mlt(body: dict) -> A.MoreLikeThis:
     return node
 
 
+def _parse_query_string(body: dict) -> A.AnyNode:
+    """Lucene classic syntax (reference: QueryStringQueryBuilder)."""
+    from opensearch_spark.search.querystring import parse_query_string
+
+    if isinstance(body, str):
+        body = {"query": body}
+    return parse_query_string(
+        str(body["query"]),
+        default_field=str(body.get("default_field", "content")),
+        default_operator=str(body.get("default_operator", "or")).lower(),
+    )
+
+
+def _parse_simple_query_string(body: dict) -> A.AnyNode:
+    """Lenient syntax (reference: SimpleQueryStringBuilder)."""
+    from opensearch_spark.search.querystring import parse_simple_query_string
+
+    if isinstance(body, str):
+        body = {"query": body}
+    fields = body.get("fields") or ["content"]
+    return parse_simple_query_string(
+        str(body["query"]),
+        field=str(fields[0]),
+        default_operator=str(body.get("default_operator", "or")).lower(),
+    )
+
+
 _PARSERS = {
     "match": _parse_match,
     "match_phrase": _parse_match_phrase,
@@ -172,6 +199,8 @@ _PARSERS = {
         negative_boost=float(b.get("negative_boost", 0.5)),
         boost=float(b.get("boost", 1.0)),
     ),
+    "query_string": lambda b: _parse_query_string(b),
+    "simple_query_string": lambda b: _parse_simple_query_string(b),
     "bool": _parse_bool,
     "term": _parse_term,
     "terms": _parse_terms,
