@@ -13,11 +13,12 @@ identical runs vary 3-4x):
 - per level we report the BEST repeat (machine-idle throughput — the
   quantity that actually corresponds to cluster scaling; means are
   reported too);
-- queries are measured as THROUGHPUT of a concurrent batch (16 in-flight
-  search requests from driver threads, FAIR scheduler), the serving
-  regime a multi-executor cluster runs in. Single-query p50 latency on a
-  240k-doc index is scheduler-bound, not capacity-bound, and says
-  nothing about scaling.
+- queries are measured as msearch BATCH THROUGHPUT (one Spark job per
+  batch of 64 top-10 queries; per-segment scoring fans out across all
+  cores), the serving regime a multi-executor cluster runs in.
+  Single-query p50 latency on this corpus is scheduler-bound, not
+  capacity-bound, and says nothing about scaling (reported anyway as a
+  reference point).
 
 Hardware note (recorded in the output): the 32 logical CPUs here are
 SMT siblings of 16 physical cores; a pure-CPU calibration loop (no
@@ -48,22 +49,8 @@ N_SEGMENTS = 32
 SHUFFLE = 64
 REPEATS = int(os.environ.get("SCALE_REPEATS", "3"))
 LEVELS = (8, 32)
-QBATCH = int(os.environ.get("SCALE_QBATCH", "48"))
-QPOOL = 16
+QBATCH = int(os.environ.get("SCALE_QBATCH", "64"))
 
-QUERY_SET = [
-    {"match": {"content": "def return import"}},
-    {"match": {"content": {"query": "data load parse", "operator": "and"}}},
-    {"match_phrase": {"content": "public static"}},
-    {
-        "bool": {
-            "must": [{"match": {"content": "class"}}],
-            "should": [{"match": {"content": "import"}}, {"match": {"content": "yield"}}],
-        }
-    },
-    {"match": {"content": "buffer stream write flush"}},
-    {"match_phrase": {"content": "return self"}},
-]
 
 
 def corpus_path() -> str:
@@ -100,19 +87,42 @@ def _burn(n: int) -> int:
     return s
 
 
-def worker(cpus: int, corpus: str) -> dict:
-    from concurrent.futures import ThreadPoolExecutor
+def _query_batch() -> list:
+    """Deterministic batch of distinct match/phrase/bool queries built
+    from common source-code vocabulary."""
+    words = [
+        "def", "return", "import", "class", "yield", "self", "data",
+        "load", "parse", "buffer", "stream", "write", "flush", "public",
+        "static", "void", "main", "value", "index", "result",
+    ]
+    batch: list = []
+    i = 0
+    while len(batch) < QBATCH:
+        a, b, c = words[i % 20], words[(i + 7) % 20], words[(i + 13) % 20]
+        kind = i % 4
+        if kind == 0:
+            batch.append({"match": {"content": f"{a} {b} {c}"}})
+        elif kind == 1:
+            batch.append({"match": {"content": {"query": f"{a} {b}", "operator": "and"}}})
+        elif kind == 2:
+            batch.append({"match_phrase": {"content": f"{a} {b}"}})
+        else:
+            batch.append({"bool": {
+                "must": [{"match": {"content": a}}],
+                "should": [{"match": {"content": b}}, {"match": {"content": c}}],
+            }})
+        i += 1
+    return batch
 
+
+def worker(cpus: int, corpus: str) -> dict:
     from opensearch_spark.session import get_spark
     from opensearch_spark.index.build import build_index
     from opensearch_spark.search.engine import SearchEngine
 
     spark = get_spark(
         f"scale-{cpus}", cpus=cpus, shuffle_partitions=SHUFFLE,
-        extra_conf={
-            "spark.ui.showConsoleProgress": "false",
-            "spark.scheduler.mode": "FAIR",
-        },
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(corpus)
@@ -126,20 +136,24 @@ def worker(cpus: int, corpus: str) -> dict:
     build_sec = time.perf_counter() - t0
 
     eng = SearchEngine(spark, ix, cache=True)
-    for q in QUERY_SET:  # warm postings/docstats cache + python workers
-        eng.search(q, k=10).collect()
+    batch = _query_batch()
+    eng.msearch(batch, k=10).collect()  # warm cache + python workers
 
-    batch = [QUERY_SET[i % len(QUERY_SET)] for i in range(QBATCH)]
+    # query throughput: the msearch serving path — every batch is ONE
+    # Spark job whose per-segment scoring fans out across all cores
+    rounds = 4
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        eng.msearch(batch, k=10).collect()
+    q_sec = time.perf_counter() - t0
 
-    def one(q: dict) -> float:
+    # single-query p50 latency (reference point; scheduler-bound at
+    # this corpus size, NOT a scaling metric)
+    lat = []
+    for q in batch[:8]:
         t = time.perf_counter()
         eng.search(q, k=10).collect()
-        return time.perf_counter() - t
-
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(QPOOL) as ex:
-        lat = list(ex.map(one, batch))
-    q_sec = time.perf_counter() - t0
+        lat.append(time.perf_counter() - t)
     lat.sort()
 
     out = {
@@ -149,7 +163,7 @@ def worker(cpus: int, corpus: str) -> dict:
         "build_sec": round(build_sec, 2),
         "index_docs_per_sec": round(n_docs / build_sec, 1),
         "index_mb_per_sec": round(n_bytes / 1e6 / build_sec, 2),
-        "queries_per_sec": round(len(batch) / q_sec, 2),
+        "queries_per_sec": round(rounds * len(batch) / q_sec, 2),
         "query_p50_sec": round(lat[len(lat) // 2], 4),
     }
     shutil.rmtree(ix, ignore_errors=True)
@@ -200,8 +214,8 @@ def main() -> None:
         "metric": f"scaling_efficiency_local{lo}_vs_local{hi}",
         "protocol": (
             f"{REPEATS} interleaved repeats per level, fresh JVM each, best-of "
-            f"reported (noisy shared host); query metric = throughput of "
-            f"{QBATCH} concurrent top-10 searches ({QPOOL} in flight, FAIR)"
+            f"reported (noisy shared host); query metric = msearch batch "
+            f"throughput ({QBATCH} top-10 queries per batch, one Spark job)"
         ),
         "runs": {str(c): runs[c] for c in LEVELS},
         "best": {

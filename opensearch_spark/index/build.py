@@ -119,32 +119,34 @@ def _write_json_atomic(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
-def _pack_partition(block_size: int):
-    """mapInPandas fn: per-OCCURRENCE rows (seg, term, docId, norm_byte,
-    pos) -> packed posting-block rows.
+def _binary_col(buf: bytes, offsets: np.ndarray):
+    """ZERO-COPY Arrow BinaryArray from a (values buffer, offsets) pair —
+    blocks tile their byte streams contiguously, so no slicing loop."""
+    import pyarrow as pa
 
-    Fully vectorized: one lexsort orders occurrences by (seg, term, doc,
-    pos); doc-group and block boundaries come from flag arrays; per-block
-    aggregates use ``reduceat``; each byte stream (doc deltas, tfs,
-    position gaps) is varint-encoded ONCE per partition and sliced at
-    block boundaries via prefix sums of per-value byte lengths. The only
-    Python-level loop is the final per-block bytes slicing.
+    off32 = offsets.astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), off32.size - 1,
+        [None, pa.py_buffer(off32.tobytes()), pa.py_buffer(buf)],
+    )
 
-    Requires all rows of a (seg, term) group co-located (guaranteed by
-    the preceding repartition)."""
 
-    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        frames = [b for b in batches if len(b)]
-        if not frames:
-            return
-        df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-        doc = df["docId"].to_numpy(dtype=np.int64)
-        nb = df["norm_byte"].to_numpy(dtype=np.int64).astype(np.uint8)
-        seg = df["seg"].to_numpy(dtype=np.int64)
-        pos = df["pos"].to_numpy(dtype=np.int64)
-        codes, uniques = pd.factorize(df["term"].to_numpy(), sort=False)
-        codes = codes.astype(np.int64)
+def _pack_arrays(doc, nb, seg, pos, codes, uniques, block_size):
+    """Vectorized numpy core: per-occurrence arrays -> one Arrow
+    RecordBatch of packed posting blocks (POSTINGS_SCHEMA).
 
+    One lexsort orders occurrences by (seg, term, doc, pos); doc-group
+    and block boundaries come from flag arrays; per-block aggregates use
+    ``reduceat``; each byte stream (doc deltas, tfs, position gaps) is
+    varint-encoded ONCE, and the binary columns are zero-copy
+    (offsets, buffer) BinaryArrays. ``uniques`` is the Arrow term
+    dictionary — term strings never materialize as Python objects (the
+    Arrow->pandas object-dtype conversion was the memory-bandwidth hot
+    spot at high core counts)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if True:  # keep the original indentation of the packing pipeline
         order = np.lexsort((pos, doc, codes, seg))
         doc, nb, seg, pos, codes = (
             doc[order], nb[order], seg[order], pos[order], codes[order]
@@ -197,31 +199,178 @@ def _pack_partition(block_size: int):
         pos_buf, pos_lens = codec.varint_encode_lengths(gaps.astype(np.uint64))
         pos_off = np.concatenate(([0], np.cumsum(pos_lens)))
 
-        mv_doc = memoryview(doc_buf)
-        mv_tf = memoryview(tf_buf)
-        mv_pos = memoryview(pos_buf)
         occ_a = dg_start[bs]          # first occurrence of each block
-        occ_b = dg_end[be - 1]        # one past last occurrence of each block
+        # blocks tile the doc-group range contiguously -> zero-copy
+        # (offsets, buffer) BinaryArrays; the offsets are just the byte
+        # prefix sums evaluated at block boundaries
+        blk_edges = np.append(bs, n_dg)
+        occ_edges = np.append(occ_a, dg_end[be[-1] - 1])
+        norm_off = np.append(bs, n_dg)  # 1 byte per doc-group
 
-        yield pd.DataFrame({
-            "seg": d_seg[bs].astype(np.int32),
-            "term": uniques[d_code[bs]],
-            "block_no": (idx_in_group[bs] // block_size).astype(np.int32),
-            "n_docs": (be - bs).astype(np.int32),
-            "first_doc": d_doc[bs],
-            "last_doc": d_doc[be - 1],
-            "doc_bytes": [bytes(mv_doc[doc_off[a]:doc_off[b]]) for a, b in zip(bs, be)],
-            "tf_bytes": [bytes(mv_tf[tf_off[a]:tf_off[b]]) for a, b in zip(bs, be)],
-            "norm_bytes": [d_nb[a:b].tobytes() for a, b in zip(bs, be)],
-            "pos_bytes": [
-                bytes(mv_pos[pos_off[a]:pos_off[b]]) for a, b in zip(occ_a, occ_b)
+        return pa.record_batch(
+            [
+                pa.array(d_seg[bs].astype(np.int32), pa.int32()),
+                pc.take(uniques, pa.array(d_code[bs])),
+                pa.array((idx_in_group[bs] // block_size).astype(np.int32), pa.int32()),
+                pa.array((be - bs).astype(np.int32), pa.int32()),
+                pa.array(d_doc[bs], pa.int64()),
+                pa.array(d_doc[be - 1], pa.int64()),
+                _binary_col(doc_buf, doc_off[blk_edges]),
+                _binary_col(tf_buf, tf_off[blk_edges]),
+                _binary_col(d_nb.tobytes(), norm_off),
+                _binary_col(pos_buf, pos_off[occ_edges]),
+                pa.array(np.maximum.reduceat(tf, bs).astype(np.int32), pa.int32()),
+                pa.array(np.minimum.reduceat(dl_q, bs), pa.int64()),
+                pa.array(np.add.reduceat(tf, bs), pa.int64()),
             ],
-            "max_tf": np.maximum.reduceat(tf, bs).astype(np.int32),
-            "min_dl_q": np.minimum.reduceat(dl_q, bs),
-            "sum_tf": np.add.reduceat(tf, bs),
-        })
+            names=[
+                "seg", "term", "block_no", "n_docs", "first_doc", "last_doc",
+                "doc_bytes", "tf_bytes", "norm_bytes", "pos_bytes",
+                "max_tf", "min_dl_q", "sum_tf",
+            ],
+        )
+
+
+def _pack_partition(block_size: int):
+    """mapInArrow fn: per-OCCURRENCE rows (seg, term, docId, norm_byte,
+    pos) -> packed posting-block rows (_pack_arrays core). Requires all
+    rows of a (seg, term) group co-located (guaranteed by the preceding
+    repartition). Used by the staged/resumable build path and by the
+    compaction merge (incremental.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def pack(batches):
+        tables = [pa.Table.from_batches([b]) for b in batches]
+        if not tables:
+            return
+        t = pa.concat_tables(tables).combine_chunks()
+        if t.num_rows == 0:
+            return
+        doc = t.column("docId").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t.column("norm_byte").to_numpy(zero_copy_only=False).astype(np.uint8)
+        seg = t.column("seg").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = t.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = pc.dictionary_encode(t.column("term")).combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        yield _pack_arrays(doc, nb, seg, pos, codes, enc.dictionary, block_size)
 
     return pack
+
+
+def _local_index_fn(block_size: int, docstats_dir: str, token_regex: str):
+    """mapInArrow fn implementing SEGMENT-LOCAL indexing — the Lucene
+    shard-build analog (reference: each shard's IndexWriter builds its
+    own complete per-segment inverted index; SURVEY.md §3.2). One
+    partition == one segment: the UDF tokenizes its documents and packs
+    their COMPLETE posting lists locally, so there is NO occurrence
+    shuffle at all (the doc->segment placement is the only data
+    movement, and reusing input partitioning makes even that free).
+
+    Tokenization runs inside an embedded DuckDB (single-threaded) via
+    ``regexp_extract_all`` on the Arrow batch: token strings stay in
+    Arrow list buffers end-to-end — flat terms = ListArray.values
+    (zero copy), per-doc positions = arange over the list offsets. The
+    RE2 token regex is the SAME dialect the correctness oracle uses, so
+    engine==oracle parity already validates it against the Python
+    analyzer.
+
+    Per-doc stats (dl, norm, sha) are written SIDE-CHANNEL as one
+    parquet file per segment (``docstats/seg-NNNNN.parquet``) — the
+    Lucene segment-file analog; deterministic filenames make task
+    retries idempotent (last writer wins with identical content)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opensearch_spark.analysis.analyzer import MAX_TOKEN_LENGTH
+
+    def fn(batches):
+        # each executor core runs one python worker: pin the per-process
+        # Arrow/DuckDB thread pools to 1 or N workers x N threads
+        # oversubscribe the host quadratically
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:
+            pass
+        tables = [pa.Table.from_batches([b]) for b in batches]
+        if not tables:
+            return
+        t = pa.concat_tables(tables).combine_chunks()
+        if t.num_rows == 0:
+            return
+        con = duckdb.connect(config={"threads": 1})
+        con.register("docs", t)
+        toks_t = con.execute(
+            "SELECT regexp_extract_all(lower(content), '"
+            + token_regex
+            + "') AS toks FROM docs"
+        ).arrow()
+        con.close()
+        toks = toks_t.column("toks").combine_chunks()
+        flat = toks.values            # StringArray — no Python strings
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        lens = np.diff(offs)
+
+        # Lucene max_token_length chunking (rare): only engage the slow
+        # path if some token exceeds the cap
+        max_len = pc.max(pc.utf8_length(flat)).as_py() if len(flat) else 0
+        if max_len is not None and max_len > MAX_TOKEN_LENGTH:
+            from opensearch_spark.analysis.analyzer import tokenize
+
+            texts = t.column("content").to_pylist()
+            py_toks = [tokenize(x or "") for x in texts]
+            lens = np.array([len(x) for x in py_toks], dtype=np.int64)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            flat = pa.array(
+                [tok for lst in py_toks for tok in lst], pa.string()
+            )
+
+        doc_ids = t.column("docId").to_numpy(zero_copy_only=False).astype(np.int64)
+        seg_col = t.column("seg").to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = lens
+        norm_byte = int_to_byte4_np(dl)
+        dl_q = decode_norms_np(norm_byte)
+
+        # ---- docstats side-channel (segment file) ---------------------
+        # deterministic per-partition filename -> task retries are
+        # idempotent (rewrite identical content)
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        seg_id = ctx.partitionId() if ctx is not None else int(seg_col[0])
+        os.makedirs(docstats_dir, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({
+                "docId": pa.array(doc_ids, pa.int64()),
+                "seg": pa.array(seg_col.astype(np.int32), pa.int32()),
+                "dl": pa.array(dl.astype(np.int32), pa.int32()),
+                "norm_byte": pa.array(norm_byte.astype(np.int64), pa.int64()),
+                "dl_q": pa.array(dl_q.astype(np.int64), pa.int64()),
+                "content_sha": t.column("content_sha"),
+            }),
+            os.path.join(docstats_dir, f"seg-{seg_id:05d}.parquet"),
+        )
+
+        if int(dl.sum()) == 0:
+            return
+        # ---- occurrence arrays (all within this segment) --------------
+        doc_rep = np.repeat(doc_ids, dl)
+        nb_rep = np.repeat(norm_byte.astype(np.uint8), dl)
+        seg_rep = np.repeat(seg_col, dl)
+        pos = np.arange(doc_rep.size, dtype=np.int64) - np.repeat(offs[:-1], dl)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        yield _pack_arrays(
+            doc_rep, nb_rep, seg_rep, pos, codes, enc.dictionary, block_size
+        )
+
+    return fn
 
 
 def _analyze(
@@ -330,56 +479,7 @@ def build_index(
 
     nshuf = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    # ---- phase 1: ONE tokenization pass -> staged analyzed table ---------
-    # Everything downstream (docstats, globals, posting packing) derives
-    # from the stage via column-pruned parquet scans, so the corpus text
-    # is read and analyzed exactly once (the dominant cost at scale).
-    if not lineage["phase1_done"]:
-        # the analysis stage must parallelize even when the input is a
-        # single unsplittable file: widen narrow inputs before tokenizing
-        try:
-            n_in = corpus.rdd.getNumPartitions()
-        except Exception:
-            n_in = nshuf
-        if n_in < max(nshuf // 2, 2):
-            corpus = corpus.repartition(nshuf)
-        stage_df = _analyze(corpus, text_col, id_cols, doc_id_col, n_segments)
-        stage_df.write.mode("overwrite").parquet(paths.termvecs)
-        _mark("phase1 analyze+stage")
-
-        stage = spark.read.parquet(paths.termvecs)
-        # docstats: column-pruned scan (never touches the toks column).
-        # Global corpus stats piggyback on the SAME job via observe() —
-        # no extra aggregation pass (a second scan would be another full
-        # job; at 100 TB that matters).
-        from pyspark.sql import Observation
-
-        obs = Observation("globals")
-        (
-            stage.select("docId", "seg", "dl", "norm_byte", "dl_q", "content_sha")
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("doc_count"),
-                F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("field_doc_count"),
-                F.sum("dl").alias("sum_ttf"),
-            )
-            .write.mode("overwrite")
-            .parquet(paths.docstats)
-        )
-        g = obs.get
-        # Lucene: avgFieldLength = sumTotalTermFreq / docCount (docs with
-        # the field, i.e. with >=1 token), as double
-        field_docs = int(g["field_doc_count"] or 0) or 1
-        globals_row = {
-            "doc_count": int(g["doc_count"]),
-            "field_doc_count": int(g["field_doc_count"] or 0),
-            "sum_ttf": int(g["sum_ttf"] or 0),
-            "avgdl": float(int(g["sum_ttf"] or 0) / field_docs),
-            "n_segments": n_segments,
-            "block_size": block_size,
-            "k1": K1,
-            "b": B,
-        }
+    def _write_globals(globals_row: dict) -> None:
         # 1-row table: write directly with pyarrow (a Spark job for one
         # row is pure scheduler overhead)
         import pyarrow as pa
@@ -390,35 +490,146 @@ def build_index(
             pa.Table.from_pylist([globals_row]),
             os.path.join(paths.globals_, "part-00000.parquet"),
         )
-        lineage["phase1_done"] = True
-        lineage["globals"] = globals_row
-        _write_json_atomic(paths.lineage, lineage)
-        _mark("phase1 docstats+globals")
 
-    # ---- phase 2: pack posting blocks per segment wave -------------------
-    all_waves = list(range(waves))
-    seg_of_wave = {w: [s for s in range(n_segments) if s % waves == w] for w in all_waves}
-    for w in all_waves:
-        if w in lineage["waves_done"]:
-            continue
-        stage = spark.read.parquet(paths.termvecs)
-        if waves > 1:
+    def _globals_row(doc_count: int, field_doc_count: int, sum_ttf: int) -> dict:
+        # Lucene: avgFieldLength = sumTotalTermFreq / docCount (docs with
+        # the field, i.e. with >= 1 token), as double
+        return {
+            "doc_count": doc_count,
+            "field_doc_count": field_doc_count,
+            "sum_ttf": sum_ttf,
+            "avgdl": float(sum_ttf / (field_doc_count or 1)),
+            "n_segments": n_segments,
+            "block_size": block_size,
+            "k1": K1,
+            "b": B,
+        }
+
+    use_stage = waves > 1
+    if not use_stage:
+        # ---- SEGMENT-LOCAL build (default): one pass, ZERO shuffle -------
+        # One partition == one segment; each task tokenizes its docs and
+        # packs their complete posting lists locally (_local_index_fn),
+        # writing per-doc stats side-channel — the Lucene shard/segment
+        # write model. Data movement: at most one repartition of the raw
+        # corpus to set the segment count (free when the input already
+        # has n_segments partitions).
+        if 0 not in lineage["waves_done"]:
+            from opensearch_spark.analysis.analyzer import duckdb_token_regex
+
+            if doc_id_col is None:
+                base = corpus.withColumn(
+                    "docId", F.xxhash64(*[F.col(c) for c in id_cols])
+                )
+            else:
+                base = corpus.withColumn("docId", F.col(doc_id_col).cast("long"))
+            prepared = base.withColumn(
+                "content_sha", F.sha2(F.col(text_col).cast("string"), 256)
+            ).select("docId", "content_sha", F.col(text_col).alias("content"))
+            try:
+                n_in = prepared.rdd.getNumPartitions()
+            except Exception:
+                n_in = 0
+            if n_in != n_segments:
+                prepared = prepared.repartition(n_segments)
+            prepared = prepared.withColumn("seg", F.spark_partition_id())
+            shutil.rmtree(paths.docstats, ignore_errors=True)
+            packed = prepared.mapInArrow(
+                _local_index_fn(block_size, paths.docstats, duckdb_token_regex()),
+                schema=POSTINGS_SCHEMA,
+            )
+            (
+                packed.sortWithinPartitions("term", "block_no")
+                .write.mode("overwrite")
+                .parquet(paths.postings)
+            )
+            _mark("local index (tokenize+pack+docstats)")
+
+            ds = spark.read.parquet(paths.docstats)
+            g = ds.agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("fdc"),
+                F.sum("dl").alias("sum_ttf"),
+            ).collect()[0]
+            globals_row = _globals_row(
+                int(g["doc_count"]), int(g["fdc"] or 0), int(g["sum_ttf"] or 0)
+            )
+            _write_globals(globals_row)
+            lineage.update(
+                phase1_done=True, waves_done=[0], globals=globals_row
+            )
+            _write_json_atomic(paths.lineage, lineage)
+            _mark("globals")
+    else:
+        # ---- STAGED build (waves > 1): resumable via lineage manifest ----
+        # The tokenized corpus is materialized once; each wave packs a
+        # segment group through the (seg, term) shuffle and checkpoints,
+        # so a killed build resumes WITHOUT re-tokenizing completed waves
+        # (north-rule checkpoint requirement).
+        if not lineage["phase1_done"]:
+            # the analysis stage must parallelize even when the input is
+            # a single unsplittable file: widen narrow inputs first
+            try:
+                n_in = corpus.rdd.getNumPartitions()
+            except Exception:
+                n_in = nshuf
+            if n_in < max(nshuf // 2, 2):
+                corpus = corpus.repartition(nshuf)
+            stage_df = _analyze(corpus, text_col, id_cols, doc_id_col, n_segments)
+            stage_df.write.mode("overwrite").parquet(paths.termvecs)
+            stage = spark.read.parquet(paths.termvecs)
+            _mark("phase1 analyze+stage")
+            # docstats: column-pruned scan (never touches toks); global
+            # corpus stats piggyback on the SAME job via observe()
+            from pyspark.sql import Observation
+
+            obs = Observation("globals")
+            (
+                stage.select("docId", "seg", "dl", "norm_byte", "dl_q", "content_sha")
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("doc_count"),
+                    F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("fdc"),
+                    F.sum("dl").alias("sum_ttf"),
+                )
+                .write.mode("overwrite")
+                .parquet(paths.docstats)
+            )
+            g = obs.get
+            globals_row = _globals_row(
+                int(g["doc_count"]), int(g["fdc"] or 0), int(g["sum_ttf"] or 0)
+            )
+            _write_globals(globals_row)
+            lineage["phase1_done"] = True
+            lineage["globals"] = globals_row
+            _write_json_atomic(paths.lineage, lineage)
+            _mark("phase1 docstats+globals")
+
+        # ---- phase 2: pack posting blocks per segment wave ---------------
+        all_waves = list(range(waves))
+        seg_of_wave = {
+            w: [s for s in range(n_segments) if s % waves == w] for w in all_waves
+        }
+        for w in all_waves:
+            if w in lineage["waves_done"]:
+                continue
+            stage = spark.read.parquet(paths.termvecs)
             stage = stage.where(F.col("seg").isin(seg_of_wave[w]))
-        packed = (
-            _occurrences(stage)
-            .repartition(nshuf, "seg", "term")
-            .mapInPandas(_pack_partition(block_size), schema=POSTINGS_SCHEMA)
-        )
-        (
-            packed.sortWithinPartitions("term", "block_no")
-            .write.mode("append")
-            .parquet(paths.postings)
-        )
-        lineage["waves_done"] = sorted(set(lineage["waves_done"]) | {w})
-        _write_json_atomic(paths.lineage, lineage)
-        _mark(f"phase2 pack wave {w}")
-        if _fail_after_wave is not None and w >= _fail_after_wave:
-            raise RuntimeError(f"injected failure after wave {w} (test seam)")
+            packed = (
+                _occurrences(stage)
+                .repartition(nshuf, "seg", "term")
+                .mapInArrow(_pack_partition(block_size), schema=POSTINGS_SCHEMA)
+            )
+            (
+                packed.sortWithinPartitions("term", "block_no")
+                .write.mode("append")
+                .parquet(paths.postings)
+            )
+            lineage["waves_done"] = sorted(set(lineage["waves_done"]) | {w})
+            _write_json_atomic(paths.lineage, lineage)
+            _mark(f"phase2 pack wave {w}")
+            if _fail_after_wave is not None and w >= _fail_after_wave:
+                raise RuntimeError(f"injected failure after wave {w} (test seam)")
 
     # ---- phase 3: term stats from packed postings metadata ---------------
     if not lineage.get("termstats_done"):

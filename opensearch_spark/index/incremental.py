@@ -74,7 +74,7 @@ def add_batch(
         packed = (
             _occurrences(base)
             .repartition(nshuf, "seg", "term")
-            .mapInPandas(_pack_partition(block_size), schema=POSTINGS_SCHEMA)
+            .mapInArrow(_pack_partition(block_size), schema=POSTINGS_SCHEMA)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         try:
@@ -148,7 +148,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         spark.read.parquet(paths.postings)
         .mapInPandas(_unpack_partition(), schema=OCC_SCHEMA)
         .repartition(nshuf, "seg", "term")
-        .mapInPandas(_pack_partition(block_size), schema=POSTINGS_SCHEMA)
+        .mapInArrow(_pack_partition(block_size), schema=POSTINGS_SCHEMA)
         .sortWithinPartitions("term", "block_no")
         .write.mode("overwrite")
         .parquet(tmp_postings)

@@ -166,6 +166,49 @@ class Boosting(Node):
 
 
 @dataclass
+class SpanTerm(Node):
+    """span_term (reference: SpanTermQueryBuilder)."""
+    field_name: str = ""
+    value: str = ""
+
+
+@dataclass
+class SpanNear(Node):
+    """span_near (reference: SpanNearQueryBuilder.java:65)."""
+    clauses: List["AnyNode"] = field(default_factory=list)
+    slop: int = 0
+    in_order: bool = True
+
+
+@dataclass
+class SpanOr(Node):
+    clauses: List["AnyNode"] = field(default_factory=list)
+
+
+@dataclass
+class SpanFirst(Node):
+    """span_first: match spans ending at position <= end."""
+    match: Optional["AnyNode"] = None
+    end: int = 0
+
+
+@dataclass
+class SpanNot(Node):
+    include: Optional["AnyNode"] = None
+    exclude: Optional["AnyNode"] = None
+
+
+@dataclass
+class Intervals(Node):
+    """intervals query (reference: IntervalQueryBuilder.java:55).
+    ``rule`` is the parsed source tree: ("match", terms, max_gaps,
+    ordered) | ("all_of", [rules], max_gaps, ordered) |
+    ("any_of", [rules])."""
+    field_name: str = ""
+    rule: Any = None
+
+
+@dataclass
 class MoreLikeThis(Node):
     field_name: str = ""
     like_doc_id: Optional[int] = None
@@ -179,4 +222,5 @@ AnyNode = Union[
     MatchAll, MatchNone, ConstantScore, DisMax,
     Prefix, Wildcard, Regexp, Fuzzy, MatchBoolPrefix, MatchPhrasePrefix,
     MoreLikeThis, FunctionScore, Boosting,
+    SpanTerm, SpanNear, SpanOr, SpanFirst, SpanNot, Intervals,
 ]

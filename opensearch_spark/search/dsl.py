@@ -142,6 +142,58 @@ def _parse_mlt(body: dict) -> A.MoreLikeThis:
     return node
 
 
+def _parse_span(dsl: dict) -> A.AnyNode:
+    """Span-family sub-parser (span clauses may only nest span queries,
+    matching the reference's SpanQueryBuilder contract)."""
+    ((kind, body),) = dsl.items()
+    if kind == "span_term":
+        fld, spec = _field_body(body)
+        if isinstance(spec, dict):
+            return A.SpanTerm(field_name=fld, value=str(spec["value"]),
+                              boost=float(spec.get("boost", 1.0)))
+        return A.SpanTerm(field_name=fld, value=str(spec))
+    if kind == "span_near":
+        return A.SpanNear(
+            clauses=[_parse_span(c) for c in body["clauses"]],
+            slop=int(body.get("slop", 0)),
+            in_order=bool(body.get("in_order", True)),
+            boost=float(body.get("boost", 1.0)),
+        )
+    if kind == "span_or":
+        return A.SpanOr(clauses=[_parse_span(c) for c in body["clauses"]],
+                        boost=float(body.get("boost", 1.0)))
+    if kind == "span_first":
+        return A.SpanFirst(match=_parse_span(body["match"]),
+                           end=int(body["end"]),
+                           boost=float(body.get("boost", 1.0)))
+    if kind == "span_not":
+        return A.SpanNot(include=_parse_span(body["include"]),
+                         exclude=_parse_span(body["exclude"]),
+                         boost=float(body.get("boost", 1.0)))
+    raise ValueError(f"unsupported span query: {kind}")
+
+
+def _parse_intervals(body: dict) -> A.Intervals:
+    fld, spec = _field_body(body)
+
+    def rule(s: dict):
+        ((k, b),) = {k: v for k, v in s.items() if k != "boost"}.items()
+        if k == "match":
+            from opensearch_spark.analysis.analyzer import tokenize
+
+            return ("match", tokenize(str(b["query"])),
+                    int(b.get("max_gaps", -1)), bool(b.get("ordered", False)))
+        if k == "all_of":
+            return ("all_of", [rule(x) for x in b["intervals"]],
+                    int(b.get("max_gaps", -1)), bool(b.get("ordered", False)))
+        if k == "any_of":
+            return ("any_of", [rule(x) for x in b["intervals"]])
+        raise ValueError(f"unsupported intervals source: {k}")
+
+    return A.Intervals(field_name=fld, rule=rule(spec),
+                       boost=float(spec.get("boost", 1.0)))
+
+
 def _parse_query_string(body: dict) -> A.AnyNode:
     """Lucene classic syntax (reference: QueryStringQueryBuilder)."""
     from opensearch_spark.search.querystring import parse_query_string
@@ -199,6 +251,12 @@ _PARSERS = {
         negative_boost=float(b.get("negative_boost", 0.5)),
         boost=float(b.get("boost", 1.0)),
     ),
+    "span_term": lambda b: _parse_span({"span_term": b}),
+    "span_near": lambda b: _parse_span({"span_near": b}),
+    "span_or": lambda b: _parse_span({"span_or": b}),
+    "span_first": lambda b: _parse_span({"span_first": b}),
+    "span_not": lambda b: _parse_span({"span_not": b}),
+    "intervals": _parse_intervals,
     "query_string": lambda b: _parse_query_string(b),
     "simple_query_string": lambda b: _parse_simple_query_string(b),
     "bool": _parse_bool,

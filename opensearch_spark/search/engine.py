@@ -82,6 +82,103 @@ def _make_phrase_scorer(terms: List[str], idfs: Dict[str, float], avgdl: float,
     return fn
 
 
+def _span_expr(node) -> tuple:
+    """Span AST -> picklable expression tree for the scorer UDF."""
+    if isinstance(node, A.SpanTerm):
+        return ("term", node.value)
+    if isinstance(node, A.SpanNear):
+        return ("near", [_span_expr(c) for c in node.clauses],
+                int(node.slop), bool(node.in_order))
+    if isinstance(node, A.SpanOr):
+        return ("or", [_span_expr(c) for c in node.clauses])
+    if isinstance(node, A.SpanFirst):
+        return ("first", _span_expr(node.match), int(node.end))
+    if isinstance(node, A.SpanNot):
+        return ("not", _span_expr(node.include), _span_expr(node.exclude))
+    raise ValueError(f"not a span node: {node!r}")
+
+
+_BIG_GAPS = 1 << 30
+
+
+def _interval_expr(rule) -> tuple:
+    """Parsed intervals rule -> span expression. max_gaps=-1 (unlimited)
+    becomes a huge slop; unordered uses the pairwise-fold minimal-window
+    combine (spans.near_unordered)."""
+    kind = rule[0]
+    if kind == "match":
+        _k, terms, max_gaps, ordered = rule
+        subs = [("term", t) for t in terms]
+        if len(subs) == 1:
+            return subs[0]
+        return ("near", subs, max_gaps if max_gaps >= 0 else _BIG_GAPS, ordered)
+    if kind == "all_of":
+        _k, rules, max_gaps, ordered = rule
+        subs = [_interval_expr(r) for r in rules]
+        if len(subs) == 1:
+            return subs[0]
+        return ("near", subs, max_gaps if max_gaps >= 0 else _BIG_GAPS, ordered)
+    if kind == "any_of":
+        return ("or", [_interval_expr(r) for r in rule[1]])
+    raise ValueError(kind)
+
+
+def _expr_terms(expr) -> List[str]:
+    if expr[0] == "term":
+        return [expr[1]]
+    if expr[0] in ("near", "or"):
+        out: List[str] = []
+        for s in expr[1]:
+            out.extend(_expr_terms(s))
+        return out
+    if expr[0] == "first":
+        return _expr_terms(expr[1])
+    if expr[0] == "not":
+        return _expr_terms(expr[1]) + _expr_terms(expr[2])
+    raise ValueError(expr)
+
+
+def _make_span_scorer(expr: tuple, boost: float):
+    """Constant-score span/interval matcher over one segment's postings
+    (position algebra in spans.py). Matching is exact; scoring is
+    filter-like constant boost — documented divergence from Lucene's
+    sloppy-freq span scoring."""
+    from opensearch_spark.search import spans as S
+
+    terms = _expr_terms(expr)
+
+    def eval_expr(e, span_map):
+        if e[0] == "term":
+            return S.term_spans(span_map, e[1])
+        if e[0] == "or":
+            return S.or_spans([eval_expr(s, span_map) for s in e[1]])
+        if e[0] == "near":
+            subs = [eval_expr(s, span_map) for s in e[1]]
+            if e[3]:
+                return S.near_ordered(subs, e[2])
+            return S.near_unordered(subs, e[2])
+        if e[0] == "first":
+            return S.first_spans(eval_expr(e[1], span_map), e[2])
+        if e[0] == "not":
+            return S.not_spans(eval_expr(e[1], span_map),
+                               eval_expr(e[2], span_map))
+        raise ValueError(e)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = bm25.decode_term_group(pdf, want_positions=True)
+        uniq, span_map = S.ordinalize(decoded, terms)
+        if uniq.size == 0:
+            return pd.DataFrame({"docId": [], "score": []})
+        hits = S.matching_docs(eval_expr(expr, span_map))
+        docs = uniq[hits]
+        return pd.DataFrame({
+            "docId": docs.astype(np.int64),
+            "score": np.full(docs.size, boost, dtype=np.float64),
+        })
+
+    return fn
+
+
 def _make_exists_scorer(boost: float):
     """Constant-score multi-term scorer: docs containing ANY of the group's
     terms (the reference's constant_score rewrite for prefix/wildcard/
@@ -237,6 +334,69 @@ class SearchEngine:
             )
         return out.limit(k)
 
+    def msearch(self, queries: Sequence[dict], k: int = 10) -> DataFrame:
+        """Batched multi-search (reference: the `_msearch` endpoint,
+        ``action/search/TransportMultiSearchAction.java``): N queries in
+        ONE Spark job. All match/phrase/bool queries share a single
+        postings scan + per-segment decode (msearch.py); other query
+        families fall back to the per-query compiler and are unioned in.
+        Returns DataFrame(qid, docId, score), per-qid top-k ordered by
+        (score desc, docId asc)."""
+        from pyspark.sql import Window
+
+        from opensearch_spark.search import msearch as M
+
+        nodes = [
+            dsl_mod.parse(q) if isinstance(q, dict) else dsl_mod.normalize(q)
+            for q in queries
+        ]
+        cand: set = set()
+        for n in nodes:
+            cand |= M.candidate_terms(n)
+        idfs_all = self._idfs(sorted(cand)) if cand else {}
+        known = {t for t, v in idfs_all.items() if v == v}
+
+        programs: List[M.Program] = []
+        fallback: List[tuple] = []
+        for qid, n in enumerate(nodes):
+            p = M.build_program(qid, n, known)
+            if p is None:
+                fallback.append((qid, n))
+            else:
+                programs.append(p)
+
+        parts: List[DataFrame] = []
+        terms = M.required_terms(programs)
+        if terms:
+            idfs = {t: idfs_all[t] for t in known}
+            scorer = M.make_msearch_scorer(programs, idfs, self.avgdl, k)
+            parts.append(
+                self._postings_for(terms)
+                .groupBy("seg")
+                .applyInPandas(scorer, M.MSEARCH_SCHEMA)
+            )
+        for qid, n in fallback:
+            df = (
+                self.compile(n, topk=k)
+                .orderBy(F.desc("score"), F.asc("docId"))
+                .limit(k)
+            )
+            parts.append(
+                df.select(F.lit(qid).cast("int").alias("qid"), "docId", "score")
+            )
+        if not parts:
+            return self.spark.createDataFrame([], "qid int, " + SCORE_SCHEMA)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docId"))
+        return (
+            u.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+            .orderBy("qid", F.desc("score"), F.asc("docId"))
+        )
+
     def fetch(self, hits: DataFrame) -> DataFrame:
         """Join top-k hits back to corpus rows (the fetch phase)."""
         if self.corpus is None:
@@ -285,11 +445,29 @@ class SearchEngine:
             return self._phrase_prefix(node, topk)
         if isinstance(node, A.MoreLikeThis):
             return self._mlt(node)
+        if isinstance(node, (A.SpanTerm, A.SpanNear, A.SpanOr, A.SpanFirst, A.SpanNot)):
+            return self._span_like(_span_expr(node), float(node.boost))
+        if isinstance(node, A.Intervals):
+            self._check_field(node.field_name)
+            return self._span_like(_interval_expr(node.rule), float(node.boost))
         if isinstance(node, A.FunctionScore):
             return self._function_score(node)
         if isinstance(node, A.Boosting):
             return self._boosting(node)
         raise ValueError(f"cannot compile: {node!r}")
+
+    def _span_like(self, expr: tuple, boost: float) -> DataFrame:
+        """span_* / intervals: position-algebra matcher over the query
+        terms' postings, one applyInPandas per segment (constant score)."""
+        terms = _expr_terms(expr)
+        if not terms:
+            return self._empty()
+        scorer = _make_span_scorer(expr, boost)
+        return (
+            self._postings_for(terms)
+            .groupBy("seg")
+            .applyInPandas(scorer, SCORE_SCHEMA)
+        )
 
     def _function_score(self, node: A.FunctionScore) -> DataFrame:
         """field_value_factor: score-column arithmetic against a corpus

@@ -1,0 +1,197 @@
+"""Aggregation DSL facade vs DuckDB oracle on the driver testdata.
+
+Reference semantics: SURVEY.md §2.5 (search/aggregations/**); each case
+compiles an OpenSearch `aggs` JSON body and cross-checks against an
+equivalent SQL aggregate run by DuckDB on the same parquet."""
+
+import os
+
+import duckdb
+import pytest
+
+from opensearch_spark.search.aggs import compile_aggs
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in ("documents", "orders", "lineitem", "events"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_terms_with_metrics(docs, ddb):
+    got = rows(compile_aggs(docs, {
+        "langs": {"terms": {"field": "lang", "size": 5},
+                  "aggs": {"avg_len": {"avg": {"field": "n_chars"}},
+                           "max_len": {"max": {"field": "n_chars"}}}}
+    }))
+    want = ddb.execute("""
+        SELECT lang, count(*) AS doc_count, avg(n_chars), max(n_chars)
+        FROM documents WHERE lang IS NOT NULL
+        GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 5
+    """).fetchall()
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[2] - w[2]) < 1e-9 and g[3] == w[3]
+
+
+def test_histogram(docs, ddb):
+    got = rows(compile_aggs(docs, {
+        "h": {"histogram": {"field": "n_chars", "interval": 100}}
+    }))
+    want = ddb.execute("""
+        SELECT floor(n_chars / 100) * 100 AS b, count(*) FROM documents
+        WHERE n_chars IS NOT NULL GROUP BY b ORDER BY b
+    """).fetchall()
+    assert [(float(g[0]), g[1]) for g in got] == [(float(w[0]), w[1]) for w in want]
+
+
+def test_range_buckets(docs, ddb):
+    got = rows(compile_aggs(docs, {
+        "r": {"range": {"field": "n_chars",
+                        "ranges": [{"to": 200}, {"from": 200, "to": 400},
+                                   {"from": 400}]}}
+    }))
+    want = ddb.execute("""
+        SELECT CASE WHEN n_chars < 200 THEN '*-200'
+                    WHEN n_chars < 400 THEN '200-400'
+                    ELSE '400-*' END AS k, count(*)
+        FROM documents GROUP BY k ORDER BY k
+    """).fetchall()
+    assert sorted([(g[0], g[1]) for g in got]) == sorted(want)
+
+
+def test_stats_and_cardinality(docs, ddb):
+    got = rows(compile_aggs(docs, {
+        "s": {"stats": {"field": "n_chars"}},
+        "c": {"cardinality": {"field": "lang", "exact": True}},
+    }))[0]
+    want = ddb.execute("""
+        SELECT count(*), count(n_chars), min(n_chars), max(n_chars),
+               avg(n_chars), sum(n_chars), count(DISTINCT lang)
+        FROM documents
+    """).fetchone()
+    # columns: doc_count, s_count, s_min, s_max, s_avg, s_sum, c
+    assert got[0] == want[0] and got[1] == want[1]
+    assert got[2] == want[2] and got[3] == want[3]
+    assert abs(got[4] - want[4]) < 1e-9 and got[5] == want[5]
+    assert got[6] == want[6]
+
+
+def test_filters_buckets(docs, ddb):
+    got = rows(compile_aggs(docs, {
+        "f": {"filters": {"filters": {
+            "short": {"range": {"n_chars": {"lt": 300}}},
+            "long": {"range": {"n_chars": {"gte": 300}}},
+        }}}
+    }))
+    want = ddb.execute("""
+        SELECT CASE WHEN n_chars < 300 THEN 'short' ELSE 'long' END AS k,
+               count(*) FROM documents GROUP BY k ORDER BY k
+    """).fetchall()
+    assert sorted([(g[0], g[1]) for g in got]) == sorted(want)
+
+
+def test_date_histogram_orders(orders, ddb):
+    got = rows(compile_aggs(orders, {
+        "m": {"date_histogram": {"field": "o_orderdate",
+                                 "calendar_interval": "month"},
+              "aggs": {"rev": {"sum": {"field": "o_totalprice"}}}}
+    }))
+    want = ddb.execute("""
+        SELECT date_trunc('month', o_orderdate) AS m, count(*),
+               sum(o_totalprice)
+        FROM orders GROUP BY m ORDER BY m
+    """).fetchall()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[1] == w[1] and abs(float(g[2]) - float(w[2])) < 1e-4
+
+
+def test_pipeline_cumsum_derivative(orders, ddb):
+    got = rows(compile_aggs(orders, {
+        "m": {"date_histogram": {"field": "o_orderdate",
+                                 "calendar_interval": "month"}},
+        "cum": {"cumulative_sum": {"buckets_path": "doc_count"}},
+        "diff": {"derivative": {"buckets_path": "doc_count"}},
+    }))
+    want = ddb.execute("""
+        WITH b AS (SELECT date_trunc('month', o_orderdate) AS m, count(*) AS c
+                   FROM orders GROUP BY m)
+        SELECT m, c, sum(c) OVER (ORDER BY m),
+               c - lag(c) OVER (ORDER BY m)
+        FROM b ORDER BY m
+    """).fetchall()
+    for g, w in zip(got, want):
+        assert g[1] == w[1] and g[2] == w[2] and g[3] == w[3]
+
+
+def test_bucket_selector_and_script(docs, ddb):
+    got = rows(compile_aggs(docs, {
+        "langs": {"terms": {"field": "lang", "size": 100}},
+        "ratio": {"bucket_script": {
+            "buckets_path": {"n": "doc_count"},
+            "script": "params.n * 2",
+        }},
+        "sel": {"bucket_selector": {
+            "buckets_path": {"n": "doc_count"},
+            "script": "params.n >= 10",
+        }},
+    }))
+    want = ddb.execute("""
+        SELECT lang, count(*) AS c, count(*) * 2 FROM documents
+        WHERE lang IS NOT NULL GROUP BY lang HAVING c >= 10
+        ORDER BY c DESC, lang
+    """).fetchall()
+    assert sorted([(g[0], g[1], g[2]) for g in got]) == sorted(want)
+
+
+def test_composite_after(docs, ddb):
+    got = rows(compile_aggs(docs, {
+        "c": {"composite": {"size": 3, "sources": [{"l": {"terms": {"field": "lang"}}}],
+                            "after": "de"}}
+    }))
+    want = ddb.execute("""
+        SELECT lang, count(*) FROM documents WHERE lang > 'de'
+        GROUP BY lang ORDER BY lang LIMIT 3
+    """).fetchall()
+    assert [(g[0], g[1]) for g in got] == want
+
+
+def test_top_hits(docs):
+    got = rows(compile_aggs(docs, {
+        "langs": {"terms": {"field": "lang", "size": 3},
+                  "aggs": {"top": {"top_hits": {
+                      "size": 2, "sort": [{"n_chars": {"order": "desc"}}],
+                      "_source": ["doc_id"]}}}}
+    }))
+    for g in got:
+        hits = g[-1]
+        assert 1 <= len(hits) <= 2
+        if len(hits) == 2:
+            assert hits[0]["n_chars"] >= hits[1]["n_chars"]
+
+
+def test_missing_and_global(docs, ddb):
+    got = rows(compile_aggs(docs, {
+        "g": {"global": {}, "aggs": {}},
+    }))
+    want = ddb.execute("SELECT count(*) FROM documents").fetchone()
+    assert got[0][1] == want[0]

@@ -85,7 +85,11 @@ def test_incremental_equals_full_rebuild(spark, corpora, tmp_path):
 def test_kill_and_rerun_resume(spark, corpora, tmp_path):
     _, _, full = corpora
     ref_dir = str(tmp_path / "ref")
-    build_index(spark, full, ref_dir, n_segments=8, waves=1)
+    # reference = SAME config (waves=4), never killed: the invariant is
+    # kill+resume == uninterrupted run. (A waves=1 build uses the
+    # segment-local path whose seg ids are partition ids, so its table
+    # layout legitimately differs; search results stay identical.)
+    build_index(spark, full, ref_dir, n_segments=8, waves=4)
 
     # crash the build after wave 0 commits (injected failure = kill)
     kill_dir = str(tmp_path / "killed")
