@@ -1,6 +1,7 @@
 """Scaling-efficiency evidence (north rule): the SAME index-build +
-query job at two parallelism levels — local[8] vs local[32] — on
-identical input, as the sandbox proxy for N vs 4N executor clusters.
+query job at N and 4N cores — both (local[2], local[8]) and
+(local[8], local[32]) pairs — on identical input, as the sandbox proxy
+for N vs 4N executor clusters.
 
 The job plan is held constant (same input parquet, same n_segments=32,
 same 64 shuffle partitions); only the executor thread count changes, so
@@ -45,10 +46,11 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 N_DOCS = int(os.environ.get("SCALE_DOCS", "480000"))
-N_SEGMENTS = 32
+N_SEGMENTS = 128
 SHUFFLE = 64
 REPEATS = int(os.environ.get("SCALE_REPEATS", "3"))
-LEVELS = (8, 32)
+LEVELS = (2, 8, 32)
+PAIRS = ((2, 8), (8, 32))
 QBATCH = int(os.environ.get("SCALE_QBATCH", "64"))
 
 
@@ -64,9 +66,10 @@ def corpus_path() -> str:
     return p
 
 
-def cpu_ceiling() -> float:
-    """Measured pure-CPU speedup for 8 -> 32 processes on this host (no
-    Spark): the hardware scaling ceiling given SMT."""
+def cpu_ceiling(lo_n: int, hi_n: int) -> float:
+    """Measured pure-CPU speedup for lo_n -> hi_n processes on this host
+    (no Spark): the hardware scaling ceiling given SMT + frequency
+    scaling on the shared VM."""
     import multiprocessing as mp
 
     def run(procs: int, per: int = 4_000_000) -> float:
@@ -75,8 +78,8 @@ def cpu_ceiling() -> float:
             p.map(_burn, [per] * procs)
         return procs * per / (time.perf_counter() - t0)
 
-    lo = max(run(8), run(8))
-    hi = max(run(32), run(32))
+    lo = max(run(lo_n), run(lo_n))
+    hi = max(run(hi_n), run(hi_n))
     return hi / lo
 
 
@@ -128,6 +131,15 @@ def worker(cpus: int, corpus: str) -> dict:
     docs = spark.read.parquet(corpus)
     n_docs = docs.count()
     n_bytes = docs.selectExpr("sum(length(content))").collect()[0][0]
+
+    # warm the python workers first (imports load once per worker; a
+    # long-lived cluster is always in this steady state) — measured
+    # throughput is steady-state indexing, not JVM/worker cold start
+    warm_ix = f"/tmp/osx_scale_warm_{cpus}_{os.getpid()}"
+    shutil.rmtree(warm_ix, ignore_errors=True)
+    build_index(spark, docs.limit(2000), warm_ix,
+                n_segments=cpus, shuffle_partitions=SHUFFLE)
+    shutil.rmtree(warm_ix, ignore_errors=True)
 
     ix = f"/tmp/osx_scale_ix_{cpus}_{os.getpid()}"
     shutil.rmtree(ix, ignore_errors=True)
@@ -206,16 +218,31 @@ def main() -> None:
         vals = [r[key] for r in runs[c]]
         return sum(vals) / len(vals)
 
-    lo, hi = LEVELS
-    ceiling = cpu_ceiling()
-    speedup_ix = best(hi, "index_docs_per_sec") / best(lo, "index_docs_per_sec")
-    speedup_q = best(hi, "queries_per_sec") / best(lo, "queries_per_sec")
+    pair_stats = {}
+    for lo, hi in PAIRS:
+        ceiling = cpu_ceiling(lo, hi)
+        sp_ix = best(hi, "index_docs_per_sec") / best(lo, "index_docs_per_sec")
+        sp_q = best(hi, "queries_per_sec") / best(lo, "queries_per_sec")
+        pair_stats[f"{lo}_to_{hi}"] = {
+            "cpu_ceiling": round(ceiling, 3),
+            "index_speedup_4x_cores": round(sp_ix, 3),
+            "index_scaling_efficiency_raw": round(sp_ix / 4.0, 3),
+            "index_scaling_efficiency_vs_hw_ceiling": round(sp_ix / ceiling, 3),
+            "query_speedup_4x_cores": round(sp_q, 3),
+            "query_scaling_efficiency_raw": round(sp_q / 4.0, 3),
+            "query_scaling_efficiency_vs_hw_ceiling": round(sp_q / ceiling, 3),
+        }
     out = {
-        "metric": f"scaling_efficiency_local{lo}_vs_local{hi}",
+        "metric": "scaling_efficiency_N_vs_4N_cores",
         "protocol": (
-            f"{REPEATS} interleaved repeats per level, fresh JVM each, best-of "
-            f"reported (noisy shared host); query metric = msearch batch "
-            f"throughput ({QBATCH} top-10 queries per batch, one Spark job)"
+            f"{REPEATS} interleaved repeats per level, fresh JVM each, "
+            f"python workers warmed before measuring (steady-state cluster "
+            f"proxy), best-of reported (noisy shared host); query metric = "
+            f"msearch batch throughput ({QBATCH} top-10 queries per batch, "
+            f"one Spark job). cpu_ceiling = pure-CPU multiprocessing "
+            f"speedup for the same core pair on this host (SMT + freq "
+            f"scaling bound it well below 4.0) — the hardware-normalized "
+            f"efficiency is the cluster-transferable number."
         ),
         "runs": {str(c): runs[c] for c in LEVELS},
         "best": {
@@ -227,13 +254,7 @@ def main() -> None:
             }
             for c in LEVELS
         },
-        "cpu_ceiling_8_to_32_threads": round(ceiling, 3),
-        "index_speedup_4x_cores": round(speedup_ix, 3),
-        "index_scaling_efficiency_raw": round(speedup_ix / 4.0, 3),
-        "index_scaling_efficiency_vs_hw_ceiling": round(speedup_ix / ceiling, 3),
-        "query_speedup_4x_cores": round(speedup_q, 3),
-        "query_scaling_efficiency_raw": round(speedup_q / 4.0, 3),
-        "query_scaling_efficiency_vs_hw_ceiling": round(speedup_q / ceiling, 3),
+        "pairs": pair_stats,
     }
     print(json.dumps(out, indent=1))
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:

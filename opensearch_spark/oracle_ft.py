@@ -360,3 +360,137 @@ def doclen_sql() -> str:
         f"SELECT d.doc_id AS doc_id, d.dl AS dl, q.dlq AS dl_q\n"
         f"FROM dl d JOIN dlq q USING (doc_id)"
     )
+
+
+# ---- span / intervals oracles (constant-score positional matching) ---------
+
+def span_near_sql(t1: str, t2: str, slop: int, in_order: bool = True) -> str:
+    """Two-clause span_near / intervals: docs with occurrences of t1, t2
+    (ordered or either order) whose gap <= slop."""
+    if in_order:
+        cond = f"t1.pos > t0.pos AND t1.pos - t0.pos - 1 <= {slop}"
+    else:
+        cond = f"t1.pos <> t0.pos AND abs(t1.pos - t0.pos) - 1 <= {slop}"
+    return f"""WITH {base_ctes()}
+        SELECT DISTINCT t0.doc_id AS doc_id, 1.0 AS score
+        FROM tok t0
+        JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.term = {_qlit(t2)} AND {cond}
+        WHERE t0.term = {_qlit(t1)}"""
+
+
+def span_first_sql(term: str, end: int) -> str:
+    """span_first: term occurrences ending at position <= end."""
+    return f"""WITH {base_ctes()}
+        SELECT DISTINCT doc_id, 1.0 AS score
+        FROM tok WHERE term = {_qlit(term)} AND pos + 1 <= {end}"""
+
+
+def span_not_near_sql(t1: str, t2: str, slop: int, exclude: str) -> str:
+    """span_not(include=span_near(t1,t2,slop,in_order), exclude=term):
+    docs having at least one ordered (t1,t2) span that does NOT overlap
+    any occurrence of ``exclude``. Span = [t0.pos, t1.pos + 1)."""
+    return f"""WITH {base_ctes()}
+        SELECT DISTINCT t0.doc_id AS doc_id, 1.0 AS score
+        FROM tok t0
+        JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.term = {_qlit(t2)}
+            AND t1.pos > t0.pos AND t1.pos - t0.pos - 1 <= {slop}
+        WHERE t0.term = {_qlit(t1)}
+          AND NOT EXISTS (
+            SELECT 1 FROM tok tx
+            WHERE tx.doc_id = t0.doc_id AND tx.term = {_qlit(exclude)}
+              AND tx.pos < t1.pos + 1 AND tx.pos + 1 > t0.pos
+          )"""
+
+
+def span_or_sql(terms: "Sequence[str]") -> str:
+    """span_or of terms: docs containing any of them (constant score)."""
+    qt = ", ".join(_qlit(t) for t in terms)
+    return f"""WITH {base_ctes()}
+        SELECT DISTINCT doc_id, 1.0 AS score
+        FROM tok WHERE term IN ({qt})"""
+
+
+# ---- multi-field (multi_match) oracles -------------------------------------
+
+def base_ctes_field(p: str, text_col: str) -> str:
+    """Suffixed per-field CTE chain (tok{p}, dl{p}, qz{p}, dlq{p},
+    gl{p}, tf{p}, dfreq{p}) so two fields' statistics coexist in one
+    query — each field has its own df/norms/avgdl, mirroring the
+    engine's index-per-field layout."""
+    rx = _qlit(duckdb_token_regex())
+    from opensearch_spark.analysis.smallfloat import quantize_breakpoints
+
+    bps = quantize_breakpoints(1 << 20)
+    qvals = ", ".join(f"({v})" for v in bps)
+    return f"""
+tok{p} AS (
+  SELECT {ID} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), {rx})) AS term,
+         generate_subscripts(regexp_extract_all(lower({text_col}), {rx}), 1) - 1 AS pos
+  FROM {TABLE}
+),
+dl{p} AS (SELECT doc_id, count(*) AS dl FROM tok{p} GROUP BY doc_id),
+qz{p}(q_val) AS (VALUES {qvals}),
+dlq{p} AS (
+  SELECT d.doc_id, (SELECT max(q_val) FROM qz{p} WHERE q_val <= d.dl) AS dlq
+  FROM dl{p} d
+),
+gl{p} AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl{p}),
+tf{p} AS (SELECT doc_id, term, count(*) AS tf FROM tok{p} GROUP BY doc_id, term),
+dfreq{p} AS (SELECT term, count(*) AS df FROM tf{p} GROUP BY term)
+""".strip()
+
+
+def _match_clause_field(p: str, name: str, terms: "Sequence[str]",
+                        operator: str = "or", msm: int = 0) -> str:
+    qt = ", ".join(f"({_qlit(t)})" for t in sorted(set(terms)))
+    having = ""
+    if operator == "and":
+        having = f"HAVING count(DISTINCT f.term) = {len(set(terms))}"
+    elif msm > 1:
+        having = f"HAVING count(DISTINCT f.term) >= {msm}"
+    return f"""
+{name}_qt(term) AS (VALUES {qt}),
+{name} AS (
+  SELECT f.doc_id,
+         sum(ln(1 + (gl{p}.n - d.df + 0.5) / (d.df + 0.5)) * {K1 + 1.0!r}
+             * f.tf / (f.tf + {K1!r} * (1 - {B!r} + {B!r} * q.dlq / gl{p}.avgdl))) AS raw
+  FROM tf{p} f
+  JOIN {name}_qt USING (term)
+  JOIN dfreq{p} d USING (term)
+  JOIN dlq{p} q USING (doc_id)
+  CROSS JOIN gl{p}
+  GROUP BY f.doc_id
+  {having}
+)""".strip()
+
+
+def multi_match_sql(query: str, fields: "Sequence[tuple]",
+                    type_: str = "best_fields", tie: float = 0.0,
+                    operator: str = "or") -> str:
+    """multi_match oracle. ``fields`` = [(field_sql_column, suffix)].
+    best_fields: max over per-field raw + tie * (sum - max);
+    most_fields: sum over matched fields (>= 1 must match)."""
+    terms = tokenize(query)
+    ctes = [base_ctes_field(p, col) for col, p in fields]
+    names = []
+    for i, (_col, p) in enumerate(fields):
+        nm = f"mm{i}"
+        ctes.append(_match_clause_field(p, nm, terms, operator))
+        names.append(nm)
+    u = " UNION ".join(f"SELECT doc_id FROM {nm}" for nm in names)
+    raws = [f"coalesce({nm}.raw, 0.0)" for nm in names]
+    joins = " ".join(
+        f"LEFT JOIN {nm} ON {nm}.doc_id = base.doc_id" for nm in names
+    )
+    if type_ == "most_fields":
+        score = " + ".join(raws)
+    else:
+        best = f"greatest({', '.join(raws)})"
+        total = " + ".join(raws)
+        score = f"{best} + {tie!r} * (({total}) - {best})"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT base.doc_id AS doc_id, round({score}, 4) AS score
+        FROM ({u}) base {joins}"""
+    )

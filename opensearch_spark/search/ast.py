@@ -166,6 +166,20 @@ class Boosting(Node):
 
 
 @dataclass
+class MultiMatch(Node):
+    """multi_match (reference: MultiMatchQueryBuilder.java:67).
+    best_fields = dis_max over per-field match (+ tie_breaker);
+    most_fields = sum of per-field match scores; phrase = dis_max of
+    per-field match_phrase."""
+    fields: List[str] = field(default_factory=list)
+    query: str = ""
+    type: str = "best_fields"   # best_fields | most_fields | phrase
+    tie_breaker: float = 0.0
+    operator: str = "or"
+    minimum_should_match: int = 0
+
+
+@dataclass
 class SpanTerm(Node):
     """span_term (reference: SpanTermQueryBuilder)."""
     field_name: str = ""
@@ -222,5 +236,5 @@ AnyNode = Union[
     MatchAll, MatchNone, ConstantScore, DisMax,
     Prefix, Wildcard, Regexp, Fuzzy, MatchBoolPrefix, MatchPhrasePrefix,
     MoreLikeThis, FunctionScore, Boosting,
-    SpanTerm, SpanNear, SpanOr, SpanFirst, SpanNot, Intervals,
+    SpanTerm, SpanNear, SpanOr, SpanFirst, SpanNot, Intervals, MultiMatch,
 ]

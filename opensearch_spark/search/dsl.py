@@ -251,6 +251,15 @@ _PARSERS = {
         negative_boost=float(b.get("negative_boost", 0.5)),
         boost=float(b.get("boost", 1.0)),
     ),
+    "multi_match": lambda b: A.MultiMatch(
+        fields=[f.split("^")[0] for f in b["fields"]],
+        query=str(b["query"]),
+        type=str(b.get("type", "best_fields")).lower(),
+        tie_breaker=float(b.get("tie_breaker", 0.0)),
+        operator=str(b.get("operator", "or")).lower(),
+        minimum_should_match=int(b.get("minimum_should_match", 0)),
+        boost=float(b.get("boost", 1.0)),
+    ),
     "span_term": lambda b: _parse_span({"span_term": b}),
     "span_near": lambda b: _parse_span({"span_near": b}),
     "span_or": lambda b: _parse_span({"span_or": b}),

@@ -445,6 +445,8 @@ class SearchEngine:
             return self._phrase_prefix(node, topk)
         if isinstance(node, A.MoreLikeThis):
             return self._mlt(node)
+        if isinstance(node, A.MultiMatch):
+            return self.compile(self._expand_multi_match(node), topk)
         if isinstance(node, (A.SpanTerm, A.SpanNear, A.SpanOr, A.SpanFirst, A.SpanNot)):
             return self._span_like(_span_expr(node), float(node.boost))
         if isinstance(node, A.Intervals):
@@ -455,6 +457,24 @@ class SearchEngine:
         if isinstance(node, A.Boosting):
             return self._boosting(node)
         raise ValueError(f"cannot compile: {node!r}")
+
+    def _expand_multi_match(self, node: A.MultiMatch) -> A.AnyNode:
+        """multi_match -> per-field match combination (reference:
+        MultiMatchQuery.java — best_fields builds a DisMaxQuery over the
+        per-field queries, most_fields a should-bool that sums)."""
+        if node.type == "phrase":
+            per = [A.MatchPhrase(field_name=f, query=node.query)
+                   for f in node.fields]
+        else:
+            per = [
+                A.Match(field_name=f, query=node.query, operator=node.operator,
+                        minimum_should_match=node.minimum_should_match)
+                for f in node.fields
+            ]
+        if node.type == "most_fields":
+            return A.Bool(should=per, minimum_should_match=1, boost=node.boost)
+        return A.DisMax(queries=per, tie_breaker=node.tie_breaker,
+                        boost=node.boost)
 
     def _span_like(self, expr: tuple, boost: float) -> DataFrame:
         """span_* / intervals: position-algebra matcher over the query
@@ -792,3 +812,53 @@ class SearchEngine:
                 ).alias("score"),
             )
         )
+
+
+class MultiFieldEngine(SearchEngine):
+    """Search over MULTIPLE indexed text fields — the reference's
+    per-field inverted indexes inside one Lucene index (each text field
+    has its own postings, df, and norms; ``MultiMatchQuery`` combines
+    per-field scores). Spark shape: one index directory per field, each
+    with its own postings/termstats/globals; leaf full-text nodes route
+    to the engine owning their field, compound nodes (bool / dis_max /
+    multi_match) combine the per-field score frames.
+
+    ``index_dirs``: {field_name: index_dir}; the FIRST entry is the
+    primary field (used for match_all / ids / default analysis)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dirs: "Dict[str, str]",
+        corpus: DataFrame | None = None,
+        id_cols: Sequence[str] = ("repo", "path", "commit"),
+        doc_id_col: str | None = None,
+        cache: bool = False,
+    ):
+        fields = list(index_dirs)
+        super().__init__(
+            spark, index_dirs[fields[0]], corpus=corpus,
+            text_field=fields[0], id_cols=id_cols,
+            doc_id_col=doc_id_col, cache=cache,
+        )
+        self.sub: Dict[str, SearchEngine] = {fields[0]: self}
+        for f in fields[1:]:
+            self.sub[f] = SearchEngine(
+                spark, index_dirs[f], corpus=corpus, text_field=f,
+                id_cols=id_cols, doc_id_col=doc_id_col, cache=cache,
+            )
+
+    def _check_field(self, name: str) -> None:
+        if name not in self.sub:
+            raise ValueError(
+                f"full-text query on non-indexed field {name!r} "
+                f"(indexed fields: {sorted(self.sub)})"
+            )
+
+    def compile(self, node: A.AnyNode, topk: Optional[int] = None) -> DataFrame:
+        fld = getattr(node, "field_name", None)
+        if fld and fld in self.sub and self.sub[fld] is not self:
+            return self.sub[fld].compile(node, topk)
+        if fld:
+            self._check_field(fld)
+        return super().compile(node, topk)
