@@ -142,11 +142,25 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     block_size = int(manifest["block_size"])
     nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    # soft-delete purge (Lucene: merges drop deleted docs and reclaim
+    # space): tombstoned docIds are filtered out of the occurrence
+    # stream before re-packing, then docstats/globals are rewritten
+    import glob as _glob
+
+    deletes_dir = os.path.join(index_dir, "deletes")
+    del_df = None
+    if _glob.glob(os.path.join(deletes_dir, "*.parquet")):
+        del_df = spark.read.parquet(deletes_dir).select("docId").distinct()
+
     tmp_postings = paths.postings + ".compact"
     shutil.rmtree(tmp_postings, ignore_errors=True)
+    occ = spark.read.parquet(paths.postings).mapInPandas(
+        _unpack_partition(), schema=OCC_SCHEMA
+    )
+    if del_df is not None:
+        occ = occ.join(F.broadcast(del_df), "docId", "left_anti")
     (
-        spark.read.parquet(paths.postings)
-        .mapInPandas(_unpack_partition(), schema=OCC_SCHEMA)
+        occ
         .repartition(nshuf, "seg", "term")
         .mapInArrow(_pack_partition(block_size), schema=POSTINGS_SCHEMA)
         .sortWithinPartitions("term", "block_no")
@@ -176,6 +190,39 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     os.replace(paths.termstats, old)
     os.replace(tmp_ts, paths.termstats)
     shutil.rmtree(old, ignore_errors=True)
+
+    if del_df is not None:
+        # docstats minus tombstones; globals/manifest recomputed
+        tmp_ds = paths.docstats + ".compact"
+        shutil.rmtree(tmp_ds, ignore_errors=True)
+        (
+            spark.read.parquet(paths.docstats)
+            .join(F.broadcast(del_df), "docId", "left_anti")
+            .write.mode("overwrite")
+            .parquet(tmp_ds)
+        )
+        old = paths.docstats + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(paths.docstats, old)
+        os.replace(tmp_ds, paths.docstats)
+        shutil.rmtree(old, ignore_errors=True)
+        g = (
+            spark.read.parquet(paths.docstats)
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("fdc"),
+                F.sum("dl").alias("sum_ttf"),
+            )
+            .collect()[0]
+        )
+        fdc = int(g["fdc"] or 0) or 1
+        manifest.update(
+            doc_count=int(g["doc_count"]),
+            field_doc_count=int(g["fdc"] or 0),
+            sum_ttf=int(g["sum_ttf"] or 0),
+            avgdl=float(int(g["sum_ttf"] or 0) / fdc),
+        )
+        shutil.rmtree(deletes_dir, ignore_errors=True)
 
     manifest["generations"] = 1
     _write_json_atomic(paths.manifest, manifest)

@@ -30,6 +30,7 @@ Scoring-context notes:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Iterable, List, Optional, Sequence
 
 import numpy as np
@@ -41,6 +42,27 @@ from opensearch_spark.index.build import IndexPaths, load_index
 from opensearch_spark.search import ast as A, bm25, dsl as dsl_mod, wand
 
 SCORE_SCHEMA = "docId long, score double"
+
+
+def _query_text(node: "A.AnyNode") -> str:
+    """Concatenated analyzed text of a query tree (highlighting input)."""
+    parts: List[str] = []
+
+    def walk(n):
+        q = getattr(n, "query", None)
+        if isinstance(q, str):
+            parts.append(q)
+        for attr in ("must", "filter", "should", "queries", "clauses"):
+            for c in getattr(n, attr, []) or []:
+                walk(c)
+        for attr in ("positive", "negative", "match", "include", "exclude",
+                     "query", "filter"):
+            c = getattr(n, attr, None)
+            if c is not None and not isinstance(c, (str, list)) and hasattr(c, "boost"):
+                walk(c)
+
+    walk(node)
+    return " ".join(parts)
 
 
 # ---- picklable scorer factories (no Spark objects captured) ----------------
@@ -264,6 +286,55 @@ class SearchEngine:
             self.postings = self.postings.persist()
             self.docstats = self.docstats.persist()
         self._idf_cache: Dict[str, float] = {}
+        # soft deletes (Lucene liveDocs analog): tombstone parquet of
+        # docIds under <index>/deletes; hits are anti-joined against it
+        self._deletes_dir = os.path.join(self.paths.root, "deletes")
+        self._load_deletes()
+
+    def _load_deletes(self) -> None:
+        import glob as _glob
+
+        if _glob.glob(os.path.join(self._deletes_dir, "*.parquet")):
+            self.deletes: DataFrame | None = self.spark.read.parquet(
+                self._deletes_dir
+            ).select("docId").distinct()
+            self._n_deletes = self.deletes.count()
+        else:
+            self.deletes = None
+            self._n_deletes = 0
+
+    def delete(self, doc_ids: Sequence[int]) -> int:
+        """Soft-delete documents by id (reference: Lucene soft deletes /
+        liveDocs — docs stay in segments, queries skip them; space is
+        reclaimed by the next compaction). Appends a tombstone parquet
+        file; visible to THIS engine immediately and to new engines on
+        open."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import uuid
+
+        if not doc_ids:
+            return 0
+        os.makedirs(self._deletes_dir, exist_ok=True)
+        pq.write_table(
+            pa.table({"docId": pa.array([int(d) for d in doc_ids], pa.int64())}),
+            os.path.join(self._deletes_dir, f"del-{uuid.uuid4().hex}.parquet"),
+        )
+        self._load_deletes()
+        return len(doc_ids)
+
+    def delete_by_query(self, query: dict | A.AnyNode) -> int:
+        """_delete_by_query: soft-delete every doc matching the query."""
+        node = dsl_mod.parse(query) if isinstance(query, dict) else dsl_mod.normalize(query)
+        ids = [int(r["docId"]) for r in self.compile(node).select("docId").collect()]
+        if ids:
+            self.delete(ids)
+        return len(ids)
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        if self.deletes is None:
+            return df
+        return df.join(F.broadcast(self.deletes), "docId", "left_anti")
 
     # ---- public API ---------------------------------------------------
 
@@ -276,6 +347,8 @@ class SearchEngine:
         from_: int = 0,
         sort: list | None = None,
         search_after: tuple | list | None = None,
+        collapse: str | None = None,
+        terminate_after: int | None = None,
     ) -> DataFrame:
         """Top-k hits.
 
@@ -283,14 +356,36 @@ class SearchEngine:
         (corpus_column, "asc"|"desc") field sorts (docId appended as the
         tiebreaker); ``search_after`` is keyset pagination over the active
         sort keys; ``from_``+``k`` is capped at max_result_window
-        (reference: from+size window, SURVEY §2.7)."""
+        (reference: from+size window, SURVEY §2.7). ``collapse`` keeps
+        the best hit per value of a corpus column (reference:
+        CollapseBuilder.java:64 = top-1-per-group). ``terminate_after``
+        caps the number of docs considered (reference:
+        EarlyTerminatingCollector — approximate counts, bounded work)."""
         if from_ + k > self.MAX_RESULT_WINDOW:
             raise ValueError(
                 f"from+size {from_ + k} exceeds max_result_window {self.MAX_RESULT_WINDOW}"
             )
         node = dsl_mod.parse(query) if isinstance(query, dict) else dsl_mod.normalize(query)
-        prune = sort is None and search_after is None and from_ == 0
+        prune = (sort is None and search_after is None and from_ == 0
+                 and collapse is None)
         df = self.compile(node, topk=k if prune else None)
+        if terminate_after is not None:
+            df = df.limit(int(terminate_after))
+        if collapse is not None:
+            from pyspark.sql import Window
+
+            if self.corpus is None:
+                raise ValueError("collapse needs an attached corpus")
+            df = df.join(self.corpus.select("docId", collapse), "docId")
+            w = (
+                Window.partitionBy(collapse)
+                .orderBy(F.desc("score"), F.asc("docId"))
+            )
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
 
         if sort:
             if self.corpus is None:
@@ -334,6 +429,168 @@ class SearchEngine:
             )
         return out.limit(k)
 
+    def request(self, body: dict) -> dict:
+        """Full `_search` request body — the reference's REST surface
+        (``rest/action/search/RestSearchAction.java:135`` parses the
+        same keys into SearchSourceBuilder). Supported keys: query,
+        from, size, sort, search_after, collapse, rescore, aggs/
+        aggregations, highlight, _source.
+
+        Returns {"hits": DataFrame, "aggregations": DataFrame | None}.
+        ``hits`` carries (docId, score [, sort/collapse columns]); with
+        ``_source`` or ``highlight`` the corpus columns are joined in
+        (the fetch phase)."""
+        q = body.get("query", {"match_all": {}})
+        size = int(body.get("size", 10))
+        from_ = int(body.get("from", 0))
+        sort = None
+        if "sort" in body:
+            sort = []
+            for s in body["sort"]:
+                if isinstance(s, str):
+                    sort.append((s, "asc"))
+                else:
+                    ((f, spec),) = s.items()
+                    d = spec.get("order", "asc") if isinstance(spec, dict) else spec
+                    sort.append((f, d))
+        collapse = (body.get("collapse") or {}).get("field")
+
+        if "rescore" in body:
+            r = body["rescore"]
+            rq = r["query"]
+            hits = self.rescore(
+                q, rq["rescore_query"], k=size,
+                window_size=int(r.get("window_size", 50)),
+                query_weight=float(rq.get("query_weight", 1.0)),
+                rescore_query_weight=float(rq.get("rescore_query_weight", 1.0)),
+            )
+        else:
+            hits = self.search(
+                q, k=size, from_=from_, sort=sort,
+                search_after=body.get("search_after"), collapse=collapse,
+                terminate_after=body.get("terminate_after"),
+            )
+
+        aggs_body = body.get("aggs") or body.get("aggregations")
+        aggs_df = None
+        if aggs_body:
+            if self.corpus is None:
+                raise ValueError("aggregations need an attached corpus")
+            from opensearch_spark.search.aggs import compile_aggs
+
+            # aggregations run over the full matched set (size only
+            # limits hits), same as the reference's collector chain
+            node = dsl_mod.parse(q) if isinstance(q, dict) else q
+            matched = self.compile(node).select("docId")
+            scope = self.corpus.join(matched, "docId")
+            aggs_df = compile_aggs(scope, aggs_body)
+
+        src = body.get("_source")
+        if src or "highlight" in body:
+            fetched = self.fetch(hits)
+            if "highlight" in body:
+                from opensearch_spark.search import highlight as H
+
+                hl = body["highlight"]
+                ((fld, spec),) = hl["fields"].items()
+                text = _query_text(dsl_mod.parse(q) if isinstance(q, dict) else q)
+                fetched = H.highlight(
+                    fetched, text, text_col=fld,
+                    frag_size=int(spec.get("fragment_size", 100)),
+                    n_frags=int(spec.get("number_of_fragments", 2)),
+                )
+            if src:
+                keep = ["docId", "score"] + [c for c in src if c in fetched.columns]
+                if "highlights" in fetched.columns:
+                    keep.append("highlights")
+                fetched = fetched.select(*keep)
+            hits = fetched
+        return {"hits": hits, "aggregations": aggs_df}
+
+    def rescore(
+        self,
+        query: dict | A.AnyNode,
+        rescore_query: dict | A.AnyNode,
+        k: int = 10,
+        window_size: int = 50,
+        query_weight: float = 1.0,
+        rescore_query_weight: float = 1.0,
+    ) -> DataFrame:
+        """Second-pass rescoring (reference: QueryRescorer.java:58): the
+        top ``window_size`` hits of the primary query are re-ranked by
+        ``query_weight * primary + rescore_query_weight * secondary``;
+        docs outside the window keep their order below the window."""
+        window = self.search(query, k=window_size)
+        node2 = (
+            dsl_mod.parse(rescore_query)
+            if isinstance(rescore_query, dict)
+            else dsl_mod.normalize(rescore_query)
+        )
+        sec = self.compile(node2).withColumnRenamed("score", "_sec")
+        out = (
+            window.join(F.broadcast(sec), "docId", "left")
+            .select(
+                "docId",
+                (
+                    F.col("score") * F.lit(float(query_weight))
+                    + F.coalesce(F.col("_sec"), F.lit(0.0))
+                    * F.lit(float(rescore_query_weight))
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("docId"))
+            .limit(k)
+        )
+        return out
+
+    def scroll(self, query: dict | A.AnyNode, batch_size: int = 100):
+        """Scroll/PIT analog (reference: Scroll.java:51,
+        CreatePitController.java:52): the index tables are immutable
+        parquet, so a scroll is snapshot-consistent by construction;
+        pagination is keyset-based over (score desc, docId asc) —
+        yields lists of Row batches until exhausted."""
+        after = None
+        while True:
+            rows = self.search(
+                query, k=batch_size, search_after=after
+            ).collect()
+            if not rows:
+                return
+            yield rows
+            last = rows[-1]
+            after = (float(last["score"]), int(last["docId"]))
+
+    def explain(self, query: dict | A.AnyNode, doc_id: int) -> dict:
+        """_explain analog: per-clause score breakdown for one document
+        (reference: TransportExplainAction / Lucene Explanation). For
+        match queries returns per-term BM25 components."""
+        node = dsl_mod.parse(query) if isinstance(query, dict) else dsl_mod.normalize(query)
+        out: dict = {"docId": int(doc_id), "total": 0.0, "details": []}
+        total_row = (
+            self.compile(node).where(F.col("docId") == int(doc_id)).collect()
+        )
+        out["matched"] = bool(total_row)
+        out["total"] = float(total_row[0]["score"]) if total_row else 0.0
+        if isinstance(node, A.Match):
+            terms = tokenize(node.query)
+            idfs = {t: v for t, v in self._idfs(terms).items() if v == v}
+            for t in sorted(idfs):
+                one = (
+                    self.compile(A.Match(field_name=node.field_name, query=t))
+                    .where(F.col("docId") == int(doc_id))
+                    .collect()
+                )
+                if one:
+                    out["details"].append({
+                        "term": t,
+                        "idf": idfs[t],
+                        "score": float(one[0]["score"]),
+                        "description": (
+                            f"weight({node.field_name}:{t}) = boost * idf * "
+                            f"tf / (tf + k1 * (1 - b + b * dl/avgdl))"
+                        ),
+                    })
+        return out
+
     def msearch(self, queries: Sequence[dict], k: int = 10) -> DataFrame:
         """Batched multi-search (reference: the `_msearch` endpoint,
         ``action/search/TransportMultiSearchAction.java``): N queries in
@@ -369,7 +626,11 @@ class SearchEngine:
         terms = M.required_terms(programs)
         if terms:
             idfs = {t: idfs_all[t] for t in known}
-            scorer = M.make_msearch_scorer(programs, idfs, self.avgdl, k)
+            # over-fetch per segment by the tombstone count (deletes are
+            # filtered after the per-segment heads are taken)
+            scorer = M.make_msearch_scorer(
+                programs, idfs, self.avgdl, k + self._n_deletes
+            )
             parts.append(
                 self._postings_for(terms)
                 .groupBy("seg")
@@ -389,6 +650,7 @@ class SearchEngine:
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
+        u = self._live(u)  # hot path bypasses compile(): filter tombstones here
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docId"))
         return (
             u.withColumn("_rn", F.row_number().over(w))
@@ -413,7 +675,15 @@ class SearchEngine:
 
     def compile(self, node: A.AnyNode, topk: Optional[int] = None) -> DataFrame:
         """AST -> DataFrame(docId, score) of ALL matching docs. ``topk``
-        enables per-segment pruning (safe only at the top level)."""
+        enables per-segment pruning (safe only at the top level).
+        Soft-deleted docs are filtered (liveDocs analog) — a no-op when
+        no tombstones exist. Per-segment top-k pruning over-fetches by
+        the tombstone count so deleted docs cannot crowd out live ones."""
+        if topk is not None and self._n_deletes:
+            topk = topk + self._n_deletes
+        return self._live(self._compile_node(node, topk))
+
+    def _compile_node(self, node: A.AnyNode, topk: Optional[int] = None) -> DataFrame:
         if isinstance(node, A.Match):
             return self._match(node, topk)
         if isinstance(node, A.MatchPhrase):

@@ -76,7 +76,12 @@ def build_program(qid: int, node: A.AnyNode, known_terms: set) -> Optional[Progr
             terms = tokenize(n.query)
             present = [t for t in terms if t in known_terms]
             if not terms:
-                return n.zero_terms_query != "all"  # "all" unsupported here
+                if n.zero_terms_query == "all":
+                    return False  # match_all semantics -> fallback path
+                # zero_terms "none": a required empty match kills the bool
+                if occur in ("must", "filter"):
+                    prog.match_none = True
+                return True
             if n.operator == "and" and len(set(present)) < len(set(terms)):
                 prog.match_none = prog.match_none or occur in ("must", "filter")
                 return occur in ("must", "filter", "should")

@@ -1,0 +1,184 @@
+"""Search-phase features: collapse, rescore, scroll, terminate_after,
+explain, soft deletes (+ purge on compaction).
+
+Reference semantics: CollapseBuilder.java:64 (top-1 per group),
+QueryRescorer.java:58 (windowed re-rank), Scroll.java:51 (snapshot
+cursor), EarlyTerminatingCollector (terminate_after), soft deletes /
+liveDocs, TieredMergePolicy merges reclaiming deleted docs.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark.index.build import build_index
+from opensearch_spark.search.engine import SearchEngine
+from opensearch_spark.testing.corpus import generate_corpus
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    pdf = generate_corpus(400, seed=5)
+    corpus = spark.createDataFrame(pdf)
+    out = str(tmp_path / "index")
+    build_index(spark, corpus, out, n_segments=4, shuffle_partitions=8)
+    return SearchEngine(spark, out, corpus=corpus, cache=True)
+
+
+Q = {"match": {"content": "def return import"}}
+
+
+def rows(df):
+    return [(int(r["docId"]), round(float(r["score"]), 6)) for r in df.collect()]
+
+
+def test_collapse_top1_per_group(eng):
+    hits = eng.search(Q, k=10, collapse="lang").collect()
+    langs = [r["lang"] for r in hits]
+    assert len(langs) == len(set(langs)) and len(hits) > 1
+    # each collapsed hit is the best-scoring doc of its lang
+    full = eng.search(Q, k=10000).collect()
+    full_j = {
+        int(r["docId"]): float(r["score"]) for r in full
+    }
+    lang_of = {
+        int(r["docId"]): r["lang"]
+        for r in eng.corpus.select("docId", "lang").collect()
+    }
+    best = {}
+    for d, s in full_j.items():
+        lg = lang_of[d]
+        if lg not in best or (s, -d) > (best[lg][1], -best[lg][0]):
+            best[lg] = (d, s)
+    for r in hits:
+        assert int(r["docId"]) == best[r["lang"]][0]
+
+
+def test_rescore_reranks_window(eng):
+    primary = rows(eng.search(Q, k=20))
+    rescored = rows(eng.rescore(
+        Q, {"match_phrase": {"content": "def main"}},
+        k=10, window_size=20, query_weight=1.0, rescore_query_weight=2.0,
+    ))
+    assert len(rescored) == 10
+    # every rescored doc came from the primary window
+    window_ids = {d for d, _ in primary}
+    assert all(d in window_ids for d, _ in rescored)
+    # scores are monotonically non-increasing
+    scores = [s for _, s in rescored]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_scroll_is_exhaustive_and_disjoint(eng):
+    batches = list(eng.scroll(Q, batch_size=50))
+    seen = [int(r["docId"]) for b in batches for r in b]
+    assert len(seen) == len(set(seen))
+    total = eng.count(Q)
+    assert len(seen) == total
+    # batches sorted by (score desc, docId asc) across the whole scroll
+    flat = [(float(r["score"]), int(r["docId"])) for b in batches for r in b]
+    assert flat == sorted(flat, key=lambda x: (-x[0], x[1]))
+
+
+def test_terminate_after_bounds_work(eng):
+    n = eng.search(Q, k=10000, terminate_after=7).count()
+    assert n <= 7
+
+
+def test_explain_breakdown(eng):
+    top = eng.search(Q, k=1).collect()[0]
+    ex = eng.explain(Q, int(top["docId"]))
+    assert ex["matched"] and abs(ex["total"] - float(top["score"])) < 1e-9
+    assert ex["details"], "per-term breakdown missing"
+    assert abs(sum(d["score"] for d in ex["details"]) - ex["total"]) < 1e-6
+    miss = eng.explain(Q, 999999999)
+    assert not miss["matched"] and miss["total"] == 0.0
+
+
+def test_soft_delete_and_purge(spark, tmp_path):
+    pdf = generate_corpus(300, seed=9)
+    corpus = spark.createDataFrame(pdf)
+    out = str(tmp_path / "delix")
+    build_index(spark, corpus, out, n_segments=4, shuffle_partitions=8)
+    eng = SearchEngine(spark, out, corpus=corpus)
+
+    before = rows(eng.search(Q, k=12))
+    victims = [before[0][0], before[2][0]]
+    eng.delete(victims)
+
+    # survivors keep their exact scores and order (stats unchanged until
+    # merge, matching Lucene's liveDocs semantics)
+    after = rows(eng.search(Q, k=10))
+    want = [x for x in before if x[0] not in victims][:10]
+    assert after == want
+
+    # msearch also filters tombstones
+    ms = eng.msearch([Q], k=10).collect()
+    assert not (set(int(r["docId"]) for r in ms) & set(victims))
+
+    # a fresh engine sees the tombstones
+    eng2 = SearchEngine(spark, out, corpus=corpus)
+    assert not (set(d for d, _ in rows(eng2.search(Q, k=10))) & set(victims))
+
+    # delete_by_query
+    n = eng.delete_by_query({"match_phrase": {"content": "public static"}})
+    assert n > 0
+    assert eng.count({"match_phrase": {"content": "public static"}}) == 0
+
+    # compaction purges tombstones and recomputes globals
+    from opensearch_spark.index.incremental import compact_index
+
+    m = compact_index(spark, out)
+    eng3 = SearchEngine(spark, out, corpus=corpus)
+    assert eng3.deletes is None
+    assert m["doc_count"] < 300
+    assert not (set(d for d, _ in rows(eng3.search(Q, k=10))) & set(victims))
+    # deleted docs are physically gone from postings
+    assert eng3.docstats.where(F.col("docId").isin(victims)).count() == 0
+
+
+def test_request_body_api(eng):
+    out = eng.request({
+        "query": Q,
+        "size": 5,
+        "aggs": {"langs": {"terms": {"field": "lang", "size": 3}}},
+        "_source": ["lang", "repo"],
+        "highlight": {"fields": {"content": {"fragment_size": 60,
+                                             "number_of_fragments": 1}}},
+    })
+    hits = out["hits"].collect()
+    assert len(hits) == 5
+    r0 = hits[0]
+    assert "lang" in r0.asDict() and "highlights" in r0.asDict()
+    assert any("<em>" in h for h in (r0["highlights"] or []))
+    aggs = out["aggregations"].collect()
+    assert 1 <= len(aggs) <= 3 and all(r["doc_count"] > 0 for r in aggs)
+    # aggregation scope = matched docs only
+    total_matched = eng.count(Q)
+    assert sum(r["doc_count"] for r in aggs) <= total_matched
+
+
+def test_request_sort_and_collapse(eng):
+    out = eng.request({
+        "query": Q, "size": 4,
+        "sort": [{"path": {"order": "desc"}}],
+    })
+    rows_ = out["hits"].collect()
+    vals = [r["path"] for r in rows_]
+    assert vals == sorted(vals, reverse=True)
+
+    out2 = eng.request({"query": Q, "size": 10, "collapse": {"field": "lang"}})
+    langs = [r["lang"] for r in out2["hits"].collect()]
+    assert len(langs) == len(set(langs))
+
+
+def test_request_rescore(eng):
+    out = eng.request({
+        "query": Q, "size": 5,
+        "rescore": {"window_size": 20, "query": {
+            "rescore_query": {"match_phrase": {"content": "def main"}},
+            "query_weight": 1.0, "rescore_query_weight": 2.0,
+        }},
+    })
+    assert len(out["hits"].collect()) == 5
