@@ -47,10 +47,14 @@ def main() -> None:
                 doc_id_col="doc_id", n_segments=cpus)
     shutil.rmtree(warm_dir, ignore_errors=True)
 
+    # segment count = task granularity: ~4x cores for straggler
+    # smoothing at scale, but never so many that segments go sub-500-doc
+    # (Lucene analog: segments sized by content, not a fixed count)
+    n_segments = max(8, min(4 * cpus, n_docs // 500))
     t0 = time.perf_counter()
     build_index(
         spark, docs, ix_dir, text_col="text", doc_id_col="doc_id",
-        n_segments=max(cpus // 2, 8), shuffle_partitions=cpus,
+        n_segments=n_segments, shuffle_partitions=cpus,
     )
     build_sec = time.perf_counter() - t0
 

@@ -494,3 +494,30 @@ def multi_match_sql(query: str, fields: "Sequence[tuple]",
         SELECT base.doc_id AS doc_id, round({score}, 4) AS score
         FROM ({u}) base {joins}"""
     )
+
+
+def sloppy_phrase_sql(query: str, slop: int) -> str:
+    """2-term sloppy phrase oracle — the engine's documented semantics
+    (bm25.sloppy_phrase_freq_in_segment): per second-term occurrence,
+    w = min |p2 - p1 - 1| (<= slop), sloppy_freq = sum 1/(1+w); scored
+    as a pseudo-term with idf = sum of constituent idfs."""
+    terms = tokenize(query)
+    assert len(terms) == 2, "oracle covers 2-term sloppy phrases"
+    t1, t2 = terms
+    idf_terms = " + ".join(
+        f"(SELECT ln(1 + (gl.n - df + 0.5) / (df + 0.5)) FROM dfreq WHERE term = {_qlit(t)})"
+        for t in terms
+    )
+    return f"""WITH {base_ctes()},
+pairs AS (
+  SELECT p2.doc_id, p2.pos, min(abs(p2.pos - p1.pos - 1)) AS w
+  FROM tok p2
+  JOIN tok p1 ON p1.doc_id = p2.doc_id AND p1.term = {_qlit(t1)}
+  WHERE p2.term = {_qlit(t2)} AND abs(p2.pos - p1.pos - 1) <= {slop}
+  GROUP BY p2.doc_id, p2.pos
+),
+pf AS (SELECT doc_id, sum(1.0 / (1 + w)) AS pf FROM pairs GROUP BY doc_id)
+SELECT pf.doc_id AS doc_id,
+       round(({idf_terms}) * {K1 + 1.0!r}
+             * pf.pf / (pf.pf + {K1!r} * (1 - {B!r} + {B!r} * q.dlq / gl.avgdl)), 4) AS score
+FROM pf JOIN dlq q USING (doc_id) CROSS JOIN gl"""

@@ -1,6 +1,18 @@
 """DuckDB oracle SQL for the relational facade (relational/queries.py)."""
 
 ORACLES: dict[str, str] = {
+    "r_has_child": """
+        SELECT c.c_custkey, c.c_name, count(*) AS n_children,
+               round(count(*) * 1.0, 4) AS score
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > 150000.0
+        GROUP BY c.c_custkey, c.c_name
+    """,
+    "r_has_parent": """
+        SELECT o.o_orderkey, o.o_custkey, 1.0 AS score
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+    """,
     "r_term_filter": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         FROM lineitem

@@ -335,7 +335,42 @@ def q_adjacency_matrix(spark, sf_dir):
     )
 
 
+def q_has_child(spark, sf_dir):
+    """has_child (reference: modules/parent-join HasChildQueryBuilder.java:79):
+    parents with >= 1 child matching the child query; score_mode sum ->
+    sum of child scores (here: count of matching children as the child
+    score is constant 1). Spark shape: inner join child-matches grouped
+    by the join key — broadcast when the matching-child set is small."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    matched = o.where(F.col("o_totalprice") > 150000.0).select(
+        F.col("o_custkey").alias("c_custkey"), F.lit(1.0).alias("_s")
+    )
+    agg = matched.groupBy("c_custkey").agg(
+        F.count("*").alias("n_children"), F.sum("_s").alias("score")
+    )
+    return (
+        c.join(agg, "c_custkey")
+        .select("c_custkey", "c_name", "n_children", F.round("score", 4).alias("score"))
+    )
+
+
+def q_has_parent(spark, sf_dir):
+    """has_parent (HasParentQueryBuilder.java:69): children whose parent
+    matches the parent query (constant score)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    parents = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return o.join(F.broadcast(parents), "o_custkey").select(
+        "o_orderkey", "o_custkey", F.lit(1.0).alias("score")
+    )
+
+
 REGISTRY = {
+    "r_has_child": q_has_child,
+    "r_has_parent": q_has_parent,
     "r_term_filter": q_term_filter,
     "r_terms_in": q_terms_in,
     "r_prefix_like": q_prefix_like,
@@ -359,3 +394,5 @@ REGISTRY = {
     "r_join_fetch": q_join_fetch,
     "r_adjacency_matrix": q_adjacency_matrix,
 }
+
+

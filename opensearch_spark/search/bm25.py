@@ -173,6 +173,96 @@ def phrase_freq_in_segment(
     return cand[hit], freq[hit], dl_for_cand[hit]
 
 
+def sloppy_phrase_freq_in_segment(
+    decoded: Dict[str, tuple], phrase_terms: Sequence[str], slop: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sloppy (slop > 0) phrase matching within one segment.
+
+    Semantics (documented, deterministic variant of Lucene's sloppy
+    phrase — ``MatchPhraseQueryBuilder`` slop):
+    - 2 terms: a doc matches iff occurrences (p1, p2) exist with
+      adjusted width w = |p2 - p1 - 1| <= slop (this IS Lucene's match
+      condition including the transposition cost: "b a" matches
+      "a b"~2, not "a b"~1). sloppy_freq = sum over p2 of
+      1 / (1 + min_w(p2)) — each second-term occurrence contributes its
+      best window's sloppy weight (Lucene instead accumulates a greedy
+      enumeration; weights differ on repeated overlaps, ranks agree on
+      non-pathological text).
+    - k > 2 terms: IN-ORDER chains only (p1 < ... < pk, total gap
+      <= slop, via the vectorized chain-dp in spans.py);
+      sloppy_freq = sum over chain endpoints of 1 / (1 + gap).
+
+    Returns (docIds, sloppy_freq float64, dl_q) for matching docs.
+    """
+    from opensearch_spark.search import spans as S
+
+    for t in phrase_terms:
+        if t not in decoded:
+            return (np.empty(0, np.int64), np.empty(0, np.float64),
+                    np.empty(0, np.float64))
+    uniq, span_map = S.ordinalize(decoded, list(phrase_terms))
+    if uniq.size == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.float64),
+                np.empty(0, np.float64))
+
+    if len(phrase_terms) == 2:
+        t1, t2 = phrase_terms
+        d1, s1, _ = S.term_spans(span_map, t1)
+        d2, s2, _ = S.term_spans(span_map, t2)
+        if d1.size == 0 or d2.size == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.float64),
+                    np.empty(0, np.float64))
+        # for each t2 occurrence: nearest same-doc t1 position around
+        # p2-1 (|p2-p1-1| is V-shaped in p1, so the two neighbors of the
+        # insertion point WITHIN the doc's range suffice)
+        BIGP = np.int64(1) << 32
+        k1 = d1 * BIGP + s1                      # sorted
+        lo = np.searchsorted(k1, d2 * BIGP)      # doc range in t1 posting
+        hi = np.searchsorted(k1, (d2 + 1) * BIGP)
+        j = np.searchsorted(k1, d2 * BIGP + (s2 - 1))
+        best = np.full(d2.size, np.iinfo(np.int64).max, dtype=np.int64)
+        for jj in (j - 1, j):
+            ok = (jj >= lo) & (jj < hi)
+            idx = np.clip(jj, 0, d1.size - 1)
+            w = np.abs(s2 - s1[idx] - 1)
+            best = np.where(ok, np.minimum(best, w), best)
+        hit = best <= slop
+        if not hit.any():
+            return (np.empty(0, np.int64), np.empty(0, np.float64),
+                    np.empty(0, np.float64))
+        contrib = 1.0 / (1.0 + best[hit].astype(np.float64))
+        doc_ord = d2[hit]
+        freq = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(freq, doc_ord, contrib)
+    else:
+        spansets = [S.term_spans(span_map, t) for t in phrase_terms]
+        sd, sst, sen = S.near_ordered(spansets, slop)
+        if sd.size == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.float64),
+                    np.empty(0, np.float64))
+        gap = (sen - sst) - len(phrase_terms)
+        contrib = 1.0 / (1.0 + gap.astype(np.float64))
+        freq = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(freq, sd, contrib)
+
+    hit_ord = np.flatnonzero(freq > 0)
+    docs = uniq[hit_ord]
+    # dl_q per doc from any term's postings
+    t0 = phrase_terms[0]
+    d0, _tf0, dlq0, _p0 = decoded[t0]
+    pos_in = np.searchsorted(d0, docs)
+    in_t0 = (pos_in < d0.size) & (d0[np.clip(pos_in, 0, d0.size - 1)] == docs)
+    dl_out = np.zeros(docs.size, dtype=np.float64)
+    dl_out[in_t0] = dlq0[pos_in[in_t0]]
+    if not in_t0.all():
+        t1 = phrase_terms[1]
+        d1_, _tf1, dlq1, _p1 = decoded[t1]
+        rest = ~in_t0
+        p2 = np.searchsorted(d1_, docs[rest])
+        dl_out[rest] = dlq1[np.clip(p2, 0, d1_.size - 1)]
+    return docs, freq[hit_ord], dl_out
+
+
 def _ragged_arange(lens: np.ndarray) -> np.ndarray:
     """[3,1,2] -> [0,1,2, 0, 0,1] (vectorized)."""
     lens = np.asarray(lens, dtype=np.int64)

@@ -104,6 +104,22 @@ def _make_phrase_scorer(terms: List[str], idfs: Dict[str, float], avgdl: float,
     return fn
 
 
+def _make_sloppy_phrase_scorer(terms: List[str], idfs: Dict[str, float],
+                               avgdl: float, slop: int, boost: float):
+    idf_sum = sum(idfs[t] for t in terms)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = bm25.decode_term_group(pdf, want_positions=True)
+        docs, pf, dl_q = bm25.sloppy_phrase_freq_in_segment(decoded, terms, slop)
+        scores = (
+            boost * idf_sum * (bm25.K1 + 1.0)
+            * bm25.tf_norm(pf, dl_q, avgdl)
+        )
+        return pd.DataFrame({"docId": docs.astype(np.int64), "score": scores})
+
+    return fn
+
+
 def _span_expr(node) -> tuple:
     """Span AST -> picklable expression tree for the scorer UDF."""
     if isinstance(node, A.SpanTerm):
@@ -968,7 +984,7 @@ class SearchEngine:
     def _phrase(self, node: A.MatchPhrase, topk: Optional[int]) -> DataFrame:
         self._check_field(node.field_name)
         if node.slop != 0:
-            raise NotImplementedError("slop > 0 not implemented (v1: exact phrases)")
+            return self._sloppy_phrase(node)
         terms = tokenize(node.query)
         if not terms:
             return self._empty()
@@ -980,6 +996,33 @@ class SearchEngine:
                 A.Match(field_name=node.field_name, query=node.query, boost=node.boost), topk
             )
         scorer = _make_phrase_scorer(terms, idf_map, self.avgdl, float(node.boost), topk)
+        return (
+            self._postings_for(terms)
+            .groupBy("seg")
+            .applyInPandas(scorer, SCORE_SCHEMA)
+        )
+
+    def _sloppy_phrase(self, node: A.MatchPhrase) -> DataFrame:
+        """slop > 0 phrases (reference: MatchPhraseQueryBuilder slop /
+        Lucene sloppy phrase). Match semantics are Lucene's (adjusted-
+        position width <= slop, transposition costs 2 for 2-term
+        phrases; in-order chains for k > 2); sloppy_freq weighting is a
+        documented deterministic variant (bm25.sloppy_phrase_freq_in_
+        segment)."""
+        terms = tokenize(node.query)
+        if not terms:
+            return self._empty()
+        idf_map = self._idfs(terms)
+        if any(v != v for v in idf_map.values()):
+            return self._empty()
+        if len(terms) == 1:
+            return self._match(
+                A.Match(field_name=node.field_name, query=node.query,
+                        boost=node.boost), None
+            )
+        scorer = _make_sloppy_phrase_scorer(
+            terms, idf_map, self.avgdl, int(node.slop), float(node.boost)
+        )
         return (
             self._postings_for(terms)
             .groupBy("seg")
