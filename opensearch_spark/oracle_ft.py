@@ -521,3 +521,30 @@ SELECT pf.doc_id AS doc_id,
        round(({idf_terms}) * {K1 + 1.0!r}
              * pf.pf / (pf.pf + {K1!r} * (1 - {B!r} + {B!r} * q.dlq / gl.avgdl)), 4) AS score
 FROM pf JOIN dlq q USING (doc_id) CROSS JOIN gl"""
+
+
+def common_terms_sql(query: str, cutoff_frequency: float) -> str:
+    """common terms oracle with a DATA-DEPENDENT df split (mirrors the
+    engine's _expand_common): low-freq terms (df <= cutoff * N) must
+    match (OR), high-freq terms add score only when the low clause
+    matched. Assumes >= 1 low-freq term exists for the chosen query."""
+    terms = sorted(set(tokenize(query)))
+    qt = ", ".join(f"({_qlit(t)})" for t in terms)
+    lo_sql = (
+        f"SELECT term FROM dfreq CROSS JOIN gl "
+        f"WHERE term IN (SELECT term FROM all_qt) AND df <= {cutoff_frequency!r} * gl.n"
+    )
+    hi_sql = (
+        f"SELECT term FROM dfreq CROSS JOIN gl "
+        f"WHERE term IN (SELECT term FROM all_qt) AND df > {cutoff_frequency!r} * gl.n"
+    )
+    return (
+        f"WITH {base_ctes()},\n"
+        f"all_qt(term) AS (VALUES {qt}),\n"
+        + _match_clause_sql("mlow", [], qt_sql=lo_sql) + ",\n"
+        + _match_clause_sql("mhigh", [], qt_sql=hi_sql)
+        + """
+        SELECT mlow.doc_id AS doc_id,
+               round(mlow.raw + coalesce(mhigh.raw, 0.0), 4) AS score
+        FROM mlow LEFT JOIN mhigh ON mhigh.doc_id = mlow.doc_id"""
+    )

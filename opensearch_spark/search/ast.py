@@ -166,6 +166,38 @@ class Boosting(Node):
 
 
 @dataclass
+class TermsSetQ(Node):
+    """terms_set (reference: TermsSetQueryBuilder.java:69 /
+    Lucene CoveringQuery): docs containing at least ``required`` of the
+    given terms; scored like a should-bool of term scores."""
+    field_name: str = ""
+    terms: List[str] = field(default_factory=list)
+    required: int = 1
+
+
+@dataclass
+class ScriptQ(Node):
+    """script query (reference: ScriptQueryBuilder.java:68). The
+    Painless predicate is replaced by a Spark SQL boolean expression
+    over corpus columns — the Spark-first scripting surface."""
+    source: str = ""
+
+
+@dataclass
+class CommonTerms(Node):
+    """common terms query (reference: CommonTermsQueryBuilder /
+    MatchQuery.java:344-369, deprecated upstream): terms split by
+    document-frequency cutoff; low-freq terms drive matching, high-freq
+    terms only contribute score."""
+    field_name: str = ""
+    query: str = ""
+    cutoff_frequency: float = 0.01   # <1 = fraction of docCount
+    low_freq_operator: str = "or"
+    high_freq_operator: str = "or"
+    minimum_should_match: int = 0
+
+
+@dataclass
 class MultiMatch(Node):
     """multi_match (reference: MultiMatchQueryBuilder.java:67).
     best_fields = dis_max over per-field match (+ tie_breaker);
@@ -237,4 +269,5 @@ AnyNode = Union[
     Prefix, Wildcard, Regexp, Fuzzy, MatchBoolPrefix, MatchPhrasePrefix,
     MoreLikeThis, FunctionScore, Boosting,
     SpanTerm, SpanNear, SpanOr, SpanFirst, SpanNot, Intervals, MultiMatch,
+    TermsSetQ, ScriptQ, CommonTerms,
 ]

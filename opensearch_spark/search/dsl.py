@@ -251,6 +251,31 @@ _PARSERS = {
         negative_boost=float(b.get("negative_boost", 0.5)),
         boost=float(b.get("boost", 1.0)),
     ),
+    "terms_set": lambda b: (lambda f, s: A.TermsSetQ(
+        field_name=f,
+        terms=[str(t) for t in s["terms"]],
+        required=int(s.get("minimum_should_match",
+                           s.get("required_matches", 1))),
+        boost=float(s.get("boost", 1.0)),
+    ))(*_field_body(b)),
+    "script": lambda b: A.ScriptQ(
+        source=str(b["script"]["source"] if isinstance(b.get("script"), dict)
+                   else b["script"]),
+        boost=float(b.get("boost", 1.0)),
+    ),
+    "common": lambda b: (lambda f, s: A.CommonTerms(
+        field_name=f,
+        query=str(s["query"] if isinstance(s, dict) else s),
+        cutoff_frequency=float(s.get("cutoff_frequency", 0.01))
+        if isinstance(s, dict) else 0.01,
+        low_freq_operator=str(s.get("low_freq_operator", "or")).lower()
+        if isinstance(s, dict) else "or",
+        high_freq_operator=str(s.get("high_freq_operator", "or")).lower()
+        if isinstance(s, dict) else "or",
+        minimum_should_match=int(s.get("minimum_should_match", 0))
+        if isinstance(s, dict) else 0,
+        boost=float(s.get("boost", 1.0)) if isinstance(s, dict) else 1.0,
+    ))(*_field_body(b)),
     "multi_match": lambda b: A.MultiMatch(
         fields=[f.split("^")[0] for f in b["fields"]],
         query=str(b["query"]),

@@ -733,6 +733,26 @@ class SearchEngine:
             return self._mlt(node)
         if isinstance(node, A.MultiMatch):
             return self.compile(self._expand_multi_match(node), topk)
+        if isinstance(node, A.TermsSetQ):
+            # CoveringQuery: >= required of the terms present, scored as
+            # the sum of matching term BM25 scores — exactly a match
+            # with minimum_should_match (terms are single tokens)
+            self._check_field(node.field_name)
+            return self._match(
+                A.Match(field_name=node.field_name,
+                        query=" ".join(node.terms),
+                        minimum_should_match=max(int(node.required), 1),
+                        boost=node.boost),
+                topk,
+            )
+        if isinstance(node, A.ScriptQ):
+            if self.corpus is None:
+                raise ValueError("script query needs an attached corpus")
+            return self.corpus.where(F.expr(node.source)).select(
+                "docId", F.lit(float(node.boost)).alias("score")
+            )
+        if isinstance(node, A.CommonTerms):
+            return self.compile(self._expand_common(node), topk)
         if isinstance(node, (A.SpanTerm, A.SpanNear, A.SpanOr, A.SpanFirst, A.SpanNot)):
             return self._span_like(_span_expr(node), float(node.boost))
         if isinstance(node, A.Intervals):
@@ -743,6 +763,40 @@ class SearchEngine:
         if isinstance(node, A.Boosting):
             return self._boosting(node)
         raise ValueError(f"cannot compile: {node!r}")
+
+    def _expand_common(self, node: A.CommonTerms) -> A.AnyNode:
+        """common terms -> df-threshold split bool (reference:
+        MatchQuery.java:344-369): low-freq terms drive matching (with
+        low_freq_operator / minimum_should_match), high-freq terms only
+        add score via a should clause."""
+        self._check_field(node.field_name)
+        terms = tokenize(node.query)
+        if not terms:
+            return A.MatchNone()
+        cutoff = node.cutoff_frequency
+        max_df = cutoff * self.doc_count if cutoff < 1.0 else cutoff
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in self.termstats.where(F.col("term").isin(list(set(terms))))
+            .groupBy("term").agg(F.sum("df").alias("df")).collect()
+        }
+        low = [t for t in terms if dfs.get(t, 0) <= max_df]
+        high = [t for t in terms if t in dfs and dfs[t] > max_df]
+        if not low:
+            return A.Match(field_name=node.field_name, query=" ".join(high),
+                           operator=node.high_freq_operator, boost=node.boost)
+        low_match = A.Match(field_name=node.field_name, query=" ".join(low),
+                            operator=node.low_freq_operator,
+                            minimum_should_match=node.minimum_should_match)
+        if not high:
+            low_match.boost = node.boost
+            return low_match
+        return A.Bool(
+            must=[low_match],
+            should=[A.Match(field_name=node.field_name, query=" ".join(high),
+                            operator=node.high_freq_operator)],
+            boost=node.boost,
+        )
 
     def _expand_multi_match(self, node: A.MultiMatch) -> A.AnyNode:
         """multi_match -> per-field match combination (reference:
