@@ -132,11 +132,19 @@ def _unpack_partition():
     return unpack
 
 
-def compact_index(spark: SparkSession, index_dir: str) -> dict:
+def compact_index(spark: SparkSession, index_dir: str,
+                  target_segments: int | None = None) -> dict:
     """Fold all generations into one: rewrite postings as single sorted
     block runs per (seg, term); recompute termstats from the compacted
     metadata. Safe to re-run; readers opening after the atomic swap see
-    the compacted index."""
+    the compacted index.
+
+    ``target_segments``: also MERGE segments down to this count
+    (seg -> seg % target) — the TieredMergePolicy analog
+    (``index/TieredMergePolicyProvider.java:216-237``): builds want many
+    small segments (task granularity), serving wants few big ones
+    (per-query per-segment overhead); background merges reconcile the
+    two. Queries regroup by the new seg ids transparently."""
     paths = IndexPaths(index_dir)
     manifest = _read_json(paths.manifest)
     block_size = int(manifest["block_size"])
@@ -159,6 +167,10 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     )
     if del_df is not None:
         occ = occ.join(F.broadcast(del_df), "docId", "left_anti")
+    if target_segments is not None:
+        occ = occ.withColumn(
+            "seg", F.pmod(F.col("seg"), F.lit(int(target_segments))).cast("int")
+        )
     (
         occ
         .repartition(nshuf, "seg", "term")
@@ -190,6 +202,22 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     os.replace(paths.termstats, old)
     os.replace(tmp_ts, paths.termstats)
     shutil.rmtree(old, ignore_errors=True)
+
+    if target_segments is not None:
+        # remap docstats seg ids + manifest segment count
+        tmp_ds2 = paths.docstats + ".remap"
+        shutil.rmtree(tmp_ds2, ignore_errors=True)
+        (
+            spark.read.parquet(paths.docstats)
+            .withColumn("seg", F.pmod(F.col("seg"), F.lit(int(target_segments))).cast("int"))
+            .write.mode("overwrite").parquet(tmp_ds2)
+        )
+        old = paths.docstats + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(paths.docstats, old)
+        os.replace(tmp_ds2, paths.docstats)
+        shutil.rmtree(old, ignore_errors=True)
+        manifest["n_segments"] = int(target_segments)
 
     if del_df is not None:
         # docstats minus tombstones; globals/manifest recomputed

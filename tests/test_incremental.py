@@ -150,3 +150,27 @@ def test_streaming_file_source(spark, corpora, tmp_path):
     build_index(spark, full, full_dir, n_segments=4)
     e_full = SearchEngine(spark, full_dir)
     assert results(e2) == results(e_full)
+
+
+def test_compact_target_segments(spark, corpora, tmp_path):
+    """Segment-merge compaction (TieredMergePolicy analog): fewer, larger
+    segments; search results unchanged."""
+    from opensearch_spark.search.engine import SearchEngine
+    from opensearch_spark.index.incremental import compact_index
+
+    _, _, full = corpora
+    d = str(tmp_path / "mergeix")
+    build_index(spark, full, d, n_segments=8)
+    e1 = SearchEngine(spark, d)
+    q = {"match": {"content": "def return"}}
+    before = [(int(r["docId"]), round(float(r["score"]), 9))
+              for r in e1.search(q, k=20).collect()]
+
+    m = compact_index(spark, d, target_segments=2)
+    assert m["n_segments"] == 2
+    e2 = SearchEngine(spark, d)
+    segs = [r["seg"] for r in e2.postings.select("seg").distinct().collect()]
+    assert sorted(segs) == [0, 1] or set(segs) <= {0, 1}
+    after = [(int(r["docId"]), round(float(r["score"]), 9))
+             for r in e2.search(q, k=20).collect()]
+    assert after == before
