@@ -100,34 +100,70 @@ def add_batch(
 
 
 def _unpack_partition():
-    """mapInPandas fn: posting-block rows -> per-occurrence rows (decode
-    side of the merge; inverse of _pack_partition). Vectorized: per block
-    row only numpy expansions, no per-doc Python objects."""
+    """mapInArrow fn: posting-block rows -> per-occurrence rows (decode
+    side of the merge; inverse of _pack_partition).
 
-    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Whole-batch vectorized: every block's byte stream is CONTIGUOUS in
+    the Arrow values buffer, so each of the three varint streams (doc
+    deltas, tfs, position gaps) is decoded in ONE call over the
+    concatenated buffer; per-block / per-doc resets are applied with
+    grouped-cumsum arithmetic (cumsum minus repeated group bases). Term
+    strings are gathered with Arrow ``take`` — no per-block Python loop
+    and no Python string objects."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _values(col) -> bytes:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                            count=len(arr) + 1 + arr.offset)[arr.offset:]
+        data = arr.buffers()[2]
+        return bytes(memoryview(data)[off[0]:off[-1]])
+
+    def unpack(batches):
         for b in batches:
-            if not len(b):
+            t = pa.Table.from_batches([b]).combine_chunks()
+            if t.num_rows == 0:
                 continue
-            docs_p, seg_p, nb_p, pos_p, term_p = [], [], [], [], []
-            for row in b.itertuples(index=False):
-                n = int(row.n_docs)
-                docs = codec.delta_decode_sorted(bytes(row.doc_bytes), n)
-                tfs = codec.varint_decode(bytes(row.tf_bytes), n).astype(np.int64)
-                nb = np.frombuffer(bytes(row.norm_bytes), dtype=np.uint8)
-                pos = codec.decode_positions(bytes(row.pos_bytes), tfs)
-                docs_p.append(np.repeat(docs, tfs))
-                nb_p.append(np.repeat(nb.astype(np.int64), tfs))
-                pos_p.append(pos)
-                total = int(tfs.sum())
-                seg_p.append(np.full(total, int(row.seg), dtype=np.int64))
-                term_p.append(np.full(total, row.term, dtype=object))
-            yield pd.DataFrame({
-                "docId": np.concatenate(docs_p),
-                "seg": np.concatenate(seg_p),
-                "norm_byte": np.concatenate(nb_p),
-                "pos": np.concatenate(pos_p),
-                "term": np.concatenate(term_p),
-            })
+            n_docs = t.column("n_docs").to_numpy(zero_copy_only=False).astype(np.int64)
+            seg = t.column("seg").to_numpy(zero_copy_only=False).astype(np.int64)
+            term = t.column("term").combine_chunks() if isinstance(
+                t.column("term"), pa.ChunkedArray) else t.column("term")
+
+            total_docs = int(n_docs.sum())
+            bs = np.concatenate(([0], np.cumsum(n_docs)))[:-1]
+
+            # doc ids: zigzag(first-of-block) + deltas, reset per block
+            deltas = codec.varint_decode(_values(t.column("doc_bytes")), total_docs)
+            d = deltas.astype(np.int64, copy=True)
+            d[bs] = codec.zigzag_decode(deltas[bs])
+            c = np.cumsum(d)
+            base = c[bs] - d[bs]
+            docs_abs = c - np.repeat(base, n_docs)
+
+            tfs = codec.varint_decode(_values(t.column("tf_bytes")), total_docs).astype(np.int64)
+            norms = np.frombuffer(_values(t.column("norm_bytes")), dtype=np.uint8)
+
+            total_occ = int(tfs.sum())
+            gaps = codec.varint_decode(_values(t.column("pos_bytes")), total_occ).astype(np.int64)
+            ds = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+            cp = np.cumsum(gaps)
+            pbase = cp[ds] - gaps[ds]
+            pos_abs = cp - np.repeat(pbase, tfs)
+
+            occ_per_block = np.add.reduceat(tfs, bs) if bs.size else np.empty(0, np.int64)
+            term_idx = np.repeat(np.arange(len(t), dtype=np.int64), occ_per_block)
+
+            yield pa.record_batch(
+                [
+                    pa.array(np.repeat(docs_abs, tfs), pa.int64()),
+                    pa.array(np.repeat(np.repeat(seg, n_docs), tfs).astype(np.int32), pa.int32()),
+                    pa.array(np.repeat(norms.astype(np.int32), tfs), pa.int32()),
+                    pa.array(pos_abs.astype(np.int32), pa.int32()),
+                    pc.take(term, pa.array(term_idx)),
+                ],
+                names=["docId", "seg", "norm_byte", "pos", "term"],
+            )
 
     return unpack
 
@@ -162,7 +198,7 @@ def compact_index(spark: SparkSession, index_dir: str,
 
     tmp_postings = paths.postings + ".compact"
     shutil.rmtree(tmp_postings, ignore_errors=True)
-    occ = spark.read.parquet(paths.postings).mapInPandas(
+    occ = spark.read.parquet(paths.postings).mapInArrow(
         _unpack_partition(), schema=OCC_SCHEMA
     )
     if del_df is not None:
