@@ -6,36 +6,42 @@ dictionary -> postings (docID, tf, positions), delta-encoded in 128-doc
 blocks with per-block max-impact data for block-max WAND. We reproduce the
 *logical* layout Spark-first:
 
+DEFAULT path (waves == 1): SEGMENT-LOCAL, ZERO-SHUFFLE — the Lucene
+shard/segment write model (each shard's IndexWriter builds its own
+complete inverted index):
+
   corpus (repo,path,commit,lang,content)          [input, any DataFrame]
-    -> docId = xxhash64(id cols), content_sha = sha2(content,256)
-    -> seg   = pmod(docId, n_segments)            [shard analog]
-    -> tokenize pandas UDF -> flat token array (cheap Arrow shape)
-    -> posexplode to per-OCCURRENCE rows (docId, seg, term, pos)
-    -> shuffle on (seg, term)                     [the ONE big shuffle]
-    -> fully vectorized numpy packing into 128-doc blocks
-       (delta+varint docIds, varint tfs, byte4 norms inline, varint
-        position gaps, per-block (max_tf, min_dl_q) WAND bounds)
+    -> docId = xxhash64(id cols), content_sha = sha2 (JVM-side)
+    -> seg = spark partition id                   [shard analog]
+    -> ONE mapInArrow per segment (_local_index_fn):
+         tokenize (DuckDB regexp_extract_all on the Arrow batch; token
+         strings stay in Arrow buffers — never Python objects)
+         -> occurrence arrays -> vectorized numpy packing into 128-doc
+         blocks (delta+varint docIds, varint tfs, byte4 norms inline,
+         varint position gaps, per-block (max_tf, min_dl_q) WAND bounds)
+         + per-doc stats written side-channel (segment-file analog)
     -> parquet tables: postings/ docstats/ termstats/ globals/
 
+RESUMABLE path (waves > 1): tokenized corpus staged once, each wave
+packs a segment group through a (seg, term) shuffle and checkpoints to
+the lineage manifest -> kill-and-rerun resumes without re-tokenizing.
+
 Scale notes (100 TB design):
-- Analysis happens exactly once: the tokenized corpus is staged, and
-  docstats / posting packing derive from it via column-pruned scans.
-- The per-(doc,term) aggregation (tf, positions) happens INSIDE the
-  vectorized packer from occurrence rows — one lexsort + reduceat per
-  reducer partition, no per-row Python objects anywhere on the hot path.
-- Hot-term skew is defused structurally: the shuffle key is (seg, term),
-  so one term's postings are split across n_segments reducers — a term in
-  every doc still produces at most |segment| occurrences per reducer
-  (the salted-repartition requirement of the north rule; seg = the salt).
-- Posting files are sorted by term, so query-time term lookups get
-  parquet row-group min/max skipping; queries re-group by seg themselves,
-  so no physical seg partitioning is needed (it would explode file counts
-  at shuffle-width x n_segments).
-- termstats (global df/ttf per term) derives from the packed postings'
-  metadata columns (n_docs, sum_tf) — a cheap columnar scan, no second
-  pass over token data.
-- Phase 2 packing is checkpointed per segment-wave with a lineage
-  manifest -> kill-and-rerun resumes without re-tokenizing.
+- The default path moves NO data: doc->segment placement reuses input
+  partitioning (one repartition of raw text only if the caller forces a
+  different segment count). The build is embarrassingly parallel;
+  measured weak scaling is flat (BASELINE.md).
+- Hot-term skew is defused structurally: segments partition by DOC, so
+  a term in every doc contributes at most |segment| occurrences per
+  task (the salted-repartition requirement; seg = the salt).
+- n_segments is the task granularity: use ~4x cores (stragglers/AQE),
+  but keep segments >= a few thousand docs; serving prefers FEW large
+  segments -> merge down with compact_index(target_segments=...).
+- Per-process Arrow/DuckDB thread pools are pinned to 1 inside the UDF:
+  N workers x N default threads oversubscribes the host quadratically.
+- Posting files are sorted by term -> parquet row-group min/max
+  skipping at query time; termstats derives from packed metadata
+  columns (n_docs, sum_tf) — no second pass over token data.
 
 BM25 constants k1=1.2, b=0.75 follow the reference defaults
 (``index/similarity/SimilarityProviders.java:276-292``).

@@ -72,3 +72,29 @@ def test_docstats_scan_prunes_termvec_column(engine):
     p = plan_str(engine.docstats.select("docId", "dl"))
     read = p.split("ReadSchema")[1][:200]
     assert "doc_bytes" not in read and "_tv" not in read
+
+
+def test_local_index_build_is_zero_shuffle(spark, sf_dir):
+    """The default (segment-local) build plan must contain NO Exchange:
+    tokenize+pack runs where the corpus rows already are (the Lucene
+    shard-local write model). Data movement = none."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from opensearch_spark.analysis.analyzer import duckdb_token_regex
+    from opensearch_spark.index.build import POSTINGS_SCHEMA, _local_index_fn
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    prepared = (
+        docs.withColumn("docId", F.col("doc_id").cast("long"))
+        .withColumn("content_sha", F.sha2(F.col("text").cast("string"), 256))
+        .select("docId", "content_sha", F.col("text").alias("content"))
+        .withColumn("seg", F.spark_partition_id())
+    )
+    packed = prepared.mapInArrow(
+        _local_index_fn(128, "/tmp/zs_docstats", duckdb_token_regex()),
+        schema=POSTINGS_SCHEMA,
+    ).sortWithinPartitions("term", "block_no")
+    p = packed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
