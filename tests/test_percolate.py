@@ -67,3 +67,33 @@ def test_percolate_unsupported_query_raises(setup):
     with pytest.raises(ValueError, match="percolator does not support"):
         percolate(eng.corpus, {"bad": {"prefix": {"content": "de"}}},
                   text_col="content", id_col="docId")
+
+
+def test_streaming_percolate(setup, spark, tmp_path):
+    """Continuous queries: percolate inside foreachBatch over a file
+    stream (reference: percolator as saved searches over new docs)."""
+    import os
+
+    eng = setup
+    src = str(tmp_path / "pstream")
+    sink = str(tmp_path / "alerts")
+    eng.corpus.limit(100).select("docId", "content").write.parquet(src)
+
+    stream = spark.readStream.schema("docId long, content string").parquet(src)
+
+    def on_batch(batch_df, _bid):
+        percolate(batch_df, STORED, text_col="content", id_col="docId") \
+            .write.mode("append").parquet(sink)
+
+    q = stream.writeStream.foreachBatch(on_batch).trigger(
+        availableNow=True
+    ).option("checkpointLocation", str(tmp_path / "cp")).start()
+    q.awaitTermination(120)
+
+    alerts = spark.read.parquet(sink)
+    assert alerts.count() > 0
+    # consistent with batch percolation over the same docs
+    want = percolate(
+        spark.read.parquet(src), STORED, text_col="content", id_col="docId"
+    ).count()
+    assert alerts.count() == want
