@@ -607,6 +607,37 @@ class SearchEngine:
                     })
         return out
 
+    def suggest(self, text: str, size: int = 5, max_edits: int = 2,
+                prefix_length: int = 1, min_doc_freq: int = 1) -> dict:
+        """Term suggester ("did you mean", reference:
+        ``search/suggest/term/TermSuggester.java``): per analyzed token,
+        candidate terms from the dictionary within ``max_edits``
+        Levenshtein, sharing a ``prefix_length`` prefix, ordered by
+        (edit distance asc, doc freq desc, term asc). One Spark job over
+        the tiny termstats table per call."""
+        toks = tokenize(text)
+        out: dict = {}
+        d = self.termstats.groupBy("term").agg(F.sum("df").alias("df"))
+        for tok in dict.fromkeys(toks):
+            pref = tok[:prefix_length]
+            cand = (
+                d.where(
+                    F.col("term").startswith(pref)
+                    & (F.levenshtein(F.col("term"), F.lit(tok)) <= max_edits)
+                    & (F.col("df") >= min_doc_freq)
+                )
+                .withColumn("distance", F.levenshtein(F.col("term"), F.lit(tok)))
+                .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+                .limit(size + 1)
+                .collect()
+            )
+            out[tok] = [
+                {"text": r["term"], "freq": int(r["df"]),
+                 "distance": int(r["distance"])}
+                for r in cand if r["term"] != tok
+            ][:size]
+        return out
+
     def msearch(self, queries: Sequence[dict], k: int = 10) -> DataFrame:
         """Batched multi-search (reference: the `_msearch` endpoint,
         ``action/search/TransportMultiSearchAction.java``): N queries in

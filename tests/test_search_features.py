@@ -182,3 +182,19 @@ def test_request_rescore(eng):
         }},
     })
     assert len(out["hits"].collect()) == 5
+
+
+def test_term_suggester(eng):
+    sug = eng.suggest("retrun clas", size=3, max_edits=2)
+    assert "retrun" in sug and "clas" in sug
+    texts = [s["text"] for s in sug["retrun"]]
+    assert "return" in texts
+    texts2 = [s["text"] for s in sug["clas"]]
+    assert "class" in texts2
+    # ordering: distance asc, then freq desc
+    for lst in sug.values():
+        ds = [s["distance"] for s in lst]
+        assert ds == sorted(ds)
+    # a term already in the dictionary suggests alternatives, not itself
+    sug2 = eng.suggest("return", size=3)
+    assert all(s["text"] != "return" for s in sug2["return"])
