@@ -166,6 +166,18 @@ class Boosting(Node):
 
 
 @dataclass
+class Nested(Node):
+    """nested query (reference: NestedQueryBuilder.java:83): match
+    parents by a predicate over sub-documents in an array<struct>
+    column; score_mode avg/sum/max/min/none over per-child scores.
+    Inner query: term-level predicates on `path.field` names (the
+    Spark-first nested surface — children live in the parent row)."""
+    path: str = ""
+    query: Optional["AnyNode"] = None
+    score_mode: str = "avg"
+
+
+@dataclass
 class TermsSetQ(Node):
     """terms_set (reference: TermsSetQueryBuilder.java:69 /
     Lucene CoveringQuery): docs containing at least ``required`` of the
@@ -269,5 +281,5 @@ AnyNode = Union[
     Prefix, Wildcard, Regexp, Fuzzy, MatchBoolPrefix, MatchPhrasePrefix,
     MoreLikeThis, FunctionScore, Boosting,
     SpanTerm, SpanNear, SpanOr, SpanFirst, SpanNot, Intervals, MultiMatch,
-    TermsSetQ, ScriptQ, CommonTerms,
+    TermsSetQ, ScriptQ, CommonTerms, Nested,
 ]

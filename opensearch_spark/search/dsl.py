@@ -251,6 +251,12 @@ _PARSERS = {
         negative_boost=float(b.get("negative_boost", 0.5)),
         boost=float(b.get("boost", 1.0)),
     ),
+    "nested": lambda b: A.Nested(
+        path=str(b["path"]),
+        query=parse(b["query"]),
+        score_mode=str(b.get("score_mode", "avg")).lower(),
+        boost=float(b.get("boost", 1.0)),
+    ),
     "terms_set": lambda b: (lambda f, s: A.TermsSetQ(
         field_name=f,
         terms=[str(t) for t in s["terms"]],

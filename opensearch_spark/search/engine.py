@@ -784,6 +784,8 @@ class SearchEngine:
             )
         if isinstance(node, A.CommonTerms):
             return self.compile(self._expand_common(node), topk)
+        if isinstance(node, A.Nested):
+            return self._nested(node)
         if isinstance(node, (A.SpanTerm, A.SpanNear, A.SpanOr, A.SpanFirst, A.SpanNot)):
             return self._span_like(_span_expr(node), float(node.boost))
         if isinstance(node, A.Intervals):
@@ -794,6 +796,68 @@ class SearchEngine:
         if isinstance(node, A.Boosting):
             return self._boosting(node)
         raise ValueError(f"cannot compile: {node!r}")
+
+    def _nested(self, node: A.Nested) -> DataFrame:
+        """nested query = explode -> child predicate -> groupBy(parent)
+        with score_mode (reference: NestedQueryBuilder / block-join;
+        children here live inline in the parent row, so no join is
+        needed — one explode + one aggregation)."""
+        if self.corpus is None:
+            raise ValueError("nested query needs an attached corpus")
+        if node.path not in self.corpus.columns:
+            raise ValueError(f"nested path {node.path!r} is not a corpus column")
+        child = self.corpus.select(
+            "docId", F.explode(F.col(node.path)).alias("_child")
+        )
+
+        def c(f: str):
+            # inner fields are addressed as "path.field" (reference
+            # convention); bare names are accepted too
+            name = f[len(node.path) + 1:] if f.startswith(node.path + ".") else f
+            return F.col("_child." + name)
+
+        def pred(n: A.AnyNode):
+            if isinstance(n, A.TermQ):
+                return c(n.field_name) == F.lit(n.value), F.lit(1.0)
+            if isinstance(n, A.TermsQ):
+                return c(n.field_name).isin(n.values), F.lit(1.0)
+            if isinstance(n, A.RangeQ):
+                col = c(n.field_name)
+                cond = F.lit(True)
+                if n.gte is not None:
+                    cond = cond & (col >= F.lit(n.gte))
+                if n.gt is not None:
+                    cond = cond & (col > F.lit(n.gt))
+                if n.lte is not None:
+                    cond = cond & (col <= F.lit(n.lte))
+                if n.lt is not None:
+                    cond = cond & (col < F.lit(n.lt))
+                return cond, F.lit(1.0)
+            if isinstance(n, A.Exists):
+                return c(n.field_name).isNotNull(), F.lit(1.0)
+            if isinstance(n, A.Bool):
+                conds = [pred(x)[0] for x in n.must + n.filter]
+                nots = [pred(x)[0] for x in n.must_not]
+                cond = F.lit(True)
+                for x in conds:
+                    cond = cond & x
+                for x in nots:
+                    cond = cond & ~x
+                return cond, F.lit(1.0)
+            raise ValueError(
+                f"nested inner query supports term-level predicates, got {type(n).__name__}"
+            )
+
+        cond, child_score = pred(node.query)
+        matched = child.where(cond).select("docId", child_score.alias("_s"))
+        mode = node.score_mode
+        agg = {
+            "sum": F.sum("_s"), "max": F.max("_s"), "min": F.min("_s"),
+            "avg": F.avg("_s"), "none": F.count("_s") * F.lit(0.0),
+        }[mode]
+        return matched.groupBy("docId").agg(
+            (agg * F.lit(float(node.boost))).alias("score")
+        )
 
     def _expand_common(self, node: A.CommonTerms) -> A.AnyNode:
         """common terms -> df-threshold split bool (reference:
