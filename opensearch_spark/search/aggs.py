@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _METRIC_KINDS = {
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
     "extended_stats", "percentiles", "weighted_avg",
-    "median_absolute_deviation", "top_hits",
+    "median_absolute_deviation", "top_hits", "matrix_stats",
 }
 _BUCKET_KINDS = {
     "terms", "multi_terms", "rare_terms", "histogram", "date_histogram",
@@ -313,6 +313,18 @@ def _metric_exprs(name: str, kind: str, body: dict) -> List[Column]:
         # percentile_approx of deviations from the overall median is
         # done by caller; here: exact-ish via 50th pct
         return [F.percentile_approx(c, 0.5, 10000).alias(f"{name}_median")]
+    if kind == "matrix_stats":
+        # reference: modules/aggs-matrix-stats MatrixStatsAggregator.java:56
+        # — pairwise covariance/correlation over the listed fields
+        flds = body["fields"]
+        out: List[Column] = []
+        for i, a in enumerate(flds):
+            for bfld in flds[i + 1:]:
+                out.append(F.covar_pop(F.col(a), F.col(bfld))
+                           .alias(f"{name}_cov_{a}_{bfld}"))
+                out.append(F.corr(F.col(a), F.col(bfld))
+                           .alias(f"{name}_corr_{a}_{bfld}"))
+        return out
     if kind == "top_hits":
         # reference: TopHitsAggregator.java:78 — per-bucket top-k docs.
         # Returned as an array<struct> column sorted by the sort key;

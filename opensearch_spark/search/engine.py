@@ -502,8 +502,16 @@ class SearchEngine:
             aggs_df = compile_aggs(scope, aggs_body)
 
         src = body.get("_source")
-        if src or "highlight" in body:
+        derived = body.get("derived") or body.get("derived_fields")
+        if src or derived or "highlight" in body:
             fetched = self.fetch(hits)
+            # derived fields (reference: DerivedFieldMapper — computed at
+            # query time): Spark SQL expressions over the fetched row
+            for name, spec in (derived or {}).items():
+                expr = spec["script"] if isinstance(spec, dict) else spec
+                fetched = fetched.withColumn(name, F.expr(str(expr)))
+                if src is not None:
+                    src = list(src) + [name]
             if "highlight" in body:
                 from opensearch_spark.search import highlight as H
 

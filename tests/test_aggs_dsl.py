@@ -195,3 +195,15 @@ def test_missing_and_global(docs, ddb):
     }))
     want = ddb.execute("SELECT count(*) FROM documents").fetchone()
     assert got[0][1] == want[0]
+
+
+def test_matrix_stats(docs, ddb):
+    got = rows(compile_aggs(docs, {
+        "m": {"matrix_stats": {"fields": ["n_chars", "doc_id"]}}
+    }))[0]
+    want = ddb.execute("""
+        SELECT count(*), covar_pop(n_chars, doc_id), corr(n_chars, doc_id)
+        FROM documents
+    """).fetchone()
+    assert got[0] == want[0]
+    assert abs(got[1] - want[1]) < 1e-6 and abs(got[2] - want[2]) < 1e-9

@@ -198,3 +198,17 @@ def test_term_suggester(eng):
     # a term already in the dictionary suggests alternatives, not itself
     sug2 = eng.suggest("return", size=3)
     assert all(s["text"] != "return" for s in sug2["return"])
+
+
+def test_request_derived_fields(eng):
+    out = eng.request({
+        "query": Q, "size": 3,
+        "_source": ["lang"],
+        "derived": {"is_python": {"script": "lang = 'python'"},
+                    "len_chars": "length(content)"},
+    })
+    rows_ = out["hits"].collect()
+    assert len(rows_) == 3
+    for r in rows_:
+        assert r["is_python"] == (r["lang"] == "python")
+        assert isinstance(r["len_chars"], int) and r["len_chars"] > 0
