@@ -410,6 +410,60 @@ def span_or_sql(terms: "Sequence[str]") -> str:
         FROM tok WHERE term IN ({qt})"""
 
 
+def _near2_spans_cte(t1: str, t2: str, slop: int) -> str:
+    """CTE ``spans``(doc_id, s, e): the engine's 2-clause in-order
+    span_near spans — per final-term occurrence, the CLOSEST preceding
+    first-term occurrence (minimal interval, Lucene-like), gap <= slop."""
+    return f"""
+pairs AS (
+  SELECT t1.doc_id, max(t0.pos) AS s, t1.pos AS e1
+  FROM tok t1
+  JOIN tok t0 ON t0.doc_id = t1.doc_id AND t0.term = {_qlit(t1)}
+             AND t0.pos + 1 <= t1.pos
+  WHERE t1.term = {_qlit(t2)}
+  GROUP BY t1.doc_id, t1.pos
+),
+spans AS (
+  SELECT doc_id, s, e1 + 1 AS e FROM pairs WHERE e1 - s - 1 <= {slop}
+)""".strip()
+
+
+def span_within_sql(t1: str, t2: str, slop: int, little: str) -> str:
+    """span_within(little=term, big=span_near(t1, t2, slop, in_order)):
+    docs where a ``little`` occurrence sits inside a minimal (t1..t2)
+    span."""
+    return f"""WITH {base_ctes()},
+{_near2_spans_cte(t1, t2, slop)}
+SELECT DISTINCT s.doc_id AS doc_id, 1.0 AS score
+FROM spans s
+JOIN tok tx ON tx.doc_id = s.doc_id AND tx.term = {_qlit(little)}
+           AND tx.pos >= s.s AND tx.pos + 1 <= s.e"""
+
+
+def span_containing_sql(t1: str, t2: str, slop: int, little: str) -> str:
+    """span_containing(big=span_near(t1, t2, slop), little=term): docs
+    with a minimal (t1..t2) span enclosing a ``little`` occurrence.
+    (Doc-level result coincides with span_within — the two operators
+    differ in which spans they EMIT, which only matters for nesting.)"""
+    return span_within_sql(t1, t2, slop, little)
+
+
+def intervals_not_containing_sql(t1: str, t2: str, max_gaps: int,
+                                 excl: str) -> str:
+    """intervals match(t1 t2, ordered, max_gaps) with filter
+    not_containing(excl): docs with a minimal (t1..t2) span holding NO
+    ``excl`` occurrence."""
+    return f"""WITH {base_ctes()},
+{_near2_spans_cte(t1, t2, max_gaps)}
+SELECT DISTINCT s.doc_id AS doc_id, 1.0 AS score
+FROM spans s
+WHERE NOT EXISTS (
+  SELECT 1 FROM tok tx
+  WHERE tx.doc_id = s.doc_id AND tx.term = {_qlit(excl)}
+    AND tx.pos >= s.s AND tx.pos + 1 <= s.e
+)"""
+
+
 # ---- multi-field (multi_match) oracles -------------------------------------
 
 def base_ctes_field(p: str, text_col: str) -> str:
@@ -493,6 +547,115 @@ def multi_match_sql(query: str, fields: "Sequence[tuple]",
         "WITH " + ",\n".join(ctes) + f"""
         SELECT base.doc_id AS doc_id, round({score}, 4) AS score
         FROM ({u}) base {joins}"""
+    )
+
+
+def cross_fields_sql(query: str, fields: "Sequence[tuple]",
+                     tie: float = 0.0) -> str:
+    """multi_match type=cross_fields oracle. ``fields`` =
+    [(column, suffix, weight)]. Mirrors the engine's blended-df
+    semantics: df_blend = max over fields, per-field score with blended
+    idf + own tf/norms/avgdl, per-term best-field (+ tie * rest),
+    summed per doc. idf doc-count = primary (first) field's N."""
+    terms = sorted(set(tokenize(query)))
+    qt = ", ".join(f"({_qlit(t)})" for t in terms)
+    ctes = [base_ctes_field(p, col) for col, p, _w in fields]
+    p0 = fields[0][1]
+    union_df = " UNION ALL ".join(
+        f"SELECT term, df FROM dfreq{p} WHERE term IN (SELECT term FROM qt)"
+        for _c, p, _w in fields
+    )
+    ctes.append(f"qt(term) AS (VALUES {qt})")
+    ctes.append(f"bdf AS (SELECT term, max(df) AS df FROM ({union_df}) GROUP BY term)")
+    snames = []
+    for i, (_col, p, w) in enumerate(fields):
+        nm = f"cf{i}"
+        snames.append(nm)
+        extra_gl = f"CROSS JOIN gl{p0}" if p != p0 else ""
+        ctes.append(f"""
+{nm} AS (
+  SELECT f.doc_id, f.term,
+         {w!r} * ln(1 + (gl{p0}.n - bd.df + 0.5) / (bd.df + 0.5)) * {K1 + 1.0!r}
+           * f.tf / (f.tf + {K1!r} * (1 - {B!r} + {B!r} * q.dlq / gl{p}.avgdl)) AS s
+  FROM tf{p} f
+  JOIN bdf bd USING (term)
+  JOIN dlq{p} q USING (doc_id)
+  CROSS JOIN gl{p}
+  {extra_gl}
+  WHERE f.term IN (SELECT term FROM qt)
+)""".strip())
+    u = " UNION ALL ".join(f"SELECT * FROM {nm}" for nm in snames)
+    ctes.append(
+        f"pt AS (SELECT doc_id, term, max(s) AS best, sum(s) AS tot "
+        f"FROM ({u}) GROUP BY doc_id, term)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT doc_id, round(sum(best + {tie!r} * (tot - best)), 4) AS score
+        FROM pt GROUP BY doc_id"""
+    )
+
+
+def combined_fields_sql(query: str, fields: "Sequence[tuple]") -> str:
+    """combined_fields (BM25F) oracle. ``fields`` = [(column, suffix,
+    weight)]. tf_c = sum w*tf, dl_c = sum w*dl (exact lengths), df_c =
+    distinct docs with the term in any field, N/avgdl over docs with
+    dl_c > 0 — exactly the engine's combined statistics."""
+    terms = sorted(set(tokenize(query)))
+    qt = ", ".join(f"({_qlit(t)})" for t in terms)
+    ctes = [base_ctes_field(p, col) for col, p, _w in fields]
+    ctes.append(f"qt(term) AS (VALUES {qt})")
+    u_tf = " UNION ALL ".join(
+        f"SELECT doc_id, term, {w!r} * tf AS wtf FROM tf{p} "
+        f"WHERE term IN (SELECT term FROM qt)"
+        for _c, p, w in fields
+    )
+    ctes.append(
+        f"tfc AS (SELECT doc_id, term, sum(wtf) AS tf FROM ({u_tf}) "
+        f"GROUP BY doc_id, term)"
+    )
+    # fold per-field dl with FULL OUTER JOINs
+    first = fields[0]
+    from_dl = f"dl{first[1]} d0"
+    dl_parts = [f"coalesce({first[2]!r} * d0.dl, 0.0)"]
+    id_parts = ["d0.doc_id"]
+    for i, (_c, p, w) in enumerate(fields[1:], start=1):
+        from_dl += (
+            f" FULL OUTER JOIN dl{p} d{i} ON d{i}.doc_id = "
+            f"coalesce({', '.join(id_parts)})"
+        )
+        dl_parts.append(f"coalesce({w!r} * d{i}.dl, 0.0)")
+        id_parts.append(f"d{i}.doc_id")
+    ctes.append(
+        f"dlc AS (SELECT coalesce({', '.join(id_parts)}) AS doc_id, "
+        f"{' + '.join(dl_parts)} AS dl FROM {from_dl})"
+    )
+    ctes.append(
+        "glc AS (SELECT count(*) AS n, sum(dl) / count(*) AS avgdl "
+        "FROM dlc WHERE dl > 0)"
+    )
+    ctes.append(
+        "dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY term)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT t.doc_id AS doc_id,
+               round(sum(ln(1 + (glc.n - d.df + 0.5) / (d.df + 0.5)) * {K1 + 1.0!r}
+                     * t.tf / (t.tf + {K1!r} * (1 - {B!r} + {B!r} * l.dl / glc.avgdl))), 4) AS score
+        FROM tfc t
+        JOIN dfc d USING (term)
+        JOIN dlc l USING (doc_id)
+        CROSS JOIN glc
+        GROUP BY t.doc_id"""
+    )
+
+
+def random_uniform_sql(seed: str, id_expr: str = "doc_id") -> str:
+    """Deterministic uniform [0,1) shared with the engine's random_score:
+    first 8 hex chars of md5(seed ':' docId) / 2^32."""
+    return (
+        f"(CAST(concat('0x', substr(md5(concat({_qlit(seed)}, ':', "
+        f"CAST({id_expr} AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0)"
     )
 
 

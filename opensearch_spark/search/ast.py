@@ -149,13 +149,18 @@ class MatchPhrasePrefix(Node):
 
 @dataclass
 class FunctionScore(Node):
-    """function_score with field_value_factor (reference:
-    FunctionScoreQueryBuilder); score-column arithmetic in Spark."""
+    """function_score (reference: index/query/functionscore/
+    FunctionScoreQueryBuilder.java:74): a list of score functions over
+    the matched set, combined by ``score_mode`` then applied to the
+    query score by ``boost_mode``. Each function is a dict:
+    {"kind": "field_value_factor" | "script_score" | "random_score" |
+     "gauss" | "exp" | "linear" | "weight",
+     "params": {...}, "weight": float, "filter": AnyNode | None}.
+    All functions evaluate as Catalyst column arithmetic."""
     query: Optional["AnyNode"] = None
-    field: str = ""
-    factor: float = 1.0
-    modifier: str = "none"   # none | log1p | sqrt | square | ln1p(alias)
-    boost_mode: str = "multiply"  # multiply | sum | replace
+    functions: List[dict] = field(default_factory=list)
+    score_mode: str = "multiply"  # multiply | sum | avg | max | min | first
+    boost_mode: str = "multiply"  # multiply | sum | replace | avg | max | min
 
 
 @dataclass
@@ -214,11 +219,31 @@ class MultiMatch(Node):
     """multi_match (reference: MultiMatchQueryBuilder.java:67).
     best_fields = dis_max over per-field match (+ tie_breaker);
     most_fields = sum of per-field match scores; phrase = dis_max of
-    per-field match_phrase."""
+    per-field match_phrase; bool_prefix = dis_max of per-field
+    match_bool_prefix; cross_fields = term-centric blended-df scoring
+    (reference: MultiMatchQuery.java blended term queries).
+    ``field_boosts`` carries per-field caret boosts ("title^3")."""
     fields: List[str] = field(default_factory=list)
+    field_boosts: List[float] = field(default_factory=list)
     query: str = ""
-    type: str = "best_fields"   # best_fields | most_fields | phrase
+    type: str = "best_fields"   # best_fields | most_fields | phrase | cross_fields | bool_prefix
     tie_breaker: float = 0.0
+    operator: str = "or"
+    minimum_should_match: int = 0
+
+
+@dataclass
+class CombinedFields(Node):
+    """combined_fields (reference: index/query/CombinedFieldsQueryBuilder.java:48
+    / Lucene CombinedFieldQuery, BM25F): fields are merged into one
+    synthetic field — tf_c = sum_f w_f*tf_f, dl_c = sum_f w_f*dl_f,
+    df_c = |docs where any field contains t| — and BM25 runs once over
+    the combined statistics. Documented divergence: dl_c uses the exact
+    (unquantized) per-field lengths, not Lucene's re-quantized combined
+    norm."""
+    fields: List[str] = field(default_factory=list)
+    field_boosts: List[float] = field(default_factory=list)
+    query: str = ""
     operator: str = "or"
     minimum_should_match: int = 0
 
@@ -257,6 +282,30 @@ class SpanNot(Node):
 
 
 @dataclass
+class SpanWithin(Node):
+    """span_within (reference: index/query/SpanWithinQueryBuilder.java):
+    spans of ``little`` fully enclosed by some ``big`` span."""
+    little: Optional["AnyNode"] = None
+    big: Optional["AnyNode"] = None
+
+
+@dataclass
+class SpanContaining(Node):
+    """span_containing (reference: SpanContainingQueryBuilder.java):
+    spans of ``big`` that enclose at least one ``little`` span."""
+    little: Optional["AnyNode"] = None
+    big: Optional["AnyNode"] = None
+
+
+@dataclass
+class SpanMulti(Node):
+    """span_multi (reference: SpanMultiTermQueryBuilder.java): wraps a
+    multi-term query (prefix/wildcard/regexp/fuzzy); dictionary
+    expansion yields a span_or of term spans."""
+    match: Optional["AnyNode"] = None
+
+
+@dataclass
 class Intervals(Node):
     """intervals query (reference: IntervalQueryBuilder.java:55).
     ``rule`` is the parsed source tree: ("match", terms, max_gaps,
@@ -280,6 +329,7 @@ AnyNode = Union[
     MatchAll, MatchNone, ConstantScore, DisMax,
     Prefix, Wildcard, Regexp, Fuzzy, MatchBoolPrefix, MatchPhrasePrefix,
     MoreLikeThis, FunctionScore, Boosting,
-    SpanTerm, SpanNear, SpanOr, SpanFirst, SpanNot, Intervals, MultiMatch,
+    SpanTerm, SpanNear, SpanOr, SpanFirst, SpanNot, SpanWithin,
+    SpanContaining, SpanMulti, Intervals, MultiMatch, CombinedFields,
     TermsSetQ, ScriptQ, CommonTerms, Nested,
 ]

@@ -170,11 +170,35 @@ def _parse_span(dsl: dict) -> A.AnyNode:
         return A.SpanNot(include=_parse_span(body["include"]),
                          exclude=_parse_span(body["exclude"]),
                          boost=float(body.get("boost", 1.0)))
+    if kind == "span_within":
+        return A.SpanWithin(little=_parse_span(body["little"]),
+                            big=_parse_span(body["big"]),
+                            boost=float(body.get("boost", 1.0)))
+    if kind == "span_containing":
+        return A.SpanContaining(little=_parse_span(body["little"]),
+                                big=_parse_span(body["big"]),
+                                boost=float(body.get("boost", 1.0)))
+    if kind == "span_multi":
+        return A.SpanMulti(match=parse(body["match"]),
+                           boost=float(body.get("boost", 1.0)))
     raise ValueError(f"unsupported span query: {kind}")
 
 
 def _parse_intervals(body: dict) -> A.Intervals:
     fld, spec = _field_body(body)
+
+    def filt(b: dict):
+        """Containment filters (reference: IntervalsSourceProvider
+        IntervalFilter): {"containing"|"contained_by"|"not_containing"|
+        "not_contained_by"|"not_overlapping": <rule>}."""
+        f = b.get("filter")
+        if not f:
+            return None
+        ((fk, fr),) = f.items()
+        if fk not in ("containing", "contained_by", "not_containing",
+                      "not_contained_by", "not_overlapping"):
+            raise ValueError(f"unsupported intervals filter: {fk}")
+        return (fk, rule(fr))
 
     def rule(s: dict):
         ((k, b),) = {k: v for k, v in s.items() if k != "boost"}.items()
@@ -182,16 +206,92 @@ def _parse_intervals(body: dict) -> A.Intervals:
             from opensearch_spark.analysis.analyzer import tokenize
 
             return ("match", tokenize(str(b["query"])),
-                    int(b.get("max_gaps", -1)), bool(b.get("ordered", False)))
+                    int(b.get("max_gaps", -1)), bool(b.get("ordered", False)),
+                    filt(b))
         if k == "all_of":
             return ("all_of", [rule(x) for x in b["intervals"]],
-                    int(b.get("max_gaps", -1)), bool(b.get("ordered", False)))
+                    int(b.get("max_gaps", -1)), bool(b.get("ordered", False)),
+                    filt(b))
         if k == "any_of":
             return ("any_of", [rule(x) for x in b["intervals"]])
         raise ValueError(f"unsupported intervals source: {k}")
 
     return A.Intervals(field_name=fld, rule=rule(spec),
                        boost=float(spec.get("boost", 1.0)))
+
+
+_FN_KINDS = ("field_value_factor", "script_score", "random_score",
+             "gauss", "exp", "linear", "weight")
+
+
+def _parse_one_function(spec: dict) -> dict:
+    """One score-function spec -> {"kind", "params", "weight", "filter"}."""
+    fn = {"kind": None, "params": {}, "weight": float(spec.get("weight", 1.0)),
+          "filter": parse(spec["filter"]) if "filter" in spec else None}
+    for k in _FN_KINDS:
+        if k in spec:
+            fn["kind"] = k
+            body = spec[k]
+            if k in ("gauss", "exp", "linear"):
+                # {"field": {"origin", "scale", "offset", "decay"}}
+                ((fld, p),) = body.items()
+                fn["params"] = {
+                    "field": fld,
+                    "origin": float(p["origin"]),
+                    "scale": float(p["scale"]),
+                    "offset": float(p.get("offset", 0.0)),
+                    "decay": float(p.get("decay", 0.5)),
+                }
+            elif k == "field_value_factor":
+                fn["params"] = {
+                    "field": body["field"],
+                    "factor": float(body.get("factor", 1.0)),
+                    "modifier": str(body.get("modifier", "none")).lower(),
+                    "missing": body.get("missing"),
+                }
+            elif k == "script_score":
+                src = body["script"]
+                fn["params"] = {
+                    "source": str(src["source"] if isinstance(src, dict) else src)
+                }
+            elif k == "random_score":
+                fn["params"] = {"seed": str(body.get("seed", 0)) if body else "0"}
+            elif k == "weight":
+                fn["weight"] = float(body)
+                fn["params"] = {}
+            break
+    if fn["kind"] is None:
+        fn["kind"] = "weight"
+    return fn
+
+
+def _parse_function_score(b: dict) -> A.FunctionScore:
+    if "functions" in b:
+        fns = [_parse_one_function(s) for s in b["functions"]]
+    else:
+        fns = [_parse_one_function(b)] if any(k in b for k in _FN_KINDS) else []
+    return A.FunctionScore(
+        query=parse(b["query"]) if "query" in b else A.MatchAll(),
+        functions=fns,
+        score_mode=str(b.get("score_mode", "multiply")).lower(),
+        boost_mode=str(b.get("boost_mode", "multiply")).lower(),
+        boost=float(b.get("boost", 1.0)),
+    )
+
+
+def _parse_fields_boosts(fields: list) -> tuple[list, list]:
+    """["title^3", "body"] -> (["title", "body"], [3.0, 1.0]) — the
+    caret per-field boost syntax (reference: parseFieldsAndWeights)."""
+    names, boosts = [], []
+    for f in fields:
+        if "^" in f:
+            name, _, w = f.rpartition("^")
+            names.append(name)
+            boosts.append(float(w))
+        else:
+            names.append(f)
+            boosts.append(1.0)
+    return names, boosts
 
 
 def _parse_query_string(body: dict) -> A.AnyNode:
@@ -237,14 +337,7 @@ _PARSERS = {
         max_expansions=int(s.get("max_expansions", 50)) if isinstance(s, dict) else 50,
     ))(*_field_body(b)),
     "more_like_this": _parse_mlt,
-    "function_score": lambda b: A.FunctionScore(
-        query=parse(b["query"]) if "query" in b else A.MatchAll(),
-        field=b.get("field_value_factor", {}).get("field", ""),
-        factor=float(b.get("field_value_factor", {}).get("factor", 1.0)),
-        modifier=str(b.get("field_value_factor", {}).get("modifier", "none")).lower(),
-        boost_mode=str(b.get("boost_mode", "multiply")).lower(),
-        boost=float(b.get("boost", 1.0)),
-    ),
+    "function_score": lambda b: _parse_function_score(b),
     "boosting": lambda b: A.Boosting(
         positive=parse(b["positive"]),
         negative=parse(b["negative"]),
@@ -282,20 +375,32 @@ _PARSERS = {
         if isinstance(s, dict) else 0,
         boost=float(s.get("boost", 1.0)) if isinstance(s, dict) else 1.0,
     ))(*_field_body(b)),
-    "multi_match": lambda b: A.MultiMatch(
-        fields=[f.split("^")[0] for f in b["fields"]],
+    "multi_match": lambda b: (lambda names, boosts: A.MultiMatch(
+        fields=names,
+        field_boosts=boosts,
         query=str(b["query"]),
         type=str(b.get("type", "best_fields")).lower(),
         tie_breaker=float(b.get("tie_breaker", 0.0)),
         operator=str(b.get("operator", "or")).lower(),
         minimum_should_match=int(b.get("minimum_should_match", 0)),
         boost=float(b.get("boost", 1.0)),
-    ),
+    ))(*_parse_fields_boosts(b["fields"])),
+    "combined_fields": lambda b: (lambda names, boosts: A.CombinedFields(
+        fields=names,
+        field_boosts=boosts,
+        query=str(b["query"]),
+        operator=str(b.get("operator", "or")).lower(),
+        minimum_should_match=int(b.get("minimum_should_match", 0)),
+        boost=float(b.get("boost", 1.0)),
+    ))(*_parse_fields_boosts(b["fields"])),
     "span_term": lambda b: _parse_span({"span_term": b}),
     "span_near": lambda b: _parse_span({"span_near": b}),
     "span_or": lambda b: _parse_span({"span_or": b}),
     "span_first": lambda b: _parse_span({"span_first": b}),
     "span_not": lambda b: _parse_span({"span_not": b}),
+    "span_within": lambda b: _parse_span({"span_within": b}),
+    "span_containing": lambda b: _parse_span({"span_containing": b}),
+    "span_multi": lambda b: _parse_span({"span_multi": b}),
     "intervals": _parse_intervals,
     "query_string": lambda b: _parse_query_string(b),
     "simple_query_string": lambda b: _parse_simple_query_string(b),

@@ -121,7 +121,9 @@ def _make_sloppy_phrase_scorer(terms: List[str], idfs: Dict[str, float],
 
 
 def _span_expr(node) -> tuple:
-    """Span AST -> picklable expression tree for the scorer UDF."""
+    """Span AST -> picklable expression tree for the scorer UDF.
+    (SpanMulti must be rewritten to SpanOr by the engine first —
+    dictionary expansion needs the termstats table.)"""
     if isinstance(node, A.SpanTerm):
         return ("term", node.value)
     if isinstance(node, A.SpanNear):
@@ -133,29 +135,59 @@ def _span_expr(node) -> tuple:
         return ("first", _span_expr(node.match), int(node.end))
     if isinstance(node, A.SpanNot):
         return ("not", _span_expr(node.include), _span_expr(node.exclude))
+    if isinstance(node, A.SpanWithin):
+        return ("within", _span_expr(node.little), _span_expr(node.big))
+    if isinstance(node, A.SpanContaining):
+        return ("containing", _span_expr(node.big), _span_expr(node.little))
     raise ValueError(f"not a span node: {node!r}")
 
 
 _BIG_GAPS = 1 << 30
 
 
+_IVF_OPS = {
+    "containing": "containing",
+    "contained_by": "within",
+    "not_containing": "notcontaining",
+    "not_contained_by": "notwithin",
+    "not_overlapping": "not",
+}
+
+
 def _interval_expr(rule) -> tuple:
     """Parsed intervals rule -> span expression. max_gaps=-1 (unlimited)
     becomes a huge slop; unordered uses the pairwise-fold minimal-window
-    combine (spans.near_unordered)."""
+    combine (spans.near_unordered). Containment filters wrap the source
+    expression (reference: IntervalFilter)."""
     kind = rule[0]
+
+    def wrap(expr, filt):
+        if filt is None:
+            return expr
+        fk, fr = filt
+        fexpr = _interval_expr(fr)
+        op = _IVF_OPS[fk]
+        if op in ("containing", "notcontaining"):
+            return (op, expr, fexpr)
+        # within/notwithin/not take (source, filter) in little-first order
+        return (op, expr, fexpr)
+
     if kind == "match":
-        _k, terms, max_gaps, ordered = rule
+        _k, terms, max_gaps, ordered = rule[:4]
+        filt = rule[4] if len(rule) > 4 else None
         subs = [("term", t) for t in terms]
-        if len(subs) == 1:
-            return subs[0]
-        return ("near", subs, max_gaps if max_gaps >= 0 else _BIG_GAPS, ordered)
+        expr = subs[0] if len(subs) == 1 else (
+            "near", subs, max_gaps if max_gaps >= 0 else _BIG_GAPS, ordered
+        )
+        return wrap(expr, filt)
     if kind == "all_of":
-        _k, rules, max_gaps, ordered = rule
+        _k, rules, max_gaps, ordered = rule[:4]
+        filt = rule[4] if len(rule) > 4 else None
         subs = [_interval_expr(r) for r in rules]
-        if len(subs) == 1:
-            return subs[0]
-        return ("near", subs, max_gaps if max_gaps >= 0 else _BIG_GAPS, ordered)
+        expr = subs[0] if len(subs) == 1 else (
+            "near", subs, max_gaps if max_gaps >= 0 else _BIG_GAPS, ordered
+        )
+        return wrap(expr, filt)
     if kind == "any_of":
         return ("or", [_interval_expr(r) for r in rule[1]])
     raise ValueError(kind)
@@ -171,7 +203,7 @@ def _expr_terms(expr) -> List[str]:
         return out
     if expr[0] == "first":
         return _expr_terms(expr[1])
-    if expr[0] == "not":
+    if expr[0] in ("not", "within", "containing", "notwithin", "notcontaining"):
         return _expr_terms(expr[1]) + _expr_terms(expr[2])
     raise ValueError(expr)
 
@@ -200,6 +232,18 @@ def _make_span_scorer(expr: tuple, boost: float):
         if e[0] == "not":
             return S.not_spans(eval_expr(e[1], span_map),
                                eval_expr(e[2], span_map))
+        if e[0] == "within":
+            return S.within_spans(eval_expr(e[1], span_map),
+                                  eval_expr(e[2], span_map))
+        if e[0] == "containing":
+            return S.containing_spans(eval_expr(e[1], span_map),
+                                      eval_expr(e[2], span_map))
+        if e[0] == "notwithin":
+            return S.not_within_spans(eval_expr(e[1], span_map),
+                                      eval_expr(e[2], span_map))
+        if e[0] == "notcontaining":
+            return S.not_containing_spans(eval_expr(e[1], span_map),
+                                          eval_expr(e[2], span_map))
         raise ValueError(e)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -265,6 +309,70 @@ def _make_phrase_prefix_scorer(fixed: List[str], expansions: List[str],
             * bm25.tf_norm(pf.astype(np.float64), dl_q, avgdl)
         )
         return pd.DataFrame({"docId": docs.astype(np.int64), "score": scores})
+
+    return fn
+
+
+TERM_SCORE_SCHEMA = "docId long, term string, score double"
+TERM_TF_SCHEMA = "docId long, term string, wtf double"
+
+
+def _make_term_score_scorer(idfs: Dict[str, float], avgdl: float, weight: float):
+    """Per-(doc, term) BM25 partials for cross_fields blending (reference:
+    Lucene BlendedTermQuery — per-term scores with blended df, combined
+    across fields downstream)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = bm25.decode_term_group(pdf)
+        d_l: List[np.ndarray] = []
+        t_l: List[np.ndarray] = []
+        s_l: List[np.ndarray] = []
+        for t in sorted(idfs):
+            if t not in decoded:
+                continue
+            docs, tfs, dl_q, _pos = decoded[t]
+            s = (
+                weight * idfs[t] * (bm25.K1 + 1.0)
+                * bm25.tf_norm(tfs.astype(np.float64), dl_q, avgdl)
+            )
+            d_l.append(docs)
+            t_l.append(np.full(docs.size, t, dtype=object))
+            s_l.append(s)
+        if not d_l:
+            return pd.DataFrame({"docId": pd.Series([], dtype=np.int64),
+                                 "term": pd.Series([], dtype=object),
+                                 "score": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({
+            "docId": np.concatenate(d_l),
+            "term": np.concatenate(t_l),
+            "score": np.concatenate(s_l),
+        })
+
+    return fn
+
+
+def _make_tf_scorer(weight: float):
+    """Per-(doc, term) weighted raw term frequencies (combined_fields /
+    BM25F numerator input: tf_c = sum_f w_f * tf_f)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = bm25.decode_term_group(pdf)
+        d_l: List[np.ndarray] = []
+        t_l: List[np.ndarray] = []
+        v_l: List[np.ndarray] = []
+        for t, (docs, tfs, _dlq, _pos) in decoded.items():
+            d_l.append(docs)
+            t_l.append(np.full(docs.size, t, dtype=object))
+            v_l.append(weight * tfs.astype(np.float64))
+        if not d_l:
+            return pd.DataFrame({"docId": pd.Series([], dtype=np.int64),
+                                 "term": pd.Series([], dtype=object),
+                                 "wtf": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({
+            "docId": np.concatenate(d_l),
+            "term": np.concatenate(t_l),
+            "wtf": np.concatenate(v_l),
+        })
 
     return fn
 
@@ -771,6 +879,8 @@ class SearchEngine:
         if isinstance(node, A.MoreLikeThis):
             return self._mlt(node)
         if isinstance(node, A.MultiMatch):
+            if node.type == "cross_fields":
+                return self._cross_fields(node)
             return self.compile(self._expand_multi_match(node), topk)
         if isinstance(node, A.TermsSetQ):
             # CoveringQuery: >= required of the terms present, scored as
@@ -794,7 +904,12 @@ class SearchEngine:
             return self.compile(self._expand_common(node), topk)
         if isinstance(node, A.Nested):
             return self._nested(node)
-        if isinstance(node, (A.SpanTerm, A.SpanNear, A.SpanOr, A.SpanFirst, A.SpanNot)):
+        if isinstance(node, A.CombinedFields):
+            return self._combined_fields(node)
+        if isinstance(node, (A.SpanTerm, A.SpanNear, A.SpanOr, A.SpanFirst,
+                             A.SpanNot, A.SpanWithin, A.SpanContaining,
+                             A.SpanMulti)):
+            node = self._rewrite_span_multi(node)
             return self._span_like(_span_expr(node), float(node.boost))
         if isinstance(node, A.Intervals):
             self._check_field(node.field_name)
@@ -904,20 +1019,49 @@ class SearchEngine:
     def _expand_multi_match(self, node: A.MultiMatch) -> A.AnyNode:
         """multi_match -> per-field match combination (reference:
         MultiMatchQuery.java — best_fields builds a DisMaxQuery over the
-        per-field queries, most_fields a should-bool that sums)."""
+        per-field queries, most_fields a should-bool that sums,
+        bool_prefix per-field match_bool_prefix). Caret boosts carry
+        into the per-field leaves."""
+        boosts = node.field_boosts or [1.0] * len(node.fields)
         if node.type == "phrase":
-            per = [A.MatchPhrase(field_name=f, query=node.query)
-                   for f in node.fields]
+            per: List[A.AnyNode] = [
+                A.MatchPhrase(field_name=f, query=node.query, boost=w)
+                for f, w in zip(node.fields, boosts)
+            ]
+        elif node.type == "bool_prefix":
+            per = [
+                A.MatchBoolPrefix(field_name=f, query=node.query, boost=w)
+                for f, w in zip(node.fields, boosts)
+            ]
         else:
             per = [
                 A.Match(field_name=f, query=node.query, operator=node.operator,
-                        minimum_should_match=node.minimum_should_match)
-                for f in node.fields
+                        minimum_should_match=node.minimum_should_match, boost=w)
+                for f, w in zip(node.fields, boosts)
             ]
         if node.type == "most_fields":
             return A.Bool(should=per, minimum_should_match=1, boost=node.boost)
         return A.DisMax(queries=per, tie_breaker=node.tie_breaker,
                         boost=node.boost)
+
+    def _rewrite_span_multi(self, node: "A.AnyNode") -> "A.AnyNode":
+        """Replace span_multi wrappers with span_or over the dictionary
+        expansion of the wrapped multi-term query (reference:
+        SpanMultiTermQueryBuilder -> SpanMultiTermQueryWrapper rewrite)."""
+        if isinstance(node, A.SpanMulti):
+            exp = self.expand_terms(node.match)
+            fld = node.match.field_name
+            return A.SpanOr(
+                clauses=[A.SpanTerm(field_name=fld, value=t) for t in exp],
+                boost=node.boost,
+            )
+        for attr in ("little", "big", "include", "exclude", "match"):
+            c = getattr(node, attr, None)
+            if c is not None and not isinstance(c, (str, int, float)):
+                setattr(node, attr, self._rewrite_span_multi(c))
+        if getattr(node, "clauses", None):
+            node.clauses = [self._rewrite_span_multi(c) for c in node.clauses]
+        return node
 
     def _span_like(self, expr: tuple, boost: float) -> DataFrame:
         """span_* / intervals: position-algebra matcher over the query
@@ -932,25 +1076,131 @@ class SearchEngine:
             .applyInPandas(scorer, SCORE_SCHEMA)
         )
 
+    def _one_function_col(self, fn: dict) -> "F.Column":
+        """One score function -> Catalyst column over the joined corpus
+        row (reference: functionscore/*ScoreFunction.java — all are pure
+        per-doc arithmetic, so whole-stage codegen owns them)."""
+        import math as _math
+
+        kind, p, weight = fn["kind"], fn["params"], float(fn["weight"])
+        if kind == "field_value_factor":
+            fv = F.col(p["field"]).cast("double")
+            if p.get("missing") is not None:
+                fv = F.coalesce(fv, F.lit(float(p["missing"])))
+            fv = fv * F.lit(float(p["factor"]))
+            mod = p["modifier"]
+            if mod in ("log1p", "ln1p"):
+                fv = F.log1p(fv)
+            elif mod == "log2p":
+                fv = F.log(F.lit(2.0) + fv)
+            elif mod == "ln":
+                fv = F.log(fv)
+            elif mod == "log":
+                fv = F.log(F.lit(10.0), fv)
+            elif mod == "sqrt":
+                fv = F.sqrt(fv)
+            elif mod == "square":
+                fv = fv * fv
+            elif mod == "reciprocal":
+                fv = F.lit(1.0) / fv
+            col = fv
+        elif kind == "script_score":
+            # Painless stand-in: Spark SQL expression over corpus columns;
+            # `_score` refers to the query score
+            col = F.expr(p["source"].replace("_score", "score")).cast("double")
+        elif kind == "random_score":
+            # deterministic, engine-portable uniform [0, 1): first 8 hex
+            # chars of md5(seed ':' docId) / 2^32 (reference:
+            # RandomScoreFunction is seeded-hash based too)
+            h = F.md5(F.concat_ws(":", F.lit(str(p["seed"])),
+                                  F.col("docId").cast("string")))
+            col = (
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+                / F.lit(4294967296.0)
+            )
+        elif kind in ("gauss", "exp", "linear"):
+            # decay functions (reference: DecayFunctionBuilder.java —
+            # gauss: exp(-d²/2σ²), exp: exp(λd), linear: max(0, (s-d)/s)
+            # with d = max(0, |x - origin| - offset))
+            x = F.col(p["field"]).cast("double")
+            d = F.greatest(
+                F.lit(0.0),
+                F.abs(x - F.lit(p["origin"])) - F.lit(p["offset"]),
+            )
+            scale, decay = p["scale"], p["decay"]
+            if kind == "gauss":
+                sigma2 = -(scale * scale) / (2.0 * _math.log(decay))
+                col = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+            elif kind == "exp":
+                lam = _math.log(decay) / scale
+                col = F.exp(d * F.lit(lam))
+            else:
+                s = scale / (1.0 - decay)
+                col = F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
+        else:  # weight-only function
+            col = F.lit(1.0)
+        if weight != 1.0:
+            col = col * F.lit(weight)
+        return col
+
     def _function_score(self, node: A.FunctionScore) -> DataFrame:
-        """field_value_factor: score-column arithmetic against a corpus
-        column (the reference's score-function evaluated per matched doc)."""
-        if self.corpus is None:
-            raise ValueError("function_score needs an attached corpus")
+        """function_score: per-doc column arithmetic over the matched set
+        (reference: FunctionScoreQuery — functions combined by
+        score_mode, then applied to the query score by boost_mode).
+        Function filters gate each function to a sub-set (non-matching
+        docs contribute the identity for the score_mode)."""
         inner = self.compile(node.query)
-        vals = self.corpus.select("docId", F.col(node.field).alias("_fv"))
-        j = inner.join(vals, "docId")
-        fv = F.col("_fv").cast("double") * F.lit(float(node.factor))
-        if node.modifier in ("log1p", "ln1p"):
-            fv = F.log1p(fv)
-        elif node.modifier == "sqrt":
-            fv = F.sqrt(fv)
-        elif node.modifier == "square":
-            fv = fv * fv
+        if not node.functions:
+            return inner
+        needs_corpus = any(
+            f["kind"] not in ("random_score", "weight") for f in node.functions
+        ) or any(f.get("filter") for f in node.functions)
+        j = inner
+        if needs_corpus:
+            if self.corpus is None:
+                raise ValueError("function_score needs an attached corpus")
+            j = inner.join(self.corpus.drop("score"), "docId")
+        cols = []
+        for i, fn in enumerate(node.functions):
+            c = self._one_function_col(fn)
+            if fn.get("filter") is not None:
+                hcol = f"_fs_hit{i}"
+                hit = self.compile(fn["filter"]).select(
+                    "docId", F.lit(1).alias(hcol)
+                )
+                j = j.join(F.broadcast(hit), "docId", "left")
+                ident = 1.0 if node.score_mode == "multiply" else 0.0
+                c = F.when(F.col(hcol).isNotNull(), c).otherwise(F.lit(ident))
+            cols.append(c)
+        if node.score_mode == "multiply":
+            fv = cols[0]
+            for c in cols[1:]:
+                fv = fv * c
+        elif node.score_mode == "sum":
+            fv = cols[0]
+            for c in cols[1:]:
+                fv = fv + c
+        elif node.score_mode == "avg":
+            fv = cols[0]
+            for c in cols[1:]:
+                fv = fv + c
+            fv = fv / F.lit(float(len(cols)))
+        elif node.score_mode == "max":
+            fv = F.greatest(*cols) if len(cols) > 1 else cols[0]
+        elif node.score_mode == "min":
+            fv = F.least(*cols) if len(cols) > 1 else cols[0]
+        else:  # first
+            fv = cols[0]
         if node.boost_mode == "sum":
             s = F.col("score") + fv
         elif node.boost_mode == "replace":
             s = fv
+        elif node.boost_mode == "avg":
+            s = (F.col("score") + fv) / F.lit(2.0)
+        elif node.boost_mode == "max":
+            s = F.greatest(F.col("score"), fv)
+        elif node.boost_mode == "min":
+            s = F.least(F.col("score"), fv)
         else:
             s = F.col("score") * fv
         return j.select("docId", (s * F.lit(float(node.boost))).alias("score"))
@@ -1112,6 +1362,28 @@ class SearchEngine:
                 self._idf_cache[t] = found.get(t, float("nan"))  # nan = not in index
         return {t: self._idf_cache[t] for t in set(terms)}
 
+
+    def _dfs(self, terms: Iterable[str]) -> Dict[str, int]:
+        """Raw document frequencies (summed across generations); absent
+        terms are omitted."""
+        need = list(set(terms))
+        rows = (
+            self.termstats.where(F.col("term").isin(need))
+            .groupBy("term").agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def _cross_fields(self, node: "A.MultiMatch") -> DataFrame:
+        raise ValueError(
+            "multi_match type=cross_fields needs a MultiFieldEngine "
+            "(one index per field)"
+        )
+
+    def _combined_fields(self, node: "A.CombinedFields") -> DataFrame:
+        raise ValueError(
+            "combined_fields needs a MultiFieldEngine (one index per field)"
+        )
 
     def _postings_for(self, terms: Sequence[str]) -> DataFrame:
         return self.postings.where(F.col("term").isin(list(set(terms))))
@@ -1332,3 +1604,170 @@ class MultiFieldEngine(SearchEngine):
         if fld:
             self._check_field(fld)
         return super().compile(node, topk)
+
+    # ---- blended multi-field scoring ----------------------------------
+
+    def _cross_fields(self, node: "A.MultiMatch") -> DataFrame:
+        """multi_match type=cross_fields (reference: MultiMatchQuery.java
+        cross-fields / Lucene BlendedTermQuery): term-centric scoring —
+        per term the document frequency is BLENDED across fields
+        (df_blend = max_f df_f), each field scores the term with the
+        blended idf but its own tf/norms/avgdl, and the per-term doc
+        score is the best field's (+ tie_breaker * remainder). Doc score
+        sums the per-term scores; operator/minimum_should_match count
+        terms matched in ANY field.
+
+        Spark shape: one (docId, term, score) frame per field (per-
+        segment applyInPandas), then groupBy(docId, term) -> blend ->
+        groupBy(docId) -> sum. Two narrow shuffles over matching docs
+        only."""
+        terms = tokenize(node.query)
+        if not terms:
+            return self._empty()
+        for f in node.fields:
+            self._check_field(f)
+        boosts = node.field_boosts or [1.0] * len(node.fields)
+        uniq = sorted(set(terms))
+        dfs = {f: self.sub[f]._dfs(uniq) for f in node.fields}
+        df_blend = {t: max(dfs[f].get(t, 0) for f in node.fields) for t in uniq}
+        known = [t for t in uniq if df_blend[t] > 0]
+        if not known:
+            return self._empty()
+        if node.operator == "and" and len(known) < len(uniq):
+            return self._empty()
+        idf_blend = {t: bm25.idf(df_blend[t], self.doc_count) for t in known}
+        parts: List[DataFrame] = []
+        for f, w in zip(node.fields, boosts):
+            eng = self.sub[f]
+            present = [t for t in known if dfs[f].get(t, 0) > 0]
+            if not present:
+                continue
+            scorer = _make_term_score_scorer(
+                {t: idf_blend[t] for t in present}, eng.avgdl, float(w)
+            )
+            parts.append(
+                eng._postings_for(present)
+                .groupBy("seg")
+                .applyInPandas(scorer, TERM_SCORE_SCHEMA)
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        tie = float(node.tie_breaker)
+        per_term = u.groupBy("docId", "term").agg(
+            F.max("score").alias("_best"), F.sum("score").alias("_tot")
+        )
+        tscore = F.col("_best") + F.lit(tie) * (F.col("_tot") - F.col("_best"))
+        agg = per_term.groupBy("docId").agg(
+            F.sum(tscore).alias("score"),
+            F.countDistinct("term").alias("_nt"),
+        )
+        if node.operator == "and":
+            agg = agg.where(F.col("_nt") == len(known))
+        elif node.minimum_should_match > 1:
+            agg = agg.where(F.col("_nt") >= node.minimum_should_match)
+        out = agg.select("docId", "score")
+        if node.boost != 1.0:
+            out = out.withColumn("score", F.col("score") * F.lit(float(node.boost)))
+        return out
+
+    def _combined_dl(self, fields: tuple, boosts: tuple):
+        """Combined doc length dl_c = sum_f w_f * dl_f (exact lengths)
+        plus (N_c, avgdl_c) over docs with dl_c > 0. The two scalars are
+        collected once per (fields, boosts) signature and cached."""
+        cur = None
+        exprs = []
+        for i, (f, w) in enumerate(zip(fields, boosts)):
+            d = self.sub[f].docstats.select(
+                "docId",
+                (F.col("dl").cast("double") * F.lit(float(w))).alias(f"_dl{i}"),
+            )
+            cur = d if cur is None else cur.join(d, "docId", "full_outer")
+            exprs.append(F.coalesce(F.col(f"_dl{i}"), F.lit(0.0)))
+        dl = exprs[0]
+        for e in exprs[1:]:
+            dl = dl + e
+        dlc = cur.select("docId", dl.alias("_dlc")).where(F.col("_dlc") > 0)
+        key = (fields, boosts)
+        if not hasattr(self, "_cf_stats"):
+            self._cf_stats: Dict[tuple, tuple] = {}
+        if key not in self._cf_stats:
+            row = dlc.agg(
+                F.count(F.lit(1)).alias("n"), F.avg("_dlc").alias("avgdl")
+            ).collect()[0]
+            self._cf_stats[key] = (int(row["n"]), float(row["avgdl"]))
+        return dlc, self._cf_stats[key]
+
+    def _combined_fields(self, node: "A.CombinedFields") -> DataFrame:
+        """combined_fields (reference: CombinedFieldsQueryBuilder.java:48 /
+        Lucene CombinedFieldQuery, BM25F): fields merge into one
+        synthetic field — tf_c = sum_f w_f*tf_f, dl_c = sum_f w_f*dl_f,
+        df_c = |docs containing t in any field| — then standard BM25.
+        Documented divergence: dl_c uses exact lengths (no norm
+        re-quantization).
+
+        Spark shape: per-field (docId, term, w*tf) frames -> one
+        groupBy(docId, term) sum -> join combined dl -> score in pure
+        Catalyst; df_c comes from a tiny per-term countDistinct."""
+        terms = tokenize(node.query)
+        if not terms:
+            return self._empty()
+        for f in node.fields:
+            self._check_field(f)
+        boosts = node.field_boosts or [1.0] * len(node.fields)
+        uniq = sorted(set(terms))
+        parts: List[DataFrame] = []
+        for f, w in zip(node.fields, boosts):
+            eng = self.sub[f]
+            scorer = _make_tf_scorer(float(w))
+            parts.append(
+                eng._postings_for(uniq)
+                .groupBy("seg")
+                .applyInPandas(scorer, TERM_TF_SCHEMA)
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        tfc = u.groupBy("docId", "term").agg(F.sum("wtf").alias("_tfc"))
+        dlc, (n_c, avgdl_c) = self._combined_dl(tuple(node.fields), tuple(boosts))
+        dfc = {
+            r["term"]: int(r["df"])
+            for r in tfc.groupBy("term")
+            .agg(F.countDistinct("docId").alias("df"))
+            .collect()
+        }
+        known = [t for t in uniq if dfc.get(t, 0) > 0]
+        if not known:
+            return self._empty()
+        if node.operator == "and" and len(known) < len(uniq):
+            return self._empty()
+        idf_df = self.spark.createDataFrame(
+            [(t, bm25.idf(dfc[t], n_c)) for t in known], "term string, _idf double"
+        )
+        j = (
+            tfc.join(F.broadcast(idf_df), "term")
+            .join(dlc, "docId")
+        )
+        per_term = (
+            F.col("_idf") * F.lit(bm25.K1 + 1.0) * F.col("_tfc")
+            / (
+                F.col("_tfc")
+                + F.lit(bm25.K1)
+                * (
+                    F.lit(1.0 - bm25.B)
+                    + F.lit(bm25.B) * F.col("_dlc") / F.lit(avgdl_c)
+                )
+            )
+        )
+        agg = j.groupBy("docId").agg(
+            F.sum(per_term).alias("score"),
+            F.countDistinct("term").alias("_nt"),
+        )
+        if node.operator == "and":
+            agg = agg.where(F.col("_nt") == len(known))
+        elif node.minimum_should_match > 1:
+            agg = agg.where(F.col("_nt") >= node.minimum_should_match)
+        out = agg.select("docId", "score")
+        if node.boost != 1.0:
+            out = out.withColumn("score", F.col("score") * F.lit(float(node.boost)))
+        return out

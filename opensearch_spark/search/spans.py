@@ -246,6 +246,84 @@ def not_spans(include: Spans, exclude: Spans) -> Spans:
     return idoc[keep], ist[keep], ien[keep]
 
 
+def contained_mask(little: Spans, big: Spans) -> np.ndarray:
+    """Boolean mask over ``little`` spans: True where some ``big`` span in
+    the same doc fully encloses it (S <= s and E >= e). Vectorized:
+    grouped prefix-max of big ends in (doc, start) order, then one
+    searchsorted per little span."""
+    ldoc, lst, len_ = little
+    bdoc, bst, ben = _sorted(big)
+    if ldoc.size == 0:
+        return np.zeros(0, dtype=bool)
+    if bdoc.size == 0:
+        return np.zeros(ldoc.size, dtype=bool)
+    grp_change = np.empty(bdoc.size, dtype=bool)
+    grp_change[0] = True
+    grp_change[1:] = bdoc[1:] != bdoc[:-1]
+    grp = np.cumsum(grp_change) - 1
+    big_off = np.int64(1) << 40
+    acc_end = np.maximum.accumulate(ben + grp * big_off) - grp * big_off
+    bk = bdoc * (np.int64(1) << 32) + bst
+    lk = ldoc * (np.int64(1) << 32) + lst
+    j = np.searchsorted(bk, lk, side="right") - 1
+    valid = j >= 0
+    jj = np.maximum(j, 0)
+    return valid & (bdoc[jj] == ldoc) & (acc_end[jj] >= len_)
+
+
+def containing_mask(big: Spans, little: Spans) -> np.ndarray:
+    """Boolean mask over ``big`` spans: True where the span encloses at
+    least one ``little`` span. Vectorized: grouped SUFFIX-min of little
+    ends in (doc, start) order — for a big span [S, E) the leftmost
+    little with start >= S (same doc) onward has min end <= E iff some
+    little fits inside."""
+    bdoc, bst, ben = big
+    ldoc, lst, len_ = _sorted(little)
+    if bdoc.size == 0:
+        return np.zeros(0, dtype=bool)
+    if ldoc.size == 0:
+        return np.zeros(bdoc.size, dtype=bool)
+    grp_change = np.empty(ldoc.size, dtype=bool)
+    grp_change[0] = True
+    grp_change[1:] = ldoc[1:] != ldoc[:-1]
+    grp = np.cumsum(grp_change) - 1
+    big_off = np.int64(1) << 40
+    keyed = len_ + grp * big_off
+    sufmin = np.minimum.accumulate(keyed[::-1])[::-1] - grp * big_off
+    lk = ldoc * (np.int64(1) << 32) + lst
+    bk = bdoc * (np.int64(1) << 32) + bst
+    j = np.searchsorted(lk, bk, side="left")
+    valid = j < ldoc.size
+    jj = np.minimum(j, ldoc.size - 1)
+    return valid & (ldoc[jj] == bdoc) & (sufmin[jj] <= ben)
+
+
+def _mask_spans(s: Spans, keep: np.ndarray) -> Spans:
+    return s[0][keep], s[1][keep], s[2][keep]
+
+
+def within_spans(little: Spans, big: Spans) -> Spans:
+    """span_within (reference: SpanWithinQueryBuilder): spans of
+    ``little`` enclosed by some ``big`` span."""
+    return _mask_spans(little, contained_mask(little, big))
+
+
+def containing_spans(big: Spans, little: Spans) -> Spans:
+    """span_containing (reference: SpanContainingQueryBuilder): spans of
+    ``big`` that enclose at least one ``little`` span."""
+    return _mask_spans(big, containing_mask(big, little))
+
+
+def not_within_spans(little: Spans, big: Spans) -> Spans:
+    """intervals not_contained_by: little spans NOT enclosed by any big."""
+    return _mask_spans(little, ~contained_mask(little, big))
+
+
+def not_containing_spans(big: Spans, little: Spans) -> Spans:
+    """intervals not_containing: big spans with NO little span inside."""
+    return _mask_spans(big, ~containing_mask(big, little))
+
+
 def matching_docs(s: Spans) -> np.ndarray:
     """Distinct docs with >= 1 span."""
     return np.unique(s[0])
