@@ -36,19 +36,22 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional, Tuple
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _METRIC_KINDS = {
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
-    "extended_stats", "percentiles", "weighted_avg",
+    "extended_stats", "percentiles", "percentile_ranks", "weighted_avg",
     "median_absolute_deviation", "top_hits", "matrix_stats",
 }
 _BUCKET_KINDS = {
     "terms", "multi_terms", "rare_terms", "histogram", "date_histogram",
-    "range", "date_range", "filters", "missing", "global", "composite",
+    "auto_date_histogram", "range", "date_range", "filters", "missing",
+    "global", "composite", "nested", "reverse_nested", "sampler",
+    "diversified_sampler",
 }
 _PIPELINE_KINDS = {
-    "cumulative_sum", "derivative", "serial_diff", "moving_fn",
+    "cumulative_sum", "derivative", "serial_diff", "moving_fn", "moving_avg",
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
     "bucket_script", "bucket_selector", "bucket_sort",
 }
@@ -58,6 +61,13 @@ def compile_aggs(df: DataFrame, aggs: Dict[str, dict]) -> DataFrame:
     """Compile an `aggs` tree over ``df``. One bucket chain (nested
     bucket aggs) is supported, with any number of metric/pipeline
     siblings at each level."""
+    if len(aggs) == 1:
+        ((only_name, only_spec),) = aggs.items()
+        kinds = [k for k in only_spec if k not in ("aggs", "aggregations")]
+        if kinds == ["significant_text"]:
+            return _significant_text(df, only_name, only_spec["significant_text"])
+        if kinds == ["scripted_metric"]:
+            return _scripted_metric(df, only_name, only_spec["scripted_metric"])
     chain, metrics, pipelines = _split_levels(aggs)
     if not chain:
         # metrics-only: single global row
@@ -73,7 +83,7 @@ def compile_aggs(df: DataFrame, aggs: Dict[str, dict]) -> DataFrame:
     post_filters: List[Column] = []
     limit_spec: Optional[Tuple[str, str, int]] = None  # (col, dir, n)
     for name, kind, body in chain:
-        frame, kcol, post = _bucket_key(frame, name, kind, body)
+        frame, kcol, post = _bucket_key(frame, name, kind, body, key_cols)
         if kcol is not None:
             key_cols.append(kcol)
         if post is not None:
@@ -99,7 +109,7 @@ def compile_aggs(df: DataFrame, aggs: Dict[str, dict]) -> DataFrame:
         col, direction, n = limit_spec
         oc = F.desc(col) if direction == "desc" else F.asc(col)
         out = out.orderBy(oc, *[F.asc(c) for c in key_cols]).limit(n)
-    else:
+    elif key_cols:
         out = out.orderBy(*[F.asc(c) for c in key_cols])
 
     # ---- pipeline aggs over the bucket frame -------------------------
@@ -142,9 +152,12 @@ def _split_levels(aggs: Dict[str, dict]):
     return chain, metrics, pipelines
 
 
-def _bucket_key(df: DataFrame, name: str, kind: str, body: dict):
-    """Returns (frame, key_col_name, post_spec). The key column is
-    added to the frame; rows not in any bucket are filtered."""
+def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
+                keys_so_far: Optional[List[str]] = None):
+    """Returns (frame, key_col_name | None, post_spec). The key column
+    is added to the frame; rows not in any bucket are filtered. Kinds
+    with key None (nested / reverse_nested / sampler / diversified_
+    sampler) transform the frame without adding a grouping key."""
     kcol = f"key_{name}"
     post: Dict[str, Any] = {}
     if kind == "terms":
@@ -188,28 +201,108 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict):
             kcol, F.date_trunc(unit, F.col(fld))
         )
     elif kind in ("range", "date_range"):
+        # reference: RangeAggregator — buckets are INDEPENDENT; a doc in
+        # overlapping ranges counts in each. Non-overlapping specs keep
+        # the single-scan when-chain; overlapping specs take one
+        # filtered frame per bucket (union).
         fld = body["field"]
         ranges = body["ranges"]
-        expr = None
-        labels = []
+        conds: List[Tuple[str, Column]] = []
         for r in ranges:
             frm, to = r.get("from"), r.get("to")
             label = r.get("key") or f"{frm if frm is not None else '*'}-{to if to is not None else '*'}"
-            labels.append(label)
             cond = F.lit(True)
             if frm is not None:
                 cond = cond & (F.col(fld) >= F.lit(frm))
             if to is not None:
                 cond = cond & (F.col(fld) < F.lit(to))
-            expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
-        df = df.withColumn(kcol, expr).where(F.col(kcol).isNotNull())
+            conds.append((label, cond))
+        if _ranges_overlap(ranges):
+            df = _union_buckets(df, kcol, conds)
+        else:
+            expr = None
+            for label, cond in conds:
+                expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+            df = df.withColumn(kcol, expr).where(F.col(kcol).isNotNull())
     elif kind == "filters":
+        # reference: FiltersAggregator — independent predicates; a doc
+        # matching several filters lands in every matching bucket, so
+        # each bucket is its own filtered frame (union), never a
+        # first-match when-chain.
         named = body["filters"]
-        expr = None
-        for label, cond_sql in named.items():
-            c = F.expr(cond_sql) if isinstance(cond_sql, str) else _filter_to_col(cond_sql)
-            expr = F.when(c, F.lit(label)) if expr is None else expr.when(c, F.lit(label))
-        df = df.withColumn(kcol, expr).where(F.col(kcol).isNotNull())
+        conds = [
+            (label,
+             F.expr(cond_sql) if isinstance(cond_sql, str) else _filter_to_col(cond_sql))
+            for label, cond_sql in named.items()
+        ]
+        df = _union_buckets(df, kcol, conds)
+    elif kind == "nested":
+        # reference: bucket/nested/NestedAggregator.java:72 — sub-aggs
+        # run per child document. Children live inline in the parent row
+        # (array<struct> column), so nested = one explode; the struct
+        # column keeps the path name so sub-agg fields resolve as
+        # `path.field` via Catalyst struct access.
+        path = body["path"]
+        df = df.where(F.col(path).isNotNull()).withColumn(
+            path, F.explode(F.col(path))
+        )
+        return df, None, None
+    elif kind == "reverse_nested":
+        # reference: NestedAggregator's reverse_nested — sub-aggs jump
+        # back to the parent doc scope: dedupe exploded child rows per
+        # (bucket keys, parent id)
+        id_field = body.get("id_field", "doc_id")
+        df = df.dropDuplicates((keys_so_far or []) + [id_field])
+        return df, None, None
+    elif kind in ("sampler", "diversified_sampler"):
+        # reference: bucket/sampler/SamplerAggregator.java:68 /
+        # DiversifiedAggregatorFactory — sub-aggs see only the top
+        # shard_size docs by score. Table facade: an explicit sort field
+        # stands in for _score (deterministic, documented); diversified
+        # additionally caps docs per value of `field` (best-first).
+        n = int(body.get("shard_size", 100))
+        sort_field = body.get("sort", "doc_id")
+        direction = body.get("order", "desc")
+        oc = F.desc(sort_field) if direction == "desc" else F.asc(sort_field)
+        tie = [F.asc("doc_id")] if "doc_id" in df.columns else []
+        if kind == "diversified_sampler":
+            fld = body["field"]
+            m = int(body.get("max_docs_per_value", 1))
+            w = Window.partitionBy(fld).orderBy(oc, *tie)
+            df = (
+                df.withColumn("_dsr", F.row_number().over(w))
+                .where(F.col("_dsr") <= m)
+                .drop("_dsr")
+            )
+        df = df.orderBy(oc, *tie).limit(n)
+        return df, None, None
+    elif kind == "auto_date_histogram":
+        # reference: bucket/histogram/AutoDateHistogramAggregator.java:86
+        # — picks the finest interval keeping <= `buckets` buckets.
+        # Spark shape: one tiny min/max pre-pass (driver scalar), then a
+        # plain date_trunc/floor bucketing — two passes instead of the
+        # reference's per-shard adaptive merging, same result.
+        fld = body["field"]
+        target = int(body.get("buckets", 10))
+        row = df.where(F.col(fld).isNotNull()).agg(
+            F.min(F.col(fld).cast("timestamp").cast("double")).alias("lo"),
+            F.max(F.col(fld).cast("timestamp").cast("double")).alias("hi"),
+        ).collect()[0]
+        df = df.where(F.col(fld).isNotNull())
+        if row["lo"] is None:
+            df = df.withColumn(kcol, F.col(fld).cast("timestamp"))
+            return df, kcol, None
+        span = float(row["hi"]) - float(row["lo"])
+        unit, seconds = _pick_auto_interval(span, target)
+        if unit in ("month", "quarter", "year"):
+            df = df.withColumn(kcol, F.date_trunc(unit, F.col(fld)))
+        else:
+            epoch = F.col(fld).cast("timestamp").cast("double")
+            df = df.withColumn(
+                kcol,
+                (F.floor(epoch / F.lit(float(seconds))) * F.lit(float(seconds)))
+                .cast("timestamp"),
+            )
     elif kind == "missing":
         fld = body["field"]
         df = df.where(F.col(fld).isNull()).withColumn(kcol, F.lit("__missing__"))
@@ -238,6 +331,135 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict):
     else:
         raise ValueError(kind)
     return df, kcol, (post or None)
+
+
+def _ranges_overlap(ranges: List[dict]) -> bool:
+    """True when any two [from, to) ranges intersect."""
+    import math
+
+    iv = sorted(
+        (float(r.get("from", -math.inf)) if r.get("from") is not None else -math.inf,
+         float(r.get("to", math.inf)) if r.get("to") is not None else math.inf)
+        for r in ranges
+    )
+    return any(iv[i][1] > iv[i + 1][0] for i in range(len(iv) - 1))
+
+
+def _union_buckets(df: DataFrame, kcol: str,
+                   conds: List[Tuple[str, Column]]) -> DataFrame:
+    """One filtered frame per bucket, unioned — docs matching several
+    buckets appear once per bucket (independent-buckets semantics)."""
+    parts = [
+        df.where(cond).withColumn(kcol, F.lit(label)) for label, cond in conds
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# auto_date_histogram interval ladder: (calendar unit | None, seconds)
+_AUTO_LADDER = [
+    ("second", 1), ("second", 5), ("second", 10), ("second", 30),
+    ("minute", 60), ("minute", 300), ("minute", 600), ("minute", 1800),
+    ("hour", 3600), ("hour", 10800), ("hour", 43200),
+    ("day", 86400), ("day", 604800),
+    ("month", 2592000), ("quarter", 7776000), ("year", 31536000),
+]
+
+
+def _pick_auto_interval(span_seconds: float, target: int):
+    """Finest ladder interval whose bucket count fits the target
+    (reference: AutoDateHistogramAggregationBuilder's rounding ladder)."""
+    for unit, secs in _AUTO_LADDER:
+        if span_seconds / secs + 1 <= target:
+            return unit, secs
+    return _AUTO_LADDER[-1]
+
+
+def _significant_text(df: DataFrame, name: str, body: dict) -> DataFrame:
+    """significant_text (reference: bucket/terms/
+    SignificantTextAggregationBuilder): terms over-represented in a
+    FOREGROUND doc set vs the whole frame, scored with the JLH heuristic
+    score = (fg% - bg%) * (fg% / bg%). The text column is analyzed with
+    the engine's standard-analyzer regex in pure Catalyst
+    (regexp_extract_all), doc-deduplicated before counting.
+
+    Body: {"field": text_col, "foreground": SQL predicate, "size": n,
+    "min_doc_count": m, "id_field": doc id column (default doc_id)}."""
+    from opensearch_spark.analysis.analyzer import JAVA_TOKEN_REGEX
+
+    fld = body["field"]
+    pred = body["foreground"]
+    size = int(body.get("size", 10))
+    mdc = int(body.get("min_doc_count", 3))
+    id_field = body.get("id_field", "doc_id")
+    kcol = f"key_{name}"
+
+    toks = df.select(
+        F.col(id_field).alias("_id"),
+        F.expr(pred).alias("_fg"),
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.col(fld)), F.lit(JAVA_TOKEN_REGEX), F.lit(0)
+                )
+            )
+        ).alias(kcol),
+    )
+    counts = toks.groupBy(kcol).agg(
+        F.count(F.lit(1)).alias("_bg_count"),
+        F.sum(F.when(F.col("_fg"), 1).otherwise(0)).alias("doc_count"),
+    )
+    totals = df.agg(
+        F.count(F.lit(1)).alias("_n_bg"),
+        F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias("_n_fg"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    fg_pct = F.col("doc_count") / F.col("_n_fg")
+    bg_pct = F.col("_bg_count") / F.col("_n_bg")
+    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    return (
+        j.where((F.col("doc_count") >= mdc) & (fg_pct > bg_pct))
+        .select(kcol, "doc_count", F.col("_bg_count").alias("bg_count"),
+                score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(kcol))
+        .limit(size)
+    )
+
+
+def _scripted_metric(df: DataFrame, name: str, body: dict) -> DataFrame:
+    """scripted_metric (reference: metrics/ScriptedMetricAggregator.java:64):
+    init/map/combine/reduce. Painless scripts become Python callables —
+    the Spark-first scripting surface; map runs VECTORIZED per Arrow
+    batch (mapInPandas), combine produces one partial state per batch,
+    reduce folds the partials on the driver (the coordinator-reduce
+    analog).
+
+    Body: {"init": () -> state,
+           "map_pandas": (state, pdf) -> state,
+           "combine": state -> partial   (optional, default identity),
+           "reduce": [partial] -> scalar}."""
+    import json
+
+    init = body["init"]
+    map_pd = body["map_pandas"]
+    combine = body.get("combine", lambda s: s)
+    reduce_fn = body["reduce"]
+
+    def partials(it):
+        state = init()
+        for pdf in it:
+            state = map_pd(state, pdf)
+        yield pd.DataFrame({"j": [json.dumps(combine(state))]})
+
+    parts = [
+        json.loads(r["j"])
+        for r in df.mapInPandas(partials, "j string").collect()
+    ]
+    value = reduce_fn(parts)
+    spark = df.sparkSession
+    return spark.createDataFrame([(float(value),)], f"{name} double")
 
 
 def _filter_to_col(cond: dict) -> Column:
@@ -303,6 +525,18 @@ def _metric_exprs(name: str, kind: str, body: dict) -> List[Column]:
         return [
             F.percentile_approx(c, [p / 100.0 for p in pcts], 10000).alias(name)
         ]
+    if kind == "percentile_ranks":
+        # reference: metrics/PercentileRanksAggregationBuilder — the
+        # cumulative distribution at each value, as a percentage.
+        # Exact here (TDigest is an approximation of exactly this).
+        out: List[Column] = []
+        for v in body["values"]:
+            label = f"{name}_{str(v).replace('.', '_').replace('-', 'm')}"
+            out.append(
+                (F.avg(F.when(c <= F.lit(v), 1.0)
+                       .when(c.isNotNull(), 0.0)) * 100.0).alias(label)
+            )
+        return out
     if kind == "weighted_avg":
         vf = F.col(body["value"]["field"])
         wf = F.col(body["weight"]["field"])
@@ -372,6 +606,58 @@ def _apply_pipeline(out: DataFrame, name: str, kind: str, body: dict,
         else:
             e = F.avg(F.col(path)).over(w)
         return out.withColumn(name, e)
+    if kind == "moving_avg":
+        # reference: pipeline/MovAvgPipelineAggregator.java with models
+        # EwmaModel / HoltLinearModel / SimpleModel / LinearModel
+        # (HoltWintersModel.java family). The bucket frame is
+        # coordinator-sized; the recursive models run in ONE
+        # applyInPandas group over it (the reference also computes these
+        # on the coordinator's reduced bucket array).
+        window = int(body.get("window", 5))
+        model = str(body.get("model", "simple")).lower()
+        settings = body.get("settings", {}) or {}
+        alpha = float(settings.get("alpha", 0.3))
+        beta = float(settings.get("beta", 0.1))
+        src = path
+
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in out.schema.fields
+        ) + f", `{name}` double"
+        sort_cols = list(key_cols)
+
+        def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(sort_cols).reset_index(drop=True)
+            vals = pdf[src].astype(float).tolist()
+            res = []
+            for i in range(len(vals)):
+                w = vals[max(0, i - window + 1): i + 1]
+                if model == "ewma":
+                    avg = None
+                    for v in w:
+                        avg = v if avg is None else alpha * v + (1 - alpha) * avg
+                    res.append(avg)
+                elif model == "holt":
+                    s = b = None
+                    for j, v in enumerate(w):
+                        if j == 0:
+                            s, b = v, 0.0
+                        else:
+                            last_s = s
+                            s = alpha * v + (1 - alpha) * (s + b)
+                            b = beta * (s - last_s) + (1 - beta) * b
+                    res.append(s)
+                elif model == "linear":
+                    num = sum((j + 1) * v for j, v in enumerate(w))
+                    den = sum(range(1, len(w) + 1))
+                    res.append(num / den)
+                else:  # simple
+                    res.append(sum(w) / len(w))
+            pdf[name] = res
+            return pdf
+
+        return out.groupBy(F.lit(1).alias("_g")).applyInPandas(
+            lambda _k, pdf: fn(pdf.drop(columns=["_g"], errors="ignore")), out_schema
+        ).orderBy(*[F.asc(c) for c in key_cols])
     if kind in ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket"):
         fn = {"avg_bucket": F.avg, "sum_bucket": F.sum,
               "min_bucket": F.min, "max_bucket": F.max}[kind]

@@ -207,3 +207,61 @@ def test_matrix_stats(docs, ddb):
     """).fetchone()
     assert got[0] == want[0]
     assert abs(got[1] - want[1]) < 1e-6 and abs(got[2] - want[2]) < 1e-9
+
+
+def test_filters_overlapping_buckets(docs, ddb):
+    """Independent-buckets semantics (reference: FiltersAggregator): a doc
+    matching several filters counts in EVERY matching bucket."""
+    got = rows(compile_aggs(docs, {
+        "f": {"filters": {"filters": {
+            "short": "n_chars < 400",
+            "en": "lang = 'en'",
+        }}}
+    }).select("key_f", "doc_count").orderBy("key_f"))
+    exp = ddb.execute("""
+        SELECT key_f, doc_count FROM (
+          SELECT 'short' AS key_f, count(*) AS doc_count
+          FROM documents WHERE n_chars < 400
+          UNION ALL
+          SELECT 'en', count(*) FROM documents WHERE lang = 'en'
+        ) ORDER BY key_f
+    """).fetchall()
+    assert got == [tuple(r) for r in exp]
+    # overlap really exists: bucket sums exceed the doc count
+    n = ddb.execute("SELECT count(*) FROM documents").fetchone()[0]
+    short_and_en = ddb.execute(
+        "SELECT count(*) FROM documents WHERE n_chars < 400 AND lang = 'en'"
+    ).fetchone()[0]
+    assert short_and_en > 0 and sum(c for _k, c in got) > 0
+    assert sum(c for _k, c in got) == (
+        ddb.execute("SELECT count(*) FROM documents WHERE n_chars < 400").fetchone()[0]
+        + ddb.execute("SELECT count(*) FROM documents WHERE lang = 'en'").fetchone()[0]
+    )
+
+
+def test_moving_avg_holt_model(orders, ddb):
+    """Holt linear model (reference: HoltWintersModel.java family) vs a
+    plain-python reference recursion."""
+    out = compile_aggs(orders, {
+        "m": {"date_histogram": {"field": "o_orderdate",
+                                 "calendar_interval": "month"}},
+        "h": {"moving_avg": {"buckets_path": "doc_count", "window": 4,
+                             "model": "holt",
+                             "settings": {"alpha": 0.5, "beta": 0.2}}},
+    }).orderBy("key_m").collect()
+    vals = [r["doc_count"] for r in out]
+
+    def holt(w, alpha=0.5, beta=0.2):
+        s = b = None
+        for j, v in enumerate(w):
+            if j == 0:
+                s, b = v, 0.0
+            else:
+                last = s
+                s = alpha * v + (1 - alpha) * (s + b)
+                b = beta * (s - last) + (1 - beta) * b
+        return s
+
+    for i, r in enumerate(out):
+        w = vals[max(0, i - 3): i + 1]
+        assert abs(r["h"] - holt(w)) < 1e-9
