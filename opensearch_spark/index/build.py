@@ -125,11 +125,26 @@ def _write_json_atomic(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
+_INT32_MAX = (1 << 31) - 1
+
+
 def _binary_col(buf: bytes, offsets: np.ndarray):
     """ZERO-COPY Arrow BinaryArray from a (values buffer, offsets) pair —
-    blocks tile their byte streams contiguously, so no slicing loop."""
+    blocks tile their byte streams contiguously, so no slicing loop.
+
+    Offsets are 32-bit (pa.binary()); a single partition packing > 2 GiB
+    of varint stream would silently wrap, so guard and fail with an
+    actionable hint instead (one task == one segment in the zero-shuffle
+    path, and compaction deliberately merges to few large segments)."""
     import pyarrow as pa
 
+    if offsets.size and int(offsets[-1]) > _INT32_MAX:
+        raise ValueError(
+            f"posting byte stream ({int(offsets[-1])} bytes) exceeds the "
+            "2 GiB int32 Arrow offset limit for one segment — raise "
+            "n_segments (smaller segments) or compact to more target "
+            "segments"
+        )
     off32 = offsets.astype(np.int32)
     return pa.Array.from_buffers(
         pa.binary(), off32.size - 1,
@@ -349,6 +364,12 @@ def _local_index_fn(block_size: int, docstats_dir: str, token_regex: str):
         os.makedirs(docstats_dir, exist_ok=True)
         import pyarrow.parquet as pq
 
+        # write-to-temp + atomic rename: pq.write_table is not atomic, and
+        # concurrent speculative/zombie attempts may race on the same
+        # deterministic filename — os.replace makes last-writer-wins with
+        # never-partial content (content is identical across attempts)
+        _ds_path = os.path.join(docstats_dir, f"seg-{seg_id:05d}.parquet")
+        _ds_tmp = f"{_ds_path}.{os.getpid()}.tmp"
         pq.write_table(
             pa.table({
                 "docId": pa.array(doc_ids, pa.int64()),
@@ -358,8 +379,9 @@ def _local_index_fn(block_size: int, docstats_dir: str, token_regex: str):
                 "dl_q": pa.array(dl_q.astype(np.int64), pa.int64()),
                 "content_sha": t.column("content_sha"),
             }),
-            os.path.join(docstats_dir, f"seg-{seg_id:05d}.parquet"),
+            _ds_tmp,
         )
+        os.replace(_ds_tmp, _ds_path)
 
         if int(dl.sum()) == 0:
             return

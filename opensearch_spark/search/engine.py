@@ -448,17 +448,32 @@ class SearchEngine:
         return len(doc_ids)
 
     def delete_by_query(self, query: dict | A.AnyNode) -> int:
-        """_delete_by_query: soft-delete every doc matching the query."""
+        """_delete_by_query: soft-delete every doc matching the query.
+        The matched-id frame is written STRAIGHT to the tombstone parquet
+        dir as a distributed Spark write — no driver collect, so a
+        query matching 10^8 docs costs executor memory only (reference:
+        TransportDeleteByQueryAction streams scroll batches the same
+        way)."""
         node = dsl_mod.parse(query) if isinstance(query, dict) else dsl_mod.normalize(query)
-        ids = [int(r["docId"]) for r in self.compile(node).select("docId").collect()]
-        if ids:
-            self.delete(ids)
-        return len(ids)
+        ids = self.compile(node).select("docId")
+        n = ids.count()
+        if n:
+            ids.write.mode("append").parquet(self._deletes_dir)
+            self._load_deletes()
+        return n
+
+    # tombstone tables above this stay out of broadcast joins; pruned
+    # top-k over-fetch is abandoned (exhaustive scoring) above it too,
+    # since over-fetching by millions defeats the pruning
+    MAX_PRUNE_DELETES = 100_000
 
     def _live(self, df: DataFrame) -> DataFrame:
         if self.deletes is None:
             return df
-        return df.join(F.broadcast(self.deletes), "docId", "left_anti")
+        d = self.deletes
+        if self._n_deletes <= self.MAX_PRUNE_DELETES:
+            d = F.broadcast(d)
+        return df.join(d, "docId", "left_anti")
 
     # ---- public API ---------------------------------------------------
 
@@ -492,7 +507,9 @@ class SearchEngine:
         node = dsl_mod.parse(query) if isinstance(query, dict) else dsl_mod.normalize(query)
         prune = (sort is None and search_after is None and from_ == 0
                  and collapse is None)
-        df = self.compile(node, topk=k if prune else None)
+        df = self._search_topk_program(node, k) if prune else None
+        if df is None:
+            df = self.compile(node, topk=k if prune else None)
         if terminate_after is not None:
             df = df.limit(int(terminate_after))
         if collapse is not None:
@@ -739,6 +756,10 @@ class SearchEngine:
             cand = (
                 d.where(
                     F.col("term").startswith(pref)
+                    # cheap length band prunes ~10x of the dictionary
+                    # before the O(len^2) edit-distance runs
+                    & (F.length("term") >= len(tok) - max_edits)
+                    & (F.length("term") <= len(tok) + max_edits)
                     & (F.levenshtein(F.col("term"), F.lit(tok)) <= max_edits)
                     & (F.col("df") >= min_doc_freq)
                 )
@@ -822,6 +843,44 @@ class SearchEngine:
             .orderBy("qid", F.desc("score"), F.asc("docId"))
         )
 
+    def _search_topk_program(self, node: A.AnyNode, k: int) -> Optional[DataFrame]:
+        """Single-query hot path for BOOL trees: compile the whole
+        boolean program into ONE per-segment ``applyInPandas`` (the
+        msearch machinery, msearch.py:64) emitting per-segment top-k —
+        no per-clause union and no docId-keyed shuffle (the reference
+        evaluates the whole BooleanQuery per segment too). Returns None
+        when the node family is unsupported (caller falls back to the
+        exhaustive per-clause compiler) — bare match/phrase leaves keep
+        their WAND block-max path, which prunes harder."""
+        from opensearch_spark.search import msearch as M
+
+        if not isinstance(node, A.Bool):
+            return None
+        if self._n_deletes > self.MAX_PRUNE_DELETES:
+            return None
+        cand = M.candidate_terms(node)
+        idfs_all = self._idfs(sorted(cand)) if cand else {}
+        known = {t for t, v in idfs_all.items() if v == v}
+        prog = M.build_program(0, node, known)
+        if prog is None:
+            return None
+        if prog.match_none:
+            return self._empty()
+        terms = M.required_terms([prog])
+        if not terms:
+            return self._empty()
+        scorer = M.make_msearch_scorer(
+            [prog], {t: idfs_all[t] for t in known}, self.avgdl,
+            k + self._n_deletes,
+        )
+        out = (
+            self._postings_for(terms)
+            .groupBy("seg")
+            .applyInPandas(scorer, M.MSEARCH_SCHEMA)
+            .drop("qid")
+        )
+        return self._live(out)
+
     def fetch(self, hits: DataFrame) -> DataFrame:
         """Join top-k hits back to corpus rows (the fetch phase)."""
         if self.corpus is None:
@@ -831,7 +890,52 @@ class SearchEngine:
         )
 
     def count(self, query: dict | A.AnyNode) -> int:
+        """Hit count. Match queries take a no-scoring shortcut (reference:
+        shortcutTotalHitCount, TopDocsCollectorContext.java:154): a
+        single-term count is answered from the termstats table alone; a
+        multi-term match counts per-segment doc-set unions/intersections
+        without any BM25 math or norm use. Falls back to the full
+        compiler for other node families or when tombstones exist."""
         node = dsl_mod.parse(query) if isinstance(query, dict) else dsl_mod.normalize(query)
+        if self.deletes is None and isinstance(node, A.Match):
+            terms = tokenize(node.query)
+            if terms:
+                dfs = self._dfs(terms)
+                uniq = sorted(set(terms))
+                known = [t for t in uniq if dfs.get(t, 0) > 0]
+                if node.operator == "and" and len(known) < len(uniq):
+                    return 0
+                if not known:
+                    return 0
+                if len(known) == 1 and node.minimum_should_match <= 1:
+                    return int(dfs[known[0]])
+                op, msm = node.operator, node.minimum_should_match
+
+                def count_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+                    decoded = bm25.decode_term_group(pdf)
+                    arrays = [decoded[t][0] for t in known if t in decoded]
+                    if not arrays:
+                        return pd.DataFrame({"n": [0]})
+                    if op == "and":
+                        if len(arrays) < len(known):
+                            return pd.DataFrame({"n": [0]})
+                        base = arrays[0]
+                        for a in arrays[1:]:
+                            base = base[np.isin(base, a, assume_unique=True)]
+                        return pd.DataFrame({"n": [int(base.size)]})
+                    allc = np.concatenate(arrays)
+                    u, counts = np.unique(allc, return_counts=True)
+                    if msm > 1:
+                        u = u[counts >= msm]
+                    return pd.DataFrame({"n": [int(u.size)]})
+
+                per_seg = (
+                    self._postings_for(known)
+                    .groupBy("seg")
+                    .applyInPandas(count_fn, "n long")
+                )
+                row = per_seg.agg(F.sum("n").alias("n")).collect()[0]
+                return int(row["n"] or 0)
         return self.compile(node).count()
 
     # ---- compilation ----------------------------------------------------
@@ -841,9 +945,15 @@ class SearchEngine:
         enables per-segment pruning (safe only at the top level).
         Soft-deleted docs are filtered (liveDocs analog) — a no-op when
         no tombstones exist. Per-segment top-k pruning over-fetches by
-        the tombstone count so deleted docs cannot crowd out live ones."""
+        the tombstone count so deleted docs cannot crowd out live ones;
+        past MAX_PRUNE_DELETES that over-fetch defeats pruning, so the
+        exhaustive path runs instead (compaction reclaims the dead docs
+        and restores pruning)."""
         if topk is not None and self._n_deletes:
-            topk = topk + self._n_deletes
+            if self._n_deletes > self.MAX_PRUNE_DELETES:
+                topk = None
+            else:
+                topk = topk + self._n_deletes
         return self._live(self._compile_node(node, topk))
 
     def _compile_node(self, node: A.AnyNode, topk: Optional[int] = None) -> DataFrame:

@@ -259,3 +259,51 @@ def test_dis_max(setup):
     expected = brute.topk(exp, K)
     got = run(engine, dsl)
     assert brute.rank_identical(got, expected, ATOL)
+
+
+def test_bool_program_path_rank_identity(setup):
+    """search() routes bool trees through the per-segment program scorer
+    (no docId shuffle); results must be rank-identical to the exhaustive
+    per-clause compiler."""
+    from pyspark.sql import functions as F
+
+    engine, _ = setup
+    dsl = {
+        "bool": {
+            "must": [{"match": {"content": "def"}}],
+            "should": [
+                {"match": {"content": "return"}},
+                {"match_phrase": {"content": "import numpy"}},
+            ],
+            "must_not": [{"match": {"content": "lambda"}}],
+        }
+    }
+    from opensearch_spark.search import dsl as dsl_mod
+
+    node = dsl_mod.parse(dsl)
+    prog_df = engine._search_topk_program(node, 10)
+    assert prog_df is not None, "bool should compile to a program"
+    got = run(engine, dsl, k=10)
+    exhaustive = [
+        (int(r["docId"]), round(float(r["score"]), 9))
+        for r in engine.compile(node)
+        .orderBy(F.desc("score"), F.asc("docId"))
+        .limit(10)
+        .collect()
+    ]
+    assert [(d, round(s, 9)) for d, s in got] == exhaustive
+
+
+def test_count_fast_path_matches_exhaustive(setup):
+    engine, _ = setup
+    for dsl in (
+        {"match": {"content": "def"}},
+        {"match": {"content": "def return import"}},
+        {"match": {"content": {"query": "def return", "operator": "and"}}},
+        {"match": {"content": {"query": "def return import",
+                               "minimum_should_match": 2}}},
+    ):
+        from opensearch_spark.search import dsl as dsl_mod
+
+        node = dsl_mod.parse(dsl)
+        assert engine.count(dsl) == engine.compile(node).count()

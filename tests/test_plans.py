@@ -98,3 +98,30 @@ def test_local_index_build_is_zero_shuffle(spark, sf_dir):
     ).sortWithinPartitions("term", "block_no")
     p = packed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
+
+
+def test_bool_search_has_no_docid_shuffle(engine):
+    """search(k) over a bool tree runs ONE per-segment program scorer —
+    no per-clause union + groupBy(docId) aggregation shuffle (the
+    exhaustive _bool path is reserved for all-matching-docs compile())."""
+    df = engine.search({
+        "bool": {
+            "must": [{"match": {"content": "def"}}],
+            "should": [{"match": {"content": "return"}}],
+        }
+    }, k=10)
+    p = executed_str(df)
+    assert "HashAggregate" not in p, p
+    assert "FlatMapGroupsInPandas" in p
+    assert "TakeOrdered" in p
+
+
+def test_count_match_uses_no_scorer(engine):
+    """count() answers single-term matches from termstats (no postings
+    decode at all) and multi-term matches without BM25/norms."""
+    n1 = engine.count({"match": {"content": "def"}})
+    assert n1 == engine.compile(
+        __import__("opensearch_spark.search.dsl", fromlist=["parse"]).parse(
+            {"match": {"content": "def"}}
+        )
+    ).count()
