@@ -16,8 +16,12 @@ into larger ones. Spark-first mapping:
   re-tokenization (the merge reads index bytes only, like Lucene segment
   merges). termstats is recomputed from the compacted postings metadata.
 
-Contract: append-only (no doc updates/deletes in v1 — the reference's
-versioned upsert path is out of scope; noted in SURVEY §2.9 mapping).
+- ``upsert_batch`` is the versioned-upsert analog (reference:
+  index/VersionType.java / index-API overwrite): tombstone every
+  incoming docId (a distributed write to the deletes dir — Lucene's
+  delete-then-add under the hood), then ``add_batch`` the new versions.
+  Readers opening after it returns see exactly the new versions;
+  compaction reclaims the dead ones.
 """
 
 from __future__ import annotations
@@ -97,6 +101,40 @@ def add_batch(
     manifest["generations"] = int(manifest.get("generations", 1)) + 1
     _write_json_atomic(paths.manifest, manifest)
     return manifest
+
+
+def upsert_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    text_col: str = "content",
+    id_cols: Sequence[str] = ("repo", "path", "commit"),
+    doc_id_col: str | None = None,
+) -> dict:
+    """MERGE-style upsert by docId (reference: the index API's
+    overwrite-by-id path, ``index/VersionType.java`` — Lucene implements
+    an update as delete + add into a new segment, with per-segment
+    liveDocs keeping the new copy alive). Our tombstones are global
+    docId sets (no per-segment scoping), so the delete must be made
+    PHYSICAL before the re-add: tombstone the incoming ids (distributed
+    write), purge them via ``compact_index`` (the merge drops dead
+    docs), then append the new versions. Readers opening after it
+    returns see exactly the new versions; the compaction cost is the
+    price of global tombstones and amortizes when upserts are batched
+    (the reference pays the same cost in merge debt)."""
+    if doc_id_col is None:
+        ids = batch.select(
+            F.xxhash64(*[F.col(c) for c in id_cols]).alias("docId")
+        )
+    else:
+        ids = batch.select(F.col(doc_id_col).cast("long").alias("docId"))
+    deletes_dir = os.path.join(index_dir, "deletes")
+    ids.distinct().write.mode("append").parquet(deletes_dir)
+    compact_index(spark, index_dir)
+    return add_batch(
+        spark, batch, index_dir, text_col=text_col, id_cols=id_cols,
+        doc_id_col=doc_id_col,
+    )
 
 
 def _unpack_partition():

@@ -17,8 +17,9 @@ Scale notes (100 TB):
   (doc, band_key) pairs; candidate verification joins shingle sets only
   for bucket-colliding pairs. This is the textbook plan that avoids the
   O(n^2) cross join.
-- SimHash: one groupBy(doc) with 32 conditional sums; near-dup lookup is
-  a self-join on band keys of the signature (not implemented here).
+- SimHash: one groupBy(doc) with 32 conditional sums; near-dup lookup
+  (simhash_pairs) is a band self-join over the signature (4 x 8-bit
+  bands), verified by exact bit_count(xor) Hamming distance.
 
 ``near_dup_corpus`` unions the input with truncated copies of itself
 (deterministic) so dedup queries have real near-duplicates to find in the
@@ -145,7 +146,10 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bit j comes from the top bit of the j-th hex digit of each token's md5
     (portable between Spark and DuckDB); bit set when the +-1 sum > 0.
     Returns (doc_id, simhash:long)."""
-    d = _docs(spark, sf_dir)
+    return _simhash_of(_docs(spark, sf_dir))
+
+
+def _simhash_of(d: DataFrame) -> DataFrame:
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).where(
         F.col("term") != ""
     )
@@ -161,10 +165,64 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("doc_id", F.expr(expr).alias("simhash"))
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+SIMHASH_BAND_BITS = 8      # 4 bands of 8 bits over the 32-bit signature
+SIMHASH_MAX_HAMMING = 6
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str,
+                  max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """SimHash near-dup lookup over the near-dup corpus: band self-join
+    (4 bands x 8 bits — any pair within Hamming distance 3 shares a band
+    by pigeonhole; wider distances are best-effort, standard SimHash
+    practice), verified by exact Hamming distance <= ``max_hamming``.
+    Bucket-join only — no all-pairs cross join. Returns (a, b, hamming)."""
+    sig = _simhash_of(near_dup_corpus(_docs(spark, sf_dir)))
+    n_bands = 32 // SIMHASH_BAND_BITS
+    bands = None
+    for bi in range(n_bands):
+        b = sig.select(
+            "doc_id", "simhash",
+            F.lit(bi).alias("band"),
+            F.shiftright(F.col("simhash"), bi * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+            .alias("band_key"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"),
+            F.col("a.simhash").alias("sha_"), F.col("b.simhash").alias("shb_"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "a", "b",
+            F.expr("bit_count(sha_ ^ shb_)").cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
+                        max_bucket_docs: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within same-source buckets of
     the near-dup corpus (bucketed to avoid the full cross join).
-    Returns (a, b, jaccard) above threshold."""
+    Returns (a, b, jaccard) above threshold.
+
+    Skew guard: the shingle equi-join is quadratic in bucket size, so a
+    hot source (boilerplate mirrored 10x) dominates the job.
+    ``max_bucket_docs`` drops buckets above the cap — coverage loss is
+    explicit (the dropped buckets are exactly the ones to route through
+    MinHash-LSH, which has no quadratic bucket term)."""
     raw = _docs(spark, sf_dir)
     d = near_dup_corpus(raw).join(
         raw.select(
@@ -172,6 +230,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.pmod(F.col("doc_id"), F.lit(SHIFT_ID)) == F.col("orig_id"),
     ).select("doc_id", "text", "source")
+    if max_bucket_docs is not None:
+        ok = (
+            d.groupBy("source").agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") <= max_bucket_docs)
+            .select("source")
+        )
+        d = d.join(F.broadcast(ok), "source")
     sh = _shingles(d, n=3)
     src = d.select("doc_id", "source")
     sh = sh.join(src, "doc_id")

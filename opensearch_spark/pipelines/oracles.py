@@ -70,6 +70,40 @@ SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM sums
 """
 
 
+def _simhash_pairs_sql(max_hamming: int = 6) -> str:
+    """SimHash band-join near-dup pairs over the near-dup corpus
+    (matches dedup.simhash_pairs: 4 x 8-bit bands, exact Hamming
+    verify)."""
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN substr(h, {j + 1}, 1) SIMILAR TO '[89a-f]' THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(32)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN 1::BIGINT << {j} ELSE 0 END)" for j in range(32)
+    )
+    return f"""
+WITH {_ND},
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM nd),
+th AS (SELECT doc_id, md5(term) AS h FROM tok WHERE term <> ''),
+sums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM sums),
+bands AS (
+  SELECT doc_id, simhash, band.band AS band,
+         (simhash >> (band.band * 8)) & 255 AS band_key
+  FROM sig, (VALUES (0), (1), (2), (3)) band(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+         a.simhash AS sha_, b.simhash AS shb_
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sha_, shb_)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sha_, shb_)) <= {max_hamming}
+"""
+
+
 def _langid_sql() -> str:
     langs = sorted(LANG_MARKERS)
     score_cols = []
@@ -159,6 +193,7 @@ ORACLES: dict[str, str] = {
         WHERE round(s.inter / (za.sz + zb.sz - s.inter), 4) >= {JACCARD_THRESHOLD}
     """,
     "d_simhash": _simhash_sql(),
+    "d_simhash_pairs": _simhash_pairs_sql(),
     "d_ngram_jaccard": f"""
         WITH {_ND},
         src AS (

@@ -84,6 +84,46 @@ def _make_match_scorer(idfs: Dict[str, float], avgdl: float, operator: str,
     return fn
 
 
+def _make_custom_sim_scorer(dfs: Dict[str, int], doc_count: int, avgdl: float,
+                            operator: str, msm: int, boost: float, simfn):
+    """Scripted-similarity match scorer (reference: SimilarityService.java:116
+    scripted similarity): per-term scores come from the user's vectorized
+    ``simfn(tf, df, dl_q, avgdl, N) -> np.ndarray`` instead of BM25;
+    combination (sum per doc, operator/msm gating) matches the match
+    query contract."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = bm25.decode_term_group(pdf)
+        terms = sorted(t for t in dfs if t in decoded)
+        if not terms:
+            return pd.DataFrame({"docId": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.float64)})
+        all_docs = np.concatenate([decoded[t][0] for t in terms])
+        contribs = np.concatenate([
+            boost * np.asarray(
+                simfn(decoded[t][1].astype(np.float64), dfs[t],
+                      decoded[t][2], avgdl, doc_count),
+                dtype=np.float64,
+            )
+            for t in terms
+        ])
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, contribs)
+        nmatch = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(nmatch, inv, 1)
+        if operator == "and":
+            keep = nmatch == len(terms)
+        elif msm > 1:
+            keep = nmatch >= msm
+        else:
+            keep = slice(None)
+        return pd.DataFrame({"docId": uniq[keep].astype(np.int64),
+                             "score": scores[keep]})
+
+    return fn
+
+
 def _make_phrase_scorer(terms: List[str], idfs: Dict[str, float], avgdl: float,
                         boost: float, topk: Optional[int]):
     idf_sum = sum(idfs[t] for t in terms)
@@ -387,6 +427,8 @@ class SearchEngine:
         id_cols: Sequence[str] = ("repo", "path", "commit"),
         doc_id_col: str | None = None,
         cache: bool = False,
+        similarity=None,
+        pit: dict | None = None,
     ):
         self.spark = spark
         ix = load_index(spark, index_dir)
@@ -395,6 +437,22 @@ class SearchEngine:
         self.docstats: DataFrame = ix["docstats"]
         self.termstats: DataFrame = ix["termstats"]
         self.globals = ix["globals"]
+        # scripted similarity hook (reference: SimilarityService.java:116
+        # pluggable per-field similarity): fn(tf, df, dl_q, avgdl, N) ->
+        # per-posting scores (vectorized numpy). When set, match queries
+        # score with it instead of BM25 (WAND pruning disabled — its
+        # score bounds are BM25-specific).
+        self.similarity = similarity
+        self._pit = pit
+        if pit is not None:
+            # point-in-time (reference: CreatePitController.java:52): the
+            # reader is pinned to the exact parquet file set + globals
+            # captured at open — later generations/tombstones are
+            # invisible, deletes through a PIT are rejected.
+            self.postings = spark.read.parquet(*pit["postings_files"])
+            self.docstats = spark.read.parquet(*pit["docstats_files"])
+            self.termstats = spark.read.parquet(*pit["termstats_files"])
+            self.globals = dict(pit["globals"])
         self.avgdl = float(self.globals["avgdl"])
         self.doc_count = int(self.globals["field_doc_count"])
         self.text_field = text_field
@@ -418,6 +476,17 @@ class SearchEngine:
     def _load_deletes(self) -> None:
         import glob as _glob
 
+        if self._pit is not None:
+            files = self._pit.get("deletes_files") or []
+            if files:
+                self.deletes = self.spark.read.parquet(*files).select(
+                    "docId"
+                ).distinct()
+                self._n_deletes = self.deletes.count()
+            else:
+                self.deletes = None
+                self._n_deletes = 0
+            return
         if _glob.glob(os.path.join(self._deletes_dir, "*.parquet")):
             self.deletes: DataFrame | None = self.spark.read.parquet(
                 self._deletes_dir
@@ -426,6 +495,26 @@ class SearchEngine:
         else:
             self.deletes = None
             self._n_deletes = 0
+
+    def open_pit(self) -> dict:
+        """Open a point-in-time token (reference: create PIT API) — the
+        exact file sets + manifest of this moment. Pass to
+        ``SearchEngine(..., pit=token)`` for a pinned reader; index
+        tables are append-only parquet, so the pinned files never
+        change."""
+        import glob as _glob
+
+        def files(d: str) -> list:
+            return sorted(_glob.glob(os.path.join(d, "**", "*.parquet"),
+                                     recursive=True))
+
+        return {
+            "postings_files": files(self.paths.postings),
+            "docstats_files": files(self.paths.docstats),
+            "termstats_files": files(self.paths.termstats),
+            "deletes_files": files(self._deletes_dir),
+            "globals": dict(self.globals),
+        }
 
     def delete(self, doc_ids: Sequence[int]) -> int:
         """Soft-delete documents by id (reference: Lucene soft deletes /
@@ -437,6 +526,8 @@ class SearchEngine:
         import pyarrow.parquet as pq
         import uuid
 
+        if self._pit is not None:
+            raise ValueError("PIT reader is a read-only snapshot")
         if not doc_ids:
             return 0
         os.makedirs(self._deletes_dir, exist_ok=True)
@@ -454,6 +545,8 @@ class SearchEngine:
         query matching 10^8 docs costs executor memory only (reference:
         TransportDeleteByQueryAction streams scroll batches the same
         way)."""
+        if self._pit is not None:
+            raise ValueError("PIT reader is a read-only snapshot")
         node = dsl_mod.parse(query) if isinstance(query, dict) else dsl_mod.normalize(query)
         ids = self.compile(node).select("docId")
         n = ids.count()
@@ -488,6 +581,7 @@ class SearchEngine:
         search_after: tuple | list | None = None,
         collapse: str | None = None,
         terminate_after: int | None = None,
+        slice_: dict | None = None,
     ) -> DataFrame:
         """Top-k hits.
 
@@ -506,10 +600,21 @@ class SearchEngine:
             )
         node = dsl_mod.parse(query) if isinstance(query, dict) else dsl_mod.normalize(query)
         prune = (sort is None and search_after is None and from_ == 0
-                 and collapse is None)
+                 and collapse is None and slice_ is None)
         df = self._search_topk_program(node, k) if prune else None
         if df is None:
             df = self.compile(node, topk=k if prune else None)
+        if slice_ is not None:
+            # sliced scroll (reference: search/slice/SliceBuilder.java:82)
+            # — deterministic hash partition of the matching docs so N
+            # workers can scroll disjoint slices in parallel; the union
+            # of all slices is exactly the unsliced result
+            sid, smax = int(slice_["id"]), int(slice_["max"])
+            if not (0 <= sid < smax):
+                raise ValueError(f"slice id {sid} not in [0, {smax})")
+            df = df.where(
+                F.pmod(F.xxhash64(F.col("docId")), F.lit(smax)) == F.lit(sid)
+            )
         if terminate_after is not None:
             df = df.limit(int(terminate_after))
         if collapse is not None:
@@ -691,16 +796,20 @@ class SearchEngine:
         )
         return out
 
-    def scroll(self, query: dict | A.AnyNode, batch_size: int = 100):
+    def scroll(self, query: dict | A.AnyNode, batch_size: int = 100,
+               slice_: dict | None = None):
         """Scroll/PIT analog (reference: Scroll.java:51,
         CreatePitController.java:52): the index tables are immutable
-        parquet, so a scroll is snapshot-consistent by construction;
-        pagination is keyset-based over (score desc, docId asc) —
-        yields lists of Row batches until exhausted."""
+        parquet, so a scroll is snapshot-consistent by construction
+        (open_pit() pins the file set explicitly for long-lived
+        readers); pagination is keyset-based over (score desc, docId
+        asc) — yields lists of Row batches until exhausted. ``slice_``
+        = {"id": i, "max": m} scrolls the i-th of m disjoint hash
+        slices (parallel scroll, SliceBuilder.java:82)."""
         after = None
         while True:
             rows = self.search(
-                query, k=batch_size, search_after=after
+                query, k=batch_size, search_after=after, slice_=slice_
             ).collect()
             if not rows:
                 return
@@ -775,6 +884,56 @@ class SearchEngine:
             ][:size]
         return out
 
+    def suggest_phrase(self, text: str, size: int = 5, max_edits: int = 2,
+                       prefix_length: int = 1, max_candidates: int = 4,
+                       real_word_error_likelihood: float = 0.95) -> list:
+        """Phrase suggester (reference: search/suggest/phrase/
+        PhraseSuggester.java): whole-phrase corrections ranked by a
+        language-model score. Documented simplified variant of the
+        reference's Laplace-smoothed bigram LM: per-token candidates
+        come from the term dictionary (term-suggester machinery — one
+        Spark job over termstats); each candidate scores
+        ``ln((df+1)/(N+1)) + channel`` with channel = ln(rwel) for the
+        unchanged in-dictionary token and edits * ln(1 - rwel) per edit;
+        the phrase score sums token scores and candidates combine by
+        driver-side beam product (bounded: max_candidates per token).
+        Returns [{"text", "score"}] best-first, input phrase excluded."""
+        import itertools
+        import math as _math
+
+        toks = tokenize(text)
+        if not toks:
+            return []
+        n = self.doc_count
+        per_token: List[List[tuple]] = []
+        sug = self.suggest(text, size=max_candidates,
+                           max_edits=max_edits, prefix_length=prefix_length)
+        dfs = self._dfs(toks)
+        chan_err = _math.log(max(1.0 - real_word_error_likelihood, 1e-9))
+        for tok in toks:
+            cands: List[tuple] = []
+            df_self = dfs.get(tok, 0)
+            base = _math.log((df_self + 1) / (n + 1))
+            if df_self > 0:
+                cands.append((tok, base + _math.log(real_word_error_likelihood)))
+            else:
+                cands.append((tok, base + chan_err))  # unknown kept, penalized
+            for c in sug.get(tok, []):
+                lm = _math.log((c["freq"] + 1) / (n + 1))
+                cands.append((c["text"], lm + c["distance"] * chan_err))
+            per_token.append(cands[: max_candidates + 1])
+        out = []
+        for combo in itertools.product(*per_token):
+            words = [w for w, _s in combo]
+            if words == toks:
+                continue
+            out.append({
+                "text": " ".join(words),
+                "score": float(sum(s for _w, s in combo)),
+            })
+        out.sort(key=lambda d: (-d["score"], d["text"]))
+        return out[:size]
+
     def msearch(self, queries: Sequence[dict], k: int = 10) -> DataFrame:
         """Batched multi-search (reference: the `_msearch` endpoint,
         ``action/search/TransportMultiSearchAction.java``): N queries in
@@ -800,7 +959,7 @@ class SearchEngine:
         programs: List[M.Program] = []
         fallback: List[tuple] = []
         for qid, n in enumerate(nodes):
-            p = M.build_program(qid, n, known)
+            p = None if self.similarity is not None else M.build_program(qid, n, known)
             if p is None:
                 fallback.append((qid, n))
             else:
@@ -856,6 +1015,8 @@ class SearchEngine:
 
         if not isinstance(node, A.Bool):
             return None
+        if self.similarity is not None:
+            return None  # program scorer is BM25-only
         if self._n_deletes > self.MAX_PRUNE_DELETES:
             return None
         cand = M.candidate_terms(node)
@@ -1510,6 +1671,17 @@ class SearchEngine:
             return self._empty()
         if node.operator == "and" and len(idfs) < len(set(terms)):
             return self._empty()  # a required term is absent from the index
+        if self.similarity is not None:
+            dfs = self._dfs(list(idfs))
+            scorer = _make_custom_sim_scorer(
+                dfs, self.doc_count, self.avgdl, node.operator,
+                node.minimum_should_match, float(node.boost), self.similarity,
+            )
+            return (
+                self._postings_for(list(idfs))
+                .groupBy("seg")
+                .applyInPandas(scorer, SCORE_SCHEMA)
+            )
         scorer = _make_match_scorer(
             idfs, self.avgdl, node.operator, node.minimum_should_match,
             float(node.boost), topk,

@@ -1,0 +1,209 @@
+"""Round-2 feature tests: slice, PIT, phrase suggester, scripted
+similarity, upsert, dedup skew guard."""
+
+import math
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from opensearch_spark.index.build import build_index
+from opensearch_spark.search.engine import SearchEngine
+from opensearch_spark.testing.corpus import generate_corpus
+
+Q = {"match": {"content": "def return"}}
+
+
+@pytest.fixture(scope="module")
+def ix(spark, tmp_path_factory):
+    corpus = spark.createDataFrame(generate_corpus(300, seed=17))
+    out = str(tmp_path_factory.mktemp("r2") / "ix")
+    build_index(spark, corpus, out, n_segments=4, shuffle_partitions=8)
+    return out, corpus
+
+
+@pytest.fixture(scope="module")
+def eng(spark, ix):
+    out, corpus = ix
+    return SearchEngine(spark, out, corpus=corpus)
+
+
+def ids(rows):
+    return sorted(int(r["docId"]) for r in rows)
+
+
+def test_slice_union_equals_full_scroll(eng):
+    """Parallel sliced scrolls (SliceBuilder.java:82) partition the
+    matching docs: disjoint slices, union == the unsliced result."""
+    full = []
+    for batch in eng.scroll(Q, batch_size=50):
+        full.extend(batch)
+    sliced = []
+    per_slice = []
+    M = 3
+    for i in range(M):
+        part = []
+        for batch in eng.scroll(Q, batch_size=50, slice_={"id": i, "max": M}):
+            part.extend(batch)
+        per_slice.append(set(ids(part)))
+        sliced.extend(part)
+    assert ids(sliced) == ids(full)
+    for i in range(M):
+        for j in range(i + 1, M):
+            assert not (per_slice[i] & per_slice[j])
+
+
+def test_slice_rejects_bad_id(eng):
+    with pytest.raises(ValueError):
+        eng.search(Q, k=5, slice_={"id": 3, "max": 3}).collect()
+
+
+def test_pit_pins_snapshot(spark, ix):
+    out, corpus = ix
+    live = SearchEngine(spark, out, corpus=corpus)
+    pit = live.open_pit()
+    before = [(int(r["docId"]), round(float(r["score"]), 6))
+              for r in live.search(Q, k=10).collect()]
+    victims = [before[0][0], before[1][0]]
+    live.delete(victims)
+    # live engine no longer returns victims
+    after_live = ids(live.search(Q, k=10).collect())
+    assert not (set(victims) & set(after_live))
+    # PIT reader still sees the pre-delete snapshot
+    pinned = SearchEngine(spark, out, corpus=corpus, pit=pit)
+    pinned_rows = [(int(r["docId"]), round(float(r["score"]), 6))
+                   for r in pinned.search(Q, k=10).collect()]
+    assert pinned_rows == before
+    with pytest.raises(ValueError):
+        pinned.delete([before[0][0]])
+    with pytest.raises(ValueError):
+        pinned.delete_by_query(Q)
+
+
+def test_phrase_suggester(eng):
+    """Misspelled two-word phrase: the corrected phrase must rank first
+    among suggestions."""
+    # pick two real frequent terms from the dictionary
+    rows = (
+        eng.termstats.groupBy("term").agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term")).limit(2).collect()
+    )
+    t1, t2 = rows[0]["term"], rows[1]["term"]
+    broken = t1[:-1] + ("x" if t1[-1] != "x" else "q")
+    out = eng.suggest_phrase(f"{broken} {t2}", size=5)
+    assert out, "no suggestions"
+    assert out[0]["text"].split()[0] == t1
+    assert out[0]["text"].split()[1] == t2
+    # input phrase itself is never suggested
+    assert all(o["text"] != f"{broken} {t2}" for o in out)
+
+
+def test_scripted_similarity(spark, ix):
+    """similarity hook (SimilarityService.java:116): TF-saturation-only
+    scorer tf/(tf+1) * ln(N/df), cross-checked in plain python."""
+    import numpy as np
+
+    out, corpus = ix
+
+    def sim(tf, df, dl_q, avgdl, n):
+        return tf / (tf + 1.0) * math.log(n / df)
+
+    eng = SearchEngine(spark, out, corpus=corpus, similarity=sim)
+    got = {int(r["docId"]): float(r["score"])
+           for r in eng.compile(
+               __import__("opensearch_spark.search.dsl",
+                          fromlist=["parse"]).parse(
+                   {"match": {"content": "def return"}})).collect()}
+    # recompute from raw tokens
+    pdf = corpus.toPandas()
+    from opensearch_spark.analysis.analyzer import tokenize
+
+    n = eng.doc_count
+    toks = {int(r.docId): tokenize(r.content)
+            for r in corpus.withColumn(
+                "docId", F.xxhash64("repo", "path", "commit")
+            ).collect()}
+    dfs = {t: sum(1 for tt in toks.values() if t in tt)
+           for t in ("def", "return")}
+    dead = (
+        {int(r["docId"]) for r in eng.deletes.collect()}
+        if eng.deletes is not None else set()
+    )
+    want = {}
+    for d, tt in toks.items():
+        if d in dead:
+            continue
+        s = 0.0
+        for t in ("def", "return"):
+            tf = tt.count(t)
+            if tf:
+                s += tf / (tf + 1.0) * math.log(n / dfs[t])
+        if s > 0:
+            want[d] = s
+    assert set(got) == set(want)
+    for d in got:
+        assert abs(got[d] - want[d]) < 1e-9
+
+
+def test_upsert_batch(spark, tmp_path):
+    from opensearch_spark.index.incremental import upsert_batch
+
+    pdf = generate_corpus(120, seed=23)
+    corpus = spark.createDataFrame(pdf)
+    out = str(tmp_path / "upix")
+    build_index(spark, corpus, out, n_segments=2, shuffle_partitions=4)
+    eng = SearchEngine(spark, out, corpus=corpus)
+    # pick a doc and rewrite its content
+    row = corpus.limit(1).collect()[0]
+    new = spark.createDataFrame(
+        [(row["repo"], row["path"], row["commit"],
+          "zzzupserted token stream alpha beta", row["lang"])],
+        "repo string, path string, commit string, content string, lang string",
+    )
+    upsert_batch(spark, new, out)
+    eng2 = SearchEngine(spark, out, corpus=corpus)
+    doc_id = int(spark.createDataFrame([(row["repo"], row["path"], row["commit"])],
+                 "repo string, path string, commit string")
+                 .select(F.xxhash64("repo", "path", "commit")).collect()[0][0])
+    hits = ids(eng2.search({"match": {"content": "zzzupserted"}}, k=5).collect())
+    assert hits == [doc_id]
+    # the old content no longer matches for that doc
+    old_terms = [t for t in row["content"].split() if t.isalpha()][:1]
+    if old_terms:
+        old_hits = ids(eng2.search({"match": {"content": old_terms[0]}},
+                                   k=200).collect())
+        # doc may legitimately still match if the new text shares the term;
+        # the invariant that MUST hold: doc count for the doc is 1 copy
+        assert eng2.docstats.where(F.col("docId") == doc_id).count() == 1
+
+
+def test_ngram_jaccard_skew_cap(spark, tmp_path):
+    """10x-duplicated source bucket is dropped under max_bucket_docs —
+    the quadratic bucket never runs."""
+    import pandas as pd
+
+    from opensearch_spark.pipelines import dedup
+
+    n_small, n_big = 6, 60
+    rows = []
+    for i in range(n_small):
+        rows.append((i, f"alpha beta gamma delta epsilon {i}", "small"))
+    for i in range(n_big):
+        rows.append((100 + i, f"one two three four five {i % 3}", "big"))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    p = str(tmp_path / "docs")
+    os.makedirs(p)
+    docs.write.mode("overwrite").parquet(os.path.join(p, "documents.parquet"))
+    capped = dedup.ngram_jaccard_pairs(spark, p, max_bucket_docs=30)
+    pairs = capped.select("a", "b").collect()
+    # all surviving pairs come from the small bucket (ids < 100 or their
+    # near-dup shifted copies)
+    for r in pairs:
+        for v in (int(r["a"]), int(r["b"])):
+            base = v % dedup.SHIFT_ID
+            assert base < 100, f"big-bucket pair leaked: {r}"
