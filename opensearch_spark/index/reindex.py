@@ -1,0 +1,55 @@
+"""_reindex (reference: the `reindex` module, ``TransportReindexAction`` /
+``Reindexer.java``): copy documents from a source index into a new one,
+optionally filtered by a query and transformed by a script/pipeline.
+
+Spark shape: the source engine's corpus IS the source scroll (one
+columnar scan, no point-in-time drift — parquet is immutable); the query
+filter is a semi-join against the compiled match set; the transform hook
+is any DataFrame -> DataFrame function (compose with
+``pipelines.ingest`` processors for the script-processor analog); the
+destination build is the normal zero-shuffle segment build.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from opensearch_spark.index.build import build_index
+
+
+def reindex(
+    spark: SparkSession,
+    source_engine,
+    dest_dir: str,
+    query: Optional[dict] = None,
+    transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+    text_col: Optional[str] = None,
+    doc_id_col: str = "docId",
+    n_segments: Optional[int] = None,
+    **build_kwargs,
+):
+    """Returns the destination IndexPaths. ``query`` keeps only matching
+    docs (tombstones respected); ``transform`` runs before indexing."""
+    if source_engine.corpus is None:
+        raise ValueError("reindex needs a source engine with an attached corpus")
+    docs = source_engine.corpus
+    if query is not None:
+        from opensearch_spark.search import dsl as dsl_mod
+
+        matched = source_engine.compile(dsl_mod.parse(query)).select("docId")
+        docs = docs.join(matched, "docId", "left_semi")
+    elif source_engine.deletes is not None:
+        docs = docs.join(source_engine.deletes, "docId", "left_anti")
+    if transform is not None:
+        docs = transform(docs)
+    if n_segments is None:
+        n_segments = int(source_engine.globals.get("n_segments", 8))
+    return build_index(
+        spark, docs, dest_dir,
+        text_col=text_col or source_engine.text_field,
+        doc_id_col=doc_id_col,
+        n_segments=n_segments,
+        **build_kwargs,
+    )

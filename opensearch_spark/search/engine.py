@@ -468,6 +468,9 @@ class SearchEngine:
             self.postings = self.postings.persist()
             self.docstats = self.docstats.persist()
         self._idf_cache: Dict[str, float] = {}
+        from opensearch_spark.search.templates import TemplateRegistry
+
+        self.templates = TemplateRegistry()
         # soft deletes (Lucene liveDocs analog): tombstone parquet of
         # docIds under <index>/deletes; hits are anti-joined against it
         self._deletes_dir = os.path.join(self.paths.root, "deletes")
@@ -760,6 +763,23 @@ class SearchEngine:
                 fetched = fetched.select(*keep)
             hits = fetched
         return {"hits": hits, "aggregations": aggs_df}
+
+    def search_template(self, body: dict) -> dict:
+        """`_search/template` (reference: lang-mustache
+        MustacheScriptEngine.java): render a Mustache template into a
+        `_search` body, then execute it. ``body``: {"source": template,
+        "params": {...}} or {"id": stored_id, "params": {...}} with
+        templates stored via ``self.templates.put``."""
+        import json as _json
+
+        from opensearch_spark.search import templates as T
+
+        src = body.get("source")
+        if src is None:
+            src = self.templates.get(body["id"])
+        if not isinstance(src, str):
+            src = _json.dumps(src)
+        return self.request(T.render_query(src, body.get("params")))
 
     def rescore(
         self,

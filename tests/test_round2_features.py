@@ -207,3 +207,72 @@ def test_ngram_jaccard_skew_cap(spark, tmp_path):
         for v in (int(r["a"]), int(r["b"])):
             base = v % dedup.SHIFT_ID
             assert base < 100, f"big-bucket pair leaked: {r}"
+
+
+def test_search_template(eng):
+    """Mustache search templates render + execute (lang-mustache)."""
+    eng.templates.put("my_q", """
+      {"query": {"match": {"{{field}}": {"query": "{{q}}",
+        "operator": "{{op}}{{^op}}or{{/op}}"}}},
+       "size": {{size}}{{^size}}10{{/size}}}
+    """)
+    out = eng.search_template({"id": "my_q",
+                               "params": {"field": "content", "q": "def",
+                                          "size": 4}})
+    hits = out["hits"].collect()
+    assert 0 < len(hits) <= 4
+    # toJson + section
+    from opensearch_spark.search.templates import render_query
+    q = render_query(
+        '{"query": {"terms": {"lang": {{#toJson}}langs{{/toJson}}}}'
+        '{{#with_size}}, "size": 2{{/with_size}}}',
+        {"langs": ["java", "py"], "with_size": True},
+    )
+    assert q == {"query": {"terms": {"lang": ["java", "py"]}}, "size": 2}
+
+
+def test_reindex_with_query_and_transform(spark, ix, tmp_path):
+    from opensearch_spark.index.reindex import reindex
+    from opensearch_spark.search.engine import SearchEngine as SE
+
+    out, corpus = ix
+    src = SE(spark, out, corpus=corpus)
+    dest = str(tmp_path / "reix")
+    reindex(
+        spark, src, dest,
+        query={"match": {"content": "def"}},
+        transform=lambda df: df.withColumn(
+            "content", F.concat(F.lit("xmarker "), F.col("content"))
+        ),
+        n_segments=2,
+    )
+    dst = SE(spark, dest, corpus=None)
+    n_src = src.count({"match": {"content": "def"}})
+    # every reindexed doc carries the injected marker token
+    assert dst.count({"match": {"content": "xmarker"}}) == n_src
+    assert dst.doc_count == n_src
+
+
+def test_snapshot_restore(spark, ix, tmp_path):
+    from opensearch_spark.index.snapshot import (
+        create_snapshot, list_snapshots, restore_snapshot,
+    )
+    from opensearch_spark.search.engine import SearchEngine as SE
+
+    out, corpus = ix
+    repo = str(tmp_path / "repo")
+    os.makedirs(repo)
+    meta = create_snapshot(out, repo, "snap1")
+    assert meta["state"] == "SUCCESS" and meta["n_files"] > 0
+    assert [s["name"] for s in list_snapshots(repo)] == ["snap1"]
+    with pytest.raises(ValueError):
+        create_snapshot(out, repo, "snap1")
+    dest = str(tmp_path / "restored")
+    restore_snapshot(repo, "snap1", dest)
+    a = SE(spark, out, corpus=corpus)
+    b = SE(spark, dest, corpus=corpus)
+    qa = [(int(r["docId"]), round(float(r["score"]), 6))
+          for r in a.search(Q, k=10).collect()]
+    qb = [(int(r["docId"]), round(float(r["score"]), 6))
+          for r in b.search(Q, k=10).collect()]
+    assert qa == qb
