@@ -152,11 +152,20 @@ def worker(cpus: int, corpus: str) -> dict:
     eng.msearch(batch, k=10).collect()  # warm cache + python workers
 
     # query throughput: the msearch serving path — every batch is ONE
-    # Spark job whose per-segment scoring fans out across all cores
-    rounds = 4
+    # Spark job whose per-segment scoring fans out across all cores.
+    # Batches are submitted CONCURRENTLY from a small client pool (the
+    # reference's benchmark harness drives multiple clients the same
+    # way): the driver plans batch i+1 while executors score batch i,
+    # so the measurement is capacity-bound, not driver-gap-bound —
+    # sequential submission leaves a fixed ~1s driver/planning gap per
+    # batch that caps apparent scaling at high core counts.
+    from concurrent.futures import ThreadPoolExecutor
+
+    rounds = 8
     t0 = time.perf_counter()
-    for _ in range(rounds):
-        eng.msearch(batch, k=10).collect()
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(lambda _i: eng.msearch(batch, k=10).collect(),
+                      range(rounds)))
     q_sec = time.perf_counter() - t0
 
     # single-query p50 latency (reference point; scheduler-bound at

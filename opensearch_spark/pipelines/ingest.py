@@ -8,7 +8,9 @@ maps to a built-in Spark expression (whole-stage codegen, no Python):
     set, copy, rename, remove, uppercase, lowercase, trim, split, join,
     gsub, substring(=script subset), convert, date, json, kv, csv,
     fingerprint, bytes, urldecode, html_strip, append, drop, fail,
-    dissect (regexp_extract), grok (regexp_extract), foreach(transform)
+    dissect (regexp_extract), grok (regexp_extract), foreach(transform),
+    script, sort, pipeline (nested), dot_expander, date_index_name,
+    uri_parts (parse_url)
 
 Pipeline = ordered list of {processor: config}; apply with
 ``apply_pipeline(df, processors)``. Unknown processors raise.
@@ -138,4 +140,35 @@ def _apply_one(df: DataFrame, kind: str, cfg: dict) -> DataFrame:
         ))
     if kind == "script":
         return df.withColumn(tgt or cfg["target_field"], F.expr(cfg["source"]))
+    if kind == "sort":
+        return df.withColumn(
+            tgt, F.sort_array(c, asc=cfg.get("order", "asc") != "desc")
+        )
+    if kind == "pipeline":
+        # nested pipeline invocation (PipelineProcessor)
+        return apply_pipeline(df, cfg["processors"])
+    if kind == "dot_expander":
+        # "a.b" flat column -> struct column a{b} (merging with an
+        # existing struct is out of scope; one level, like the reference
+        # default)
+        root, _, leaf = f.partition(".")
+        return df.withColumn(root, F.struct(F.col(f"`{f}`").alias(leaf))).drop(f)
+    if kind == "date_index_name":
+        # date_index_name: route each doc to a time-bucketed index name
+        prefix = cfg.get("index_name_prefix", "")
+        rounding = {"y": "year", "M": "month", "w": "week", "d": "day",
+                    "h": "hour"}.get(cfg.get("date_rounding", "d"), "day")
+        fmt = cfg.get("index_name_format", "yyyy-MM-dd")
+        return df.withColumn(
+            cfg.get("target_field", "_index"),
+            F.concat(F.lit(prefix),
+                     F.date_format(F.date_trunc(rounding, c), fmt)),
+        )
+    if kind == "uri_parts":
+        # uri_parts: decompose a URL column (parse_url is JVM-side)
+        base = cfg.get("target_field", f)
+        for part, name in (("HOST", "domain"), ("PATH", "path"),
+                           ("QUERY", "query"), ("PROTOCOL", "scheme")):
+            df = df.withColumn(f"{base}_{name}", F.parse_url(c, F.lit(part)))
+        return df
     raise ValueError(f"unknown ingest processor: {kind}")

@@ -46,9 +46,9 @@ _METRIC_KINDS = {
 }
 _BUCKET_KINDS = {
     "terms", "multi_terms", "rare_terms", "histogram", "date_histogram",
-    "auto_date_histogram", "range", "date_range", "filters", "missing",
-    "global", "composite", "nested", "reverse_nested", "sampler",
-    "diversified_sampler",
+    "auto_date_histogram", "variable_width_histogram", "range",
+    "date_range", "ip_range", "filters", "missing", "global", "composite",
+    "nested", "reverse_nested", "sampler", "diversified_sampler",
 }
 _PIPELINE_KINDS = {
     "cumulative_sum", "derivative", "serial_diff", "moving_fn", "moving_avg",
@@ -235,6 +235,56 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
              F.expr(cond_sql) if isinstance(cond_sql, str) else _filter_to_col(cond_sql))
             for label, cond_sql in named.items()
         ]
+        df = _union_buckets(df, kcol, conds)
+    elif kind == "variable_width_histogram":
+        # reference: bucket/histogram/VariableWidthHistogramAggregator —
+        # adaptive-width buckets via per-shard clustering. Documented
+        # deterministic variant: equal-frequency buckets from EXACT
+        # quantile boundaries (one agg pre-pass collects N-1 scalars to
+        # the driver; assignment is a codegen when-chain — no global
+        # sort, unlike ntile).
+        fld = body["field"]
+        nb = int(body.get("buckets", 10))
+        df = df.where(F.col(fld).isNotNull())
+        ps = [i / nb for i in range(1, nb)]
+        row = df.agg(
+            F.expr(f"percentile({fld}, array({', '.join(map(str, ps))}))")
+            .alias("bs")
+        ).collect()[0]
+        bounds = [round(float(b), 6) for b in (row["bs"] or [])]
+        expr = None
+        c = F.col(fld)
+        for i in range(nb):
+            cond = F.lit(True)
+            if i > 0:
+                cond = cond & (c >= F.lit(bounds[i - 1]))
+            if i < len(bounds):
+                cond = cond & (c < F.lit(bounds[i]))
+            expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+        df = df.withColumn(kcol, expr).where(F.col(kcol).isNotNull())
+    elif kind == "ip_range":
+        # reference: bucket/range/IpRangeAggregationBuilder — IPv4
+        # dotted-quad ranges; addresses map to uint32 and reuse the
+        # range machinery (pure codegen arithmetic, no UDF)
+        import ipaddress
+
+        fld = body["field"]
+        ipnum = (
+            F.split(F.col(fld), r"\.")[0].cast("bigint") * 16777216
+            + F.split(F.col(fld), r"\.")[1].cast("bigint") * 65536
+            + F.split(F.col(fld), r"\.")[2].cast("bigint") * 256
+            + F.split(F.col(fld), r"\.")[3].cast("bigint")
+        )
+        conds = []
+        for r in body["ranges"]:
+            frm, to = r.get("from"), r.get("to")
+            label = r.get("key") or f"{frm or '*'}-{to or '*'}"
+            cond = F.lit(True)
+            if frm is not None:
+                cond = cond & (ipnum >= int(ipaddress.IPv4Address(frm)))
+            if to is not None:
+                cond = cond & (ipnum < int(ipaddress.IPv4Address(to)))
+            conds.append((label, cond))
         df = _union_buckets(df, kcol, conds)
     elif kind == "nested":
         # reference: bucket/nested/NestedAggregator.java:72 — sub-aggs

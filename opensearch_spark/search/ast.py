@@ -164,6 +164,17 @@ class FunctionScore(Node):
 
 
 @dataclass
+class DistanceFeature(Node):
+    """distance_feature (reference: index/query/
+    DistanceFeatureQueryBuilder.java): rank boost by closeness of a
+    numeric/date field to ``origin`` — score = boost * pivot /
+    (pivot + |value - origin|). Docs with a null field do not match."""
+    field_name: str = ""
+    origin: float = 0.0
+    pivot: float = 1.0
+
+
+@dataclass
 class Boosting(Node):
     positive: Optional["AnyNode"] = None
     negative: Optional["AnyNode"] = None
@@ -326,7 +337,7 @@ class MoreLikeThis(Node):
 
 AnyNode = Union[
     Match, MatchPhrase, Bool, TermQ, TermsQ, RangeQ, Exists, Ids,
-    MatchAll, MatchNone, ConstantScore, DisMax,
+    MatchAll, MatchNone, ConstantScore, DisMax, DistanceFeature,
     Prefix, Wildcard, Regexp, Fuzzy, MatchBoolPrefix, MatchPhrasePrefix,
     MoreLikeThis, FunctionScore, Boosting,
     SpanTerm, SpanNear, SpanOr, SpanFirst, SpanNot, SpanWithin,

@@ -338,6 +338,12 @@ _PARSERS = {
     ))(*_field_body(b)),
     "more_like_this": _parse_mlt,
     "function_score": lambda b: _parse_function_score(b),
+    "distance_feature": lambda b: A.DistanceFeature(
+        field_name=str(b["field"]),
+        origin=float(b["origin"]),
+        pivot=float(b["pivot"]),
+        boost=float(b.get("boost", 1.0)),
+    ),
     "boosting": lambda b: A.Boosting(
         positive=parse(b["positive"]),
         negative=parse(b["negative"]),

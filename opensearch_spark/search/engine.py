@@ -639,9 +639,26 @@ class SearchEngine:
         if sort:
             if self.corpus is None:
                 raise ValueError("field sort needs an attached corpus")
-            cols = [c for c, _ in sort]
-            df = df.join(self.corpus.select("docId", *cols), "docId")
-            keys = [(c, d.lower()) for c, d in sort] + [("docId", "asc")]
+            plain = [c for c, _ in sort if c in self.corpus.columns]
+            exprs = [(i, c) for i, (c, _) in enumerate(sort)
+                     if c not in self.corpus.columns]
+            if exprs:
+                # script sort (reference: ScriptSortBuilder / Painless
+                # sort scripts): any SQL expression over corpus columns.
+                # The full corpus row is joined; Catalyst column-prunes
+                # the scan down to the referenced columns.
+                df = df.join(self.corpus, "docId")
+                keys = []
+                for i, (c, d) in enumerate(sort):
+                    if c in self.corpus.columns:
+                        keys.append((c, d.lower()))
+                    else:
+                        df = df.withColumn(f"_sk{i}", F.expr(c))
+                        keys.append((f"_sk{i}", d.lower()))
+                keys.append(("docId", "asc"))
+            else:
+                df = df.join(self.corpus.select("docId", *plain), "docId")
+                keys = [(c, d.lower()) for c, d in sort] + [("docId", "asc")]
         else:
             keys = [("score", "desc"), ("docId", "asc")]
 
@@ -701,6 +718,10 @@ class SearchEngine:
                 else:
                     ((f, spec),) = s.items()
                     d = spec.get("order", "asc") if isinstance(spec, dict) else spec
+                    if f == "_script":
+                        # reference: ScriptSortBuilder — sort by script
+                        src = spec["script"]
+                        f = str(src["source"] if isinstance(src, dict) else src)
                     sort.append((f, d))
         collapse = (body.get("collapse") or {}).get("field")
 
@@ -736,8 +757,28 @@ class SearchEngine:
 
         src = body.get("_source")
         derived = body.get("derived") or body.get("derived_fields")
-        if src or derived or "highlight" in body:
+        dvf = body.get("docvalue_fields")
+        if src or derived or dvf or "highlight" in body:
             fetched = self.fetch(hits)
+            # doc-value field formatting (reference: DocValueFieldsContext
+            # / DocValueFormat): render columns with the requested format
+            # — date patterns via date_format, printf-style via
+            # format_string
+            for spec in dvf or []:
+                if isinstance(spec, str):
+                    fld, fmt = spec, None
+                else:
+                    fld, fmt = spec["field"], spec.get("format")
+                col = F.col(fld)
+                if fmt is None:
+                    out_c = col.cast("string")
+                elif "%" in fmt:
+                    out_c = F.format_string(fmt, col)
+                else:
+                    out_c = F.date_format(col.cast("timestamp"), fmt)
+                fetched = fetched.withColumn(f"{fld}_value", out_c)
+                if src is not None:
+                    src = list(src) + [f"{fld}_value"]
             # derived fields (reference: DerivedFieldMapper — computed at
             # query time): Spark SQL expressions over the fetched row
             for name, spec in (derived or {}).items():
@@ -762,7 +803,18 @@ class SearchEngine:
                     keep.append("highlights")
                 fetched = fetched.select(*keep)
             hits = fetched
-        return {"hits": hits, "aggregations": aggs_df}
+        out = {"hits": hits, "aggregations": aggs_df}
+        tth = body.get("track_total_hits")
+        if tth:
+            # reference: track_total_hits true = exact count, an int =
+            # count accurately up to that threshold ("gte" beyond) —
+            # answered by the no-scoring count() shortcut
+            total = self.count(q)
+            if tth is not True and total > int(tth):
+                out["total"] = {"value": int(tth), "relation": "gte"}
+            else:
+                out["total"] = {"value": int(total), "relation": "eq"}
+        return out
 
     def search_template(self, body: dict) -> dict:
         """`_search/template` (reference: lang-mustache
@@ -1184,6 +1236,17 @@ class SearchEngine:
                         minimum_should_match=max(int(node.required), 1),
                         boost=node.boost),
                 topk,
+            )
+        if isinstance(node, A.DistanceFeature):
+            if self.corpus is None:
+                raise ValueError("distance_feature needs an attached corpus")
+            c = F.col(node.field_name).cast("double")
+            score = (
+                F.lit(float(node.boost)) * F.lit(node.pivot)
+                / (F.lit(node.pivot) + F.abs(c - F.lit(node.origin)))
+            )
+            return self.corpus.where(c.isNotNull()).select(
+                "docId", score.alias("score")
             )
         if isinstance(node, A.ScriptQ):
             if self.corpus is None:

@@ -86,3 +86,28 @@ def test_grok_like_extract(df):
 def test_unknown_processor(df):
     with pytest.raises(ValueError, match="unknown ingest processor"):
         apply_pipeline(df, [{"wat": {}}])
+
+
+def test_round2_processors(spark):
+    from opensearch_spark.pipelines.ingest import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-07", "https://example.com/a/b?x=1", [3, 1, 2], "v")],
+        "id int, d string, url string, arr array<int>, `a.b` string",
+    )
+    out = apply_pipeline(df, [
+        {"sort": {"field": "arr"}},
+        {"uri_parts": {"field": "url"}},
+        {"date_index_name": {"field": "d", "index_name_prefix": "logs-",
+                             "date_rounding": "M",
+                             "index_name_format": "yyyy-MM"}},
+        {"pipeline": {"processors": [{"set": {"field": "flag",
+                                              "value": "on"}}]}},
+        {"dot_expander": {"field": "a.b"}},
+    ]).collect()[0]
+    assert out["arr"] == [1, 2, 3]
+    assert out["url_domain"] == "example.com"
+    assert out["url_path"] == "/a/b"
+    assert out["_index"] == "logs-2024-03"
+    assert out["flag"] == "on"
+    assert out["a"]["b"] == "v"

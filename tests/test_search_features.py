@@ -212,3 +212,21 @@ def test_request_derived_fields(eng):
     for r in rows_:
         assert r["is_python"] == (r["lang"] == "python")
         assert isinstance(r["len_chars"], int) and r["len_chars"] > 0
+
+
+def test_docvalue_fields_and_track_total_hits(eng):
+    out = eng.request({
+        "query": Q,
+        "size": 3,
+        "docvalue_fields": [{"field": "lang", "format": None} if False else "lang"],
+        "track_total_hits": True,
+    })
+    rows = out["hits"].collect()
+    assert rows and "lang_value" in out["hits"].columns
+    from opensearch_spark.search import dsl as dsl_mod
+
+    exact = eng.compile(dsl_mod.parse(Q)).count()
+    assert out["total"] == {"value": exact, "relation": "eq"}
+    capped = eng.request({"query": Q, "size": 1, "track_total_hits": 1})
+    assert capped["total"]["relation"] in ("eq", "gte")
+    assert capped["total"]["value"] <= exact
