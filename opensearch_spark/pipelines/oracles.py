@@ -263,6 +263,36 @@ ORACLES: dict[str, str] = {
         SELECT vec_id, cosine FROM cos
     """,
     "s_lsh_buckets": _lsh_sql() + "\nSELECT vec_id, bucket FROM buckets",
+    "s_ivf_ann": f"""
+        WITH c AS (
+          SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+        ),
+        a0 AS (
+          SELECT e.vec_id, c.cid,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                              c.cv::DOUBLE[]), 8) AS cs
+          FROM embeddings e, c
+        ),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, cid) AS rn
+            FROM a0
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT cid FROM (
+            SELECT cid, row_number() OVER (ORDER BY cs DESC, cid) AS rn
+            FROM a0 WHERE vec_id = 0
+          ) WHERE rn <= 2
+        ),
+        {_COSINE}
+        SELECT a.vec_id, a.cid AS centroid, cos.cosine
+        FROM assign a
+        JOIN probes USING (cid)
+        JOIN cos ON cos.vec_id = a.vec_id
+    """,
     "s_lsh_ann": (
         _lsh_sql()
         + f""",

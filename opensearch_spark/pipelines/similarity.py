@@ -89,6 +89,85 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_IVF_CENTROIDS = 8
+IVF_NPROBE = 2
+
+
+def _pair_cosine(vc, cc) -> "F.Column":
+    dot = F.aggregate(
+        F.zip_with(vc, cc, lambda a, b: a * b), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0),
+                    lambda acc, x: acc + x)
+    )
+    return dot / (n(vc) * n(cc))
+
+
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: (vec_id, centroid) = nearest of K fixed seed
+    centroids (the embeddings of vec_id 0..K-1) by cosine. Deterministic
+    seed-init variant of k-means — zero Lloyd iterations so the DuckDB
+    oracle reproduces assignments exactly; at scale you'd run a few
+    iterations with the SAME plan shape (broadcast centroids -> argmax
+    join -> mean recompute). Ties broken by (cosine desc, centroid asc)
+    on 8-dp-rounded similarity."""
+    e = _emb(spark, sf_dir).select("vec_id", _as_double().alias("v"))
+    cents = (
+        e.where(F.col("vec_id") < N_IVF_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid"), F.col("v").alias("cv"))
+    )
+    from pyspark.sql import Window
+
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "centroid",
+        F.round(_pair_cosine(F.col("v"), F.col("cv")), 8).alias("_cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("centroid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "centroid")
+    )
+
+
+def ivf_ann(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
+            nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF-style ANN: probe the ``nprobe`` centroids nearest to the query,
+    re-rank their posting lists by exact cosine. The scale path
+    pre-materializes ``ivf_assign`` partitioned by centroid so a query
+    scans ~nprobe/K of the corpus instead of all of it."""
+    assign = ivf_assign(spark, sf_dir)
+    e = _emb(spark, sf_dir).select("vec_id", _as_double().alias("v"))
+    q = e.where(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    cents = (
+        e.where(F.col("vec_id") < N_IVF_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid"), F.col("v").alias("cv"))
+    )
+    from pyspark.sql import Window
+
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "centroid",
+            F.round(_pair_cosine(F.col("cv"), F.col("qv")), 8).alias("_cs"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.orderBy(F.desc("_cs"), F.asc("centroid"))),
+        )
+        .where(F.col("_rn") <= nprobe)
+        .select("centroid")
+    )
+    cos = cosine_scores(spark, sf_dir, query_vec_id)
+    return (
+        assign.join(F.broadcast(probes), "centroid")
+        .join(cos, "vec_id")
+        .select("vec_id", "centroid", "cosine")
+    )
+
+
 def lsh_ann(spark: SparkSession, sf_dir: str, query_vec_id: int = 0) -> DataFrame:
     """ANN candidates: vectors sharing the query's LSH bucket, with their
     exact cosine (re-ranking step)."""

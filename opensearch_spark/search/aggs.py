@@ -468,7 +468,16 @@ def _significant_text(df: DataFrame, name: str, body: dict) -> DataFrame:
     j = counts.crossJoin(F.broadcast(totals))
     fg_pct = F.col("doc_count") / F.col("_n_fg")
     bg_pct = F.col("_bg_count") / F.col("_n_bg")
-    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    heuristic = str(body.get("heuristic", "jlh")).lower()
+    if heuristic == "chi_square":
+        # reference: heuristic/ChiSquare.java (simplified: no
+        # background-superset correction)
+        score = (fg_pct - bg_pct) * (fg_pct - bg_pct) / bg_pct
+    elif heuristic == "percentage":
+        # heuristic/PercentageScore.java
+        score = F.col("doc_count") / F.col("_bg_count")
+    else:  # jlh
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
     return (
         j.where((F.col("doc_count") >= mdc) & (fg_pct > bg_pct))
         .select(kcol, "doc_count", F.col("_bg_count").alias("bg_count"),

@@ -175,6 +175,29 @@ class DistanceFeature(Node):
 
 
 @dataclass
+class RankFeature(Node):
+    """rank_feature (reference: modules/mapper-extras
+    RankFeatureQueryBuilder / Lucene FeatureField): score a numeric
+    feature column with a monotone saturation function —
+    saturation: S/(S+pivot); log: ln(scaling_factor + S);
+    sigmoid: S^exp / (S^exp + pivot^exp)."""
+    field_name: str = ""
+    function: str = "saturation"   # saturation | log | sigmoid
+    pivot: float = 1.0
+    scaling_factor: float = 1.0
+    exponent: float = 1.0
+
+
+@dataclass
+class Pinned(Node):
+    """pinned query (reference: the search-pinned module /
+    PinnedQueryBuilder): listed ids rank first (in list order), organic
+    hits follow by their own scores."""
+    ids: List[int] = field(default_factory=list)
+    organic: Optional["AnyNode"] = None
+
+
+@dataclass
 class Boosting(Node):
     positive: Optional["AnyNode"] = None
     negative: Optional["AnyNode"] = None
@@ -338,6 +361,7 @@ class MoreLikeThis(Node):
 AnyNode = Union[
     Match, MatchPhrase, Bool, TermQ, TermsQ, RangeQ, Exists, Ids,
     MatchAll, MatchNone, ConstantScore, DisMax, DistanceFeature,
+    RankFeature, Pinned,
     Prefix, Wildcard, Regexp, Fuzzy, MatchBoolPrefix, MatchPhrasePrefix,
     MoreLikeThis, FunctionScore, Boosting,
     SpanTerm, SpanNear, SpanOr, SpanFirst, SpanNot, SpanWithin,

@@ -294,6 +294,32 @@ def _parse_fields_boosts(fields: list) -> tuple[list, list]:
     return names, boosts
 
 
+def _parse_rank_feature(b: dict) -> A.RankFeature:
+    node = A.RankFeature(field_name=str(b["field"]),
+                         boost=float(b.get("boost", 1.0)))
+    if "log" in b:
+        node.function = "log"
+        node.scaling_factor = float(b["log"].get("scaling_factor", 1.0))
+    elif "sigmoid" in b:
+        node.function = "sigmoid"
+        node.pivot = float(b["sigmoid"]["pivot"])
+        node.exponent = float(b["sigmoid"].get("exponent", 1.0))
+    else:
+        node.function = "saturation"
+        node.pivot = float(b.get("saturation", {}).get("pivot", 1.0))
+    return node
+
+
+def _parse_wrapper(b: dict) -> A.AnyNode:
+    """wrapper query (reference: WrapperQueryBuilder): base64-encoded
+    JSON query body."""
+    import base64
+    import json as _json
+
+    raw = b["query"] if isinstance(b, dict) else b
+    return parse(_json.loads(base64.b64decode(raw)))
+
+
 def _parse_query_string(body: dict) -> A.AnyNode:
     """Lucene classic syntax (reference: QueryStringQueryBuilder)."""
     from opensearch_spark.search.querystring import parse_query_string
@@ -338,6 +364,13 @@ _PARSERS = {
     ))(*_field_body(b)),
     "more_like_this": _parse_mlt,
     "function_score": lambda b: _parse_function_score(b),
+    "rank_feature": lambda b: _parse_rank_feature(b),
+    "pinned": lambda b: A.Pinned(
+        ids=[int(v) for v in b["ids"]],
+        organic=parse(b["organic"]),
+        boost=float(b.get("boost", 1.0)),
+    ),
+    "wrapper": lambda b: _parse_wrapper(b),
     "distance_feature": lambda b: A.DistanceFeature(
         field_name=str(b["field"]),
         origin=float(b["origin"]),

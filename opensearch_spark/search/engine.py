@@ -1006,6 +1006,24 @@ class SearchEngine:
         out.sort(key=lambda d: (-d["score"], d["text"]))
         return out[:size]
 
+    def suggest_completion(self, prefix: str, size: int = 5,
+                           skip_duplicates: bool = True) -> list:
+        """Completion suggester (reference: search/suggest/completion/
+        CompletionSuggester.java — FST-backed prefix automaton with
+        per-entry weights). Dictionary-backed variant: the term
+        dictionary IS the suggestion corpus and document frequency the
+        weight; one pushdown-filtered scan of the tiny termstats table
+        per call. Returns [{"text", "weight"}] by (weight desc, text)."""
+        pref = prefix.lower()
+        rows = (
+            self.termstats.where(F.col("term").startswith(pref))
+            .groupBy("term").agg(F.sum("df").alias("w"))
+            .orderBy(F.desc("w"), F.asc("term"))
+            .limit(size)
+            .collect()
+        )
+        return [{"text": r["term"], "weight": int(r["w"])} for r in rows]
+
     def msearch(self, queries: Sequence[dict], k: int = 10) -> DataFrame:
         """Batched multi-search (reference: the `_msearch` endpoint,
         ``action/search/TransportMultiSearchAction.java``): N queries in
@@ -1237,6 +1255,30 @@ class SearchEngine:
                         boost=node.boost),
                 topk,
             )
+        if isinstance(node, A.RankFeature):
+            if self.corpus is None:
+                raise ValueError("rank_feature needs an attached corpus")
+            x = F.col(node.field_name).cast("double")
+            if node.function == "log":
+                s = F.log(F.lit(node.scaling_factor) + x)
+            elif node.function == "sigmoid":
+                xp = F.pow(x, F.lit(node.exponent))
+                s = xp / (xp + F.lit(node.pivot ** node.exponent))
+            else:
+                s = x / (x + F.lit(node.pivot))
+            return self.corpus.where(x.isNotNull() & (x > 0)).select(
+                "docId", (s * F.lit(float(node.boost))).alias("score")
+            )
+        if isinstance(node, A.Pinned):
+            organic = self.compile(node.organic)
+            rows = [(int(d), 1e9 - i) for i, d in enumerate(node.ids)]
+            pinned = self.spark.createDataFrame(rows, "docId long, score double")
+            # pinned docs must exist in the index (reference skips unknown
+            # ids) and override their organic score
+            pinned = pinned.join(self.docstats.select("docId"), "docId", "left_semi")
+            organic = organic.join(F.broadcast(pinned.select("docId")),
+                                   "docId", "left_anti")
+            return organic.unionByName(pinned)
         if isinstance(node, A.DistanceFeature):
             if self.corpus is None:
                 raise ValueError("distance_feature needs an attached corpus")

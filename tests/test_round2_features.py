@@ -276,3 +276,43 @@ def test_snapshot_restore(spark, ix, tmp_path):
     qb = [(int(r["docId"]), round(float(r["score"]), 6))
           for r in b.search(Q, k=10).collect()]
     assert qa == qb
+
+
+def test_wrapper_query(eng):
+    import base64
+    import json
+
+    inner = {"match": {"content": "def"}}
+    wrapped = {"wrapper": {"query": base64.b64encode(
+        json.dumps(inner).encode()).decode()}}
+    a = ids(eng.search(inner, k=20).collect())
+    b = ids(eng.search(wrapped, k=20).collect())
+    assert a == b
+
+
+def test_completion_suggester(eng):
+    out = eng.suggest_completion("re", size=5)
+    assert out and all(o["text"].startswith("re") for o in out)
+    ws = [o["weight"] for o in out]
+    assert ws == sorted(ws, reverse=True)
+
+
+def test_significant_text_chi_square(spark, sf_dir):
+    from opensearch_spark.search.aggs import compile_aggs
+    import math
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = compile_aggs(docs, {
+        "s": {"significant_text": {"field": "text", "foreground": "lang = 'en'",
+                                   "size": 5, "min_doc_count": 3,
+                                   "heuristic": "chi_square"}},
+    }).collect()
+    assert out
+    # recompute chi2 for the top row
+    r = out[0]
+    n_fg = docs.where("lang = 'en'").count()
+    n_bg = docs.count()
+    fg_pct = r["doc_count"] / n_fg
+    bg_pct = r["bg_count"] / n_bg
+    want = (fg_pct - bg_pct) ** 2 / bg_pct
+    assert math.isclose(r["score"], want, rel_tol=1e-9)
