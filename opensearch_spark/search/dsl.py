@@ -486,4 +486,13 @@ def normalize(node: A.AnyNode) -> A.AnyNode:
             and not node.filter and not node.should and not node.must_not
         ):
             return node.must[0]
+        # single-should bool (no other clauses, msm <= 1) scores exactly
+        # like its clause — flatten so it takes the leaf's pruned path
+        if (
+            node.boost == 1.0
+            and len(node.should) == 1
+            and not node.must and not node.filter and not node.must_not
+            and node.effective_msm() <= 1
+        ):
+            return node.should[0]
     return node
