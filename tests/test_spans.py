@@ -209,3 +209,76 @@ def test_engine_span_or_not(eng):
     # has any class occurrence (def spans are excluded exactly)
     want = sorted(d for d, txt in texts.items() if "class" in _tok(txt))
     assert got == want and len(got) > 0
+
+
+# ---- containment algebra (span_within / span_containing / interval
+# filters) vs brute force, property-tested with hypothesis ----------------
+
+from hypothesis import given, settings, strategies as st_
+
+
+def _spanset(draw, max_doc=5, max_pos=12, max_n=10):
+    n = draw(st_.integers(0, max_n))
+    doc = [draw(st_.integers(0, max_doc)) for _ in range(n)]
+    s = [draw(st_.integers(0, max_pos)) for _ in range(n)]
+    w = [draw(st_.integers(1, 3)) for _ in range(n)]
+    e = [a + b for a, b in zip(s, w)]
+    return mk(doc, s, e)
+
+
+spanset_st = st_.composite(_spanset)()
+
+
+def brute_within(little, big):
+    ld, ls, le = [x.tolist() for x in little]
+    bd, bs, be = [x.tolist() for x in big]
+    keep = []
+    for i in range(len(ld)):
+        ok = any(bd[j] == ld[i] and bs[j] <= ls[i] and be[j] >= le[i]
+                 for j in range(len(bd)))
+        keep.append(ok)
+    return keep
+
+
+def brute_containing(big, little):
+    bd, bs, be = [x.tolist() for x in big]
+    ld, ls, le = [x.tolist() for x in little]
+    keep = []
+    for i in range(len(bd)):
+        ok = any(ld[j] == bd[i] and ls[j] >= bs[i] and le[j] <= be[i]
+                 for j in range(len(ld)))
+        keep.append(ok)
+    return keep
+
+
+def _as_set(s):
+    return sorted(zip(*[x.tolist() for x in s]))
+
+
+@settings(max_examples=200, deadline=None)
+@given(spanset_st, spanset_st)
+def test_within_spans_matches_brute(little, big):
+    got = _as_set(S.within_spans(little, big))
+    ld, ls, le = [x.tolist() for x in little]
+    keep = brute_within(little, big)
+    want = sorted((ld[i], ls[i], le[i]) for i in range(len(ld)) if keep[i])
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(spanset_st, spanset_st)
+def test_containing_spans_matches_brute(big, little):
+    got = _as_set(S.containing_spans(big, little))
+    bd, bs, be = [x.tolist() for x in big]
+    keep = brute_containing(big, little)
+    want = sorted((bd[i], bs[i], be[i]) for i in range(len(bd)) if keep[i])
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(spanset_st, spanset_st)
+def test_not_variants_are_complements(a, b):
+    w = _as_set(S.within_spans(a, b)) + _as_set(S.not_within_spans(a, b))
+    assert sorted(w) == _as_set(a)
+    c = _as_set(S.containing_spans(a, b)) + _as_set(S.not_containing_spans(a, b))
+    assert sorted(c) == _as_set(a)
