@@ -248,7 +248,10 @@ def main() -> None:
             f"python workers warmed before measuring (steady-state cluster "
             f"proxy), best-of reported (noisy shared host); query metric = "
             f"msearch batch throughput ({QBATCH} top-10 queries per batch, "
-            f"one Spark job). cpu_ceiling = pure-CPU multiprocessing "
+            f"one Spark job per batch, 8 batches submitted CONCURRENTLY "
+            f"from 4 client threads — the serving regime; sequential "
+            f"submission leaves a fixed ~1.2s driver gap per batch). "
+            f"cpu_ceiling = pure-CPU multiprocessing "
             f"speedup for the same core pair on this host (SMT + freq "
             f"scaling bound it well below 4.0) — the hardware-normalized "
             f"efficiency is the cluster-transferable number."
