@@ -69,14 +69,39 @@ def _split_long(tok: str) -> List[str]:
     return [tok[i : i + MAX_TOKEN_LENGTH] for i in range(0, len(tok), MAX_TOKEN_LENGTH)]
 
 
-def tokenize(text: str) -> List[str]:
-    """Analyze one string -> list of terms (position = list index)."""
+def tokenize(text: str, analyzer: str = "standard") -> List[str]:
+    """Analyze one string -> list of terms (position = list index).
+
+    Analyzers (reference: index/analysis — the built-in analyzer
+    registry; we support the three non-configurable ones):
+    - ``standard``: UAX#29-subset word tokens + lowercase (default)
+    - ``whitespace``: split on whitespace, NO lowercasing
+    - ``keyword``: the whole input as one untouched token
+    """
     if not text:
         return []
+    if analyzer == "keyword":
+        return [text]
+    if analyzer == "whitespace":
+        return [t for t in WHITESPACE_PATTERN.findall(text)]
     out: List[str] = []
     for tok in TOKEN_PATTERN.findall(text.lower()):
         out.extend(_split_long(tok))
     return out
+
+
+WHITESPACE_PATTERN = re.compile(r"\S+")
+
+
+def duckdb_tokens_expr(analyzer: str = "standard", col: str = "content") -> str:
+    """DuckDB SQL expression producing the token LIST for ``col`` under
+    the named analyzer (used by the segment-local index build and the
+    SQL oracles — one dialect, same tokens as ``tokenize``)."""
+    if analyzer == "keyword":
+        return f"[{col}]"
+    if analyzer == "whitespace":
+        return f"regexp_extract_all({col}, '\\S+')"
+    return f"regexp_extract_all(lower({col}), '{duckdb_token_regex()}')"
 
 
 def tokenize_pandas(texts: pd.Series) -> pd.Series:
@@ -131,12 +156,16 @@ def termvec(tokens: List[str]) -> List[Tuple[str, int, List[int]]]:
 # ---- Spark UDF wrappers (defined lazily so importing this module does not
 # require an active SparkSession) -------------------------------------------
 
-def tokens_udf():
+def tokens_udf(analyzer: str = "standard"):
     """pandas_udf: content string -> array<string> tokens."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
     def _tok(texts: pd.Series) -> pd.Series:
+        if analyzer == "keyword":
+            return texts.fillna("").map(lambda s: [s] if s else [])
+        if analyzer == "whitespace":
+            return texts.fillna("").str.findall(WHITESPACE_PATTERN)
         return tokenize_pandas(texts)
 
     return _tok

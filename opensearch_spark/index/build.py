@@ -279,7 +279,8 @@ def _pack_partition(block_size: int):
     return pack
 
 
-def _local_index_fn(block_size: int, docstats_dir: str, token_regex: str):
+def _local_index_fn(block_size: int, docstats_dir: str, tok_expr: str,
+                    analyzer: str = "standard"):
     """mapInArrow fn implementing SEGMENT-LOCAL indexing — the Lucene
     shard-build analog (reference: each shard's IndexWriter builds its
     own complete per-segment inverted index; SURVEY.md §3.2). One
@@ -324,9 +325,7 @@ def _local_index_fn(block_size: int, docstats_dir: str, token_regex: str):
         con = duckdb.connect(config={"threads": 1})
         con.register("docs", t)
         toks_t = con.execute(
-            "SELECT regexp_extract_all(lower(content), '"
-            + token_regex
-            + "') AS toks FROM docs"
+            "SELECT " + tok_expr + " AS toks FROM docs"
         ).arrow()
         con.close()
         toks = toks_t.column("toks").combine_chunks()
@@ -337,7 +336,10 @@ def _local_index_fn(block_size: int, docstats_dir: str, token_regex: str):
         # Lucene max_token_length chunking (rare): only engage the slow
         # path if some token exceeds the cap
         max_len = pc.max(pc.utf8_length(flat)).as_py() if len(flat) else 0
-        if max_len is not None and max_len > MAX_TOKEN_LENGTH:
+        if (analyzer == "standard" and max_len is not None
+                and max_len > MAX_TOKEN_LENGTH):
+            # max_token_length chunking applies to the standard analyzer
+            # only (whitespace/keyword keep whole tokens, like Lucene)
             from opensearch_spark.analysis.analyzer import tokenize
 
             texts = t.column("content").to_pylist()
@@ -407,6 +409,7 @@ def _analyze(
     id_cols: Sequence[str],
     doc_id_col: str | None,
     n_segments: int,
+    analyzer: str = "standard",
 ) -> DataFrame:
     """corpus -> (docId, seg, dl, norm_byte, dl_q, content_sha, toks)."""
     if doc_id_col is None:
@@ -416,7 +419,7 @@ def _analyze(
     base = (
         base.withColumn("content_sha", F.sha2(F.col(text_col).cast("string"), 256))
         .withColumn("seg", F.pmod(F.col("docId"), F.lit(n_segments)).cast("int"))
-        .withColumn("toks", tokens_udf()(F.col(text_col)))
+        .withColumn("toks", tokens_udf(analyzer)(F.col(text_col)))
         .withColumn("dl", F.size("toks"))
     )
 
@@ -469,6 +472,7 @@ def build_index(
     waves: int = 1,
     keep_stage: bool = False,
     overwrite: bool = True,
+    analyzer: str = "standard",
     _fail_after_wave: int | None = None,
 ) -> IndexPaths:
     """Build the inverted index for ``corpus[text_col]`` under ``out_dir``.
@@ -543,7 +547,7 @@ def build_index(
         # corpus to set the segment count (free when the input already
         # has n_segments partitions).
         if 0 not in lineage["waves_done"]:
-            from opensearch_spark.analysis.analyzer import duckdb_token_regex
+            from opensearch_spark.analysis.analyzer import duckdb_tokens_expr
 
             if doc_id_col is None:
                 base = corpus.withColumn(
@@ -563,7 +567,8 @@ def build_index(
             prepared = prepared.withColumn("seg", F.spark_partition_id())
             shutil.rmtree(paths.docstats, ignore_errors=True)
             packed = prepared.mapInArrow(
-                _local_index_fn(block_size, paths.docstats, duckdb_token_regex()),
+                _local_index_fn(block_size, paths.docstats,
+                                duckdb_tokens_expr(analyzer), analyzer),
                 schema=POSTINGS_SCHEMA,
             )
             (
@@ -603,7 +608,8 @@ def build_index(
                 n_in = nshuf
             if n_in < max(nshuf // 2, 2):
                 corpus = corpus.repartition(nshuf)
-            stage_df = _analyze(corpus, text_col, id_cols, doc_id_col, n_segments)
+            stage_df = _analyze(corpus, text_col, id_cols, doc_id_col,
+                                n_segments, analyzer)
             stage_df.write.mode("overwrite").parquet(paths.termvecs)
             stage = spark.read.parquet(paths.termvecs)
             _mark("phase1 analyze+stage")
@@ -673,7 +679,8 @@ def build_index(
 
     _write_json_atomic(paths.manifest, {
         "version": 2,
-        "analyzer": "standard-uax29-subset-v1",
+        "analyzer": analyzer,
+        "analyzer_impl": "uax29-subset-v1" if analyzer == "standard" else analyzer,
         **lineage["globals"],
     })
     return paths

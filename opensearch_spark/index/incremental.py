@@ -61,7 +61,11 @@ def add_batch(
     block_size = int(manifest["block_size"])
     nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    base = _analyze(batch, text_col, id_cols, doc_id_col, n_segments).persist(
+    analyzer = str(manifest.get("analyzer", "standard"))
+    if analyzer not in ("standard", "whitespace", "keyword"):
+        analyzer = "standard"
+    base = _analyze(batch, text_col, id_cols, doc_id_col, n_segments,
+                    analyzer).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     try:

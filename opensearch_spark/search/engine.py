@@ -471,6 +471,17 @@ class SearchEngine:
         from opensearch_spark.search.templates import TemplateRegistry
 
         self.templates = TemplateRegistry()
+        # analyzer parity: the query side must analyze with the SAME
+        # analyzer the index was built with (reference: search_analyzer
+        # defaults to the index analyzer). Legacy manifests carry the
+        # standard-analyzer descriptor string.
+        name = str(self.globals.get("analyzer", "standard"))
+        self.analyzer = name if name in ("standard", "whitespace", "keyword") else "standard"
+
+        def _tok(text: str) -> List[str]:
+            return tokenize(text, self.analyzer)
+
+        self._tok = _tok
         # soft deletes (Lucene liveDocs analog): tombstone parquet of
         # docIds under <index>/deletes; hits are anti-joined against it
         self._deletes_dir = os.path.join(self.paths.root, "deletes")
@@ -889,6 +900,90 @@ class SearchEngine:
             last = rows[-1]
             after = (float(last["score"]), int(last["docId"]))
 
+    def analyze(self, text: str) -> list:
+        """`_analyze` endpoint (reference: RestAnalyzeAction /
+        TransportAnalyzeAction): run THIS index's analyzer over a string
+        and return tokens with positions + character offsets."""
+        import re as _re
+
+        from opensearch_spark.analysis.analyzer import (
+            WHITESPACE_PATTERN, tokenize_offsets,
+        )
+
+        if self.analyzer == "keyword":
+            return ([{"token": text, "position": 0, "start_offset": 0,
+                      "end_offset": len(text)}] if text else [])
+        if self.analyzer == "whitespace":
+            return [
+                {"token": m.group(0), "position": i,
+                 "start_offset": m.start(), "end_offset": m.end()}
+                for i, m in enumerate(_re.finditer(WHITESPACE_PATTERN, text or ""))
+            ]
+        return [
+            {"token": tok, "position": i, "start_offset": s, "end_offset": e}
+            for i, (tok, s, e) in enumerate(tokenize_offsets(text))
+        ]
+
+    def validate_query(self, query: dict) -> dict:
+        """`_validate/query` (reference: RestValidateQueryAction):
+        parse + compile without executing; returns {"valid": bool,
+        "error": str | None} — `explain`-style rewrite info is the
+        normalized AST repr."""
+        try:
+            node = dsl_mod.parse(query)
+            self.compile(node)  # plan only — no action runs
+            return {"valid": True, "error": None,
+                    "explanation": repr(node)}
+        except Exception as e:  # noqa: BLE001 — the API contract is non-throwing
+            return {"valid": False, "error": f"{type(e).__name__}: {e}"}
+
+    def mappings(self) -> dict:
+        """`_mapping` (reference: RestGetMappingAction): field -> type,
+        derived from the corpus schema; the indexed full-text field is
+        marked `text`, everything else maps from its Spark type."""
+        type_map = {"string": "keyword", "long": "long", "int": "integer",
+                    "double": "double", "float": "float",
+                    "boolean": "boolean", "timestamp": "date",
+                    "date": "date", "binary": "binary"}
+        out: dict = {}
+        if self.corpus is not None:
+            for f in self.corpus.schema.fields:
+                if f.name == "docId":
+                    continue
+                t = f.dataType.simpleString()
+                out[f.name] = {
+                    "type": "text" if f.name == self.text_field
+                    else type_map.get(t, t)
+                }
+        else:
+            out[self.text_field] = {"type": "text"}
+        return {"properties": out}
+
+    def stats(self) -> dict:
+        """`_stats` (reference: RestIndicesStatsAction subset): doc
+        counts, segment/generation counts, deletes, on-disk bytes."""
+        import glob as _glob
+
+        def du(d: str) -> int:
+            return sum(
+                os.path.getsize(f)
+                for f in _glob.glob(os.path.join(d, "**", "*"), recursive=True)
+                if os.path.isfile(f)
+            )
+
+        n_segs = self.docstats.select("seg").distinct().count()
+        return {
+            "docs": {"count": self.doc_count, "deleted": self._n_deletes},
+            "segments": {"count": n_segs,
+                         "generations": int(self.globals.get("generations", 1))},
+            "store": {
+                "postings_bytes": du(self.paths.postings),
+                "docstats_bytes": du(self.paths.docstats),
+                "termstats_bytes": du(self.paths.termstats),
+            },
+            "avgdl": self.avgdl,
+        }
+
     def explain(self, query: dict | A.AnyNode, doc_id: int) -> dict:
         """_explain analog: per-clause score breakdown for one document
         (reference: TransportExplainAction / Lucene Explanation). For
@@ -901,7 +996,7 @@ class SearchEngine:
         out["matched"] = bool(total_row)
         out["total"] = float(total_row[0]["score"]) if total_row else 0.0
         if isinstance(node, A.Match):
-            terms = tokenize(node.query)
+            terms = self._tok(node.query)
             idfs = {t: v for t, v in self._idfs(terms).items() if v == v}
             for t in sorted(idfs):
                 one = (
@@ -929,7 +1024,7 @@ class SearchEngine:
         Levenshtein, sharing a ``prefix_length`` prefix, ordered by
         (edit distance asc, doc freq desc, term asc). One Spark job over
         the tiny termstats table per call."""
-        toks = tokenize(text)
+        toks = self._tok(text)
         out: dict = {}
         d = self.termstats.groupBy("term").agg(F.sum("df").alias("df"))
         for tok in dict.fromkeys(toks):
@@ -973,7 +1068,7 @@ class SearchEngine:
         import itertools
         import math as _math
 
-        toks = tokenize(text)
+        toks = self._tok(text)
         if not toks:
             return []
         n = self.doc_count
@@ -1042,14 +1137,14 @@ class SearchEngine:
         ]
         cand: set = set()
         for n in nodes:
-            cand |= M.candidate_terms(n)
+            cand |= M.candidate_terms(n, self._tok)
         idfs_all = self._idfs(sorted(cand)) if cand else {}
         known = {t for t, v in idfs_all.items() if v == v}
 
         programs: List[M.Program] = []
         fallback: List[tuple] = []
         for qid, n in enumerate(nodes):
-            p = None if self.similarity is not None else M.build_program(qid, n, known)
+            p = None if self.similarity is not None else M.build_program(qid, n, known, self._tok)
             if p is None:
                 fallback.append((qid, n))
             else:
@@ -1109,10 +1204,10 @@ class SearchEngine:
             return None  # program scorer is BM25-only
         if self._n_deletes > self.MAX_PRUNE_DELETES:
             return None
-        cand = M.candidate_terms(node)
+        cand = M.candidate_terms(node, self._tok)
         idfs_all = self._idfs(sorted(cand)) if cand else {}
         known = {t for t, v in idfs_all.items() if v == v}
-        prog = M.build_program(0, node, known)
+        prog = M.build_program(0, node, known, self._tok)
         if prog is None:
             return None
         if prog.match_none:
@@ -1149,7 +1244,7 @@ class SearchEngine:
         compiler for other node families or when tombstones exist."""
         node = dsl_mod.parse(query) if isinstance(query, dict) else dsl_mod.normalize(query)
         if self.deletes is None and isinstance(node, A.Match):
-            terms = tokenize(node.query)
+            terms = self._tok(node.query)
             if terms:
                 dfs = self._dfs(terms)
                 uniq = sorted(set(terms))
@@ -1384,7 +1479,7 @@ class SearchEngine:
         low_freq_operator / minimum_should_match), high-freq terms only
         add score via a should clause."""
         self._check_field(node.field_name)
-        terms = tokenize(node.query)
+        terms = self._tok(node.query)
         if not terms:
             return A.MatchNone()
         cutoff = node.cutoff_frequency
@@ -1651,7 +1746,7 @@ class SearchEngine:
         """match_bool_prefix: OR of the fixed terms + the last term as a
         constant-score prefix (reference: MatchBoolPrefixQueryBuilder)."""
         self._check_field(node.field_name)
-        terms = tokenize(node.query)
+        terms = self._tok(node.query)
         if not terms:
             return self._empty()
         fixed, last = terms[:-1], terms[-1]
@@ -1670,7 +1765,7 @@ class SearchEngine:
         idf = sum over the FIXED terms (documented approximation of the
         reference's blended expansion stats)."""
         self._check_field(node.field_name)
-        terms = tokenize(node.query)
+        terms = self._tok(node.query)
         if not terms:
             return self._empty()
         fixed, prefix = terms[:-1], terms[-1]
@@ -1711,7 +1806,7 @@ class SearchEngine:
             if not rows:
                 return self._empty()
             text = rows[0][0] or ""
-        toks = tokenize(text)
+        toks = self._tok(text)
         if not toks:
             return self._empty()
         tf: Dict[str, int] = {}
@@ -1786,7 +1881,7 @@ class SearchEngine:
 
     def _match(self, node: A.Match, topk: Optional[int]) -> DataFrame:
         self._check_field(node.field_name)
-        terms = tokenize(node.query)
+        terms = self._tok(node.query)
         if not terms:
             if node.zero_terms_query == "all":
                 return self.compile(A.MatchAll(boost=node.boost))
@@ -1821,7 +1916,7 @@ class SearchEngine:
         self._check_field(node.field_name)
         if node.slop != 0:
             return self._sloppy_phrase(node)
-        terms = tokenize(node.query)
+        terms = self._tok(node.query)
         if not terms:
             return self._empty()
         idf_map = self._idfs(terms)
@@ -1845,7 +1940,7 @@ class SearchEngine:
         phrases; in-order chains for k > 2); sloppy_freq weighting is a
         documented deterministic variant (bm25.sloppy_phrase_freq_in_
         segment)."""
-        terms = tokenize(node.query)
+        terms = self._tok(node.query)
         if not terms:
             return self._empty()
         idf_map = self._idfs(terms)
@@ -2028,7 +2123,7 @@ class MultiFieldEngine(SearchEngine):
         segment applyInPandas), then groupBy(docId, term) -> blend ->
         groupBy(docId) -> sum. Two narrow shuffles over matching docs
         only."""
-        terms = tokenize(node.query)
+        terms = self._tok(node.query)
         if not terms:
             return self._empty()
         for f in node.fields:
@@ -2116,7 +2211,7 @@ class MultiFieldEngine(SearchEngine):
         Spark shape: per-field (docId, term, w*tf) frames -> one
         groupBy(docId, term) sum -> join combined dl -> score in pure
         Catalyst; df_c comes from a tiny per-term countDistinct."""
-        terms = tokenize(node.query)
+        terms = self._tok(node.query)
         if not terms:
             return self._empty()
         for f in node.fields:

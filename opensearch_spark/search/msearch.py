@@ -61,7 +61,8 @@ class Program:
     match_none: bool = False
 
 
-def build_program(qid: int, node: A.AnyNode, known_terms: set) -> Optional[Program]:
+def build_program(qid: int, node: A.AnyNode, known_terms: set,
+                  tok=tokenize) -> Optional[Program]:
     """AST -> flat scoring program, or None if the node family is
     unsupported (caller falls back to the general compiler).
 
@@ -73,7 +74,7 @@ def build_program(qid: int, node: A.AnyNode, known_terms: set) -> Optional[Progr
 
     def leaf(n: A.AnyNode, occur: str) -> bool:
         if isinstance(n, A.Match):
-            terms = tokenize(n.query)
+            terms = tok(n.query)
             present = [t for t in terms if t in known_terms]
             if not terms:
                 if n.zero_terms_query == "all":
@@ -98,7 +99,7 @@ def build_program(qid: int, node: A.AnyNode, known_terms: set) -> Optional[Progr
         if isinstance(n, A.MatchPhrase):
             if n.slop != 0:
                 return False
-            terms = tokenize(n.query)
+            terms = tok(n.query)
             if not terms:
                 return True
             if any(t not in known_terms for t in terms):
@@ -151,16 +152,16 @@ def build_program(qid: int, node: A.AnyNode, known_terms: set) -> Optional[Progr
     return None
 
 
-def candidate_terms(node: A.AnyNode) -> set:
+def candidate_terms(node: A.AnyNode, tok=tokenize) -> set:
     """All analyzed terms a node could reference (for one batched IDF
     lookup). Unknown node families contribute nothing — they take the
     fallback path anyway."""
     if isinstance(node, (A.Match, A.MatchPhrase)):
-        return set(tokenize(node.query))
+        return set(tok(node.query))
     if isinstance(node, A.Bool):
         out: set = set()
         for c in node.must + node.filter + node.should + node.must_not:
-            out |= candidate_terms(c)
+            out |= candidate_terms(c, tok)
         return out
     return set()
 

@@ -316,3 +316,55 @@ def test_significant_text_chi_square(spark, sf_dir):
     bg_pct = r["bg_count"] / n_bg
     want = (fg_pct - bg_pct) ** 2 / bg_pct
     assert math.isclose(r["score"], want, rel_tol=1e-9)
+
+
+def test_whitespace_and_keyword_analyzers(spark, tmp_path):
+    """Analyzer configurability (reference: index/analysis registry —
+    standard / whitespace / keyword): the query side analyzes with the
+    index's analyzer (from the manifest)."""
+    import pandas as pd
+
+    rows = [
+        ("r", "a", "c1", "Foo-Bar baz.Qux", "x"),
+        ("r", "b", "c1", "foo-bar BAZ", "x"),
+        ("r", "c", "c1", "plain words here", "x"),
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["repo", "path", "commit", "content", "lang"])
+    )
+    # whitespace: case-sensitive, punctuation kept inside tokens
+    wdir = str(tmp_path / "ws")
+    build_index(spark, corpus, wdir, n_segments=2, shuffle_partitions=2,
+                analyzer="whitespace")
+    we = SearchEngine(spark, wdir, corpus=corpus)
+    assert we.analyzer == "whitespace"
+    assert len(ids(we.search({"match": {"content": "Foo-Bar"}}, k=10)
+                   .collect())) == 1  # exact case + hyphen token
+    assert we.count({"match": {"content": "foo-bar"}}) == 1  # other doc only
+    # standard analyzer would match both docs on "foo bar"
+    sdir = str(tmp_path / "std")
+    build_index(spark, corpus, sdir, n_segments=2, shuffle_partitions=2)
+    se = SearchEngine(spark, sdir, corpus=corpus)
+    assert se.count({"match": {"content": "foo bar"}}) == 2
+    # keyword: whole string is one token
+    kdir = str(tmp_path / "kw")
+    build_index(spark, corpus, kdir, n_segments=2, shuffle_partitions=2,
+                analyzer="keyword")
+    ke = SearchEngine(spark, kdir, corpus=corpus)
+    assert ke.count({"match": {"content": "plain words here"}}) == 1
+    assert ke.count({"match": {"content": "plain"}}) == 0
+
+
+def test_analyze_validate_mappings_stats_apis(eng):
+    toks = eng.analyze("Foo bar.baz")
+    assert [t["token"] for t in toks] == ["foo", "bar.baz"]
+    assert toks[0]["start_offset"] == 0 and toks[1]["position"] == 1
+    ok = eng.validate_query({"match": {"content": "x"}})
+    assert ok["valid"]
+    bad = eng.validate_query({"unknown_kind": {}})
+    assert not bad["valid"] and "unknown_kind" in bad["error"]
+    m = eng.mappings()["properties"]
+    assert m["content"]["type"] == "text"
+    st = eng.stats()
+    assert st["docs"]["count"] > 0 and st["segments"]["count"] >= 1
+    assert st["store"]["postings_bytes"] > 0
