@@ -1215,15 +1215,14 @@ class SearchEngine:
         terms = M.required_terms([prog])
         if not terms:
             return self._empty()
-        scorer = M.make_msearch_scorer(
-            [prog], {t: idfs_all[t] for t in known}, self.avgdl,
+        scorer = M.make_single_program_scorer(
+            prog, {t: idfs_all[t] for t in known}, self.avgdl,
             k + self._n_deletes,
         )
         out = (
             self._postings_for(terms)
             .groupBy("seg")
-            .applyInPandas(scorer, M.MSEARCH_SCHEMA)
-            .drop("qid")
+            .applyInPandas(scorer, SCORE_SCHEMA)
         )
         return self._live(out)
 

@@ -210,6 +210,46 @@ def make_msearch_scorer(programs: List[Program], idfs: Dict[str, float],
     return fn
 
 
+def make_single_program_scorer(prog: Program, idfs: Dict[str, float],
+                               avgdl: float, k: int):
+    """Single-query program scorer with conjunction-led block pruning
+    (wand.score_program_topk): when the program has required clauses,
+    should/must_not clauses decode only candidate-overlapping posting
+    blocks. Falls back to the shared-decode exhaustive program when the
+    program is pure-should (the msearch batch regime)."""
+    from opensearch_spark.search import wand as W
+
+    clause_dicts = [
+        {"occur": c.occur, "kind": c.kind, "terms": c.terms,
+         "operator": c.operator, "msm": c.msm, "weight": c.weight}
+        for c in prog.clauses
+    ]
+    has_required = any(c.occur in ("must", "filter") for c in prog.clauses)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if prog.match_none:
+            return pd.DataFrame({"docId": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.float64)})
+        if has_required:
+            out = W.score_program_topk(
+                pdf, clause_dicts, prog.bool_msm, idfs, avgdl, k,
+                boost=prog.boost,
+            )
+            if out is not None:
+                docs, scores, _stats = out
+                return pd.DataFrame({"docId": docs.astype(np.int64),
+                                     "score": scores})
+        want_pos = any(c.kind == "phrase" for c in prog.clauses)
+        decoded = bm25.decode_term_group(pdf, want_positions=want_pos)
+        docs, scores = _run_program(prog, decoded, idfs, avgdl)
+        docs, scores = bm25.topk_by_score(docs, scores, k)
+        if prog.boost != 1.0:
+            scores = scores * prog.boost
+        return pd.DataFrame({"docId": docs.astype(np.int64), "score": scores})
+
+    return fn
+
+
 def _clause_hits(c: _Clause, decoded, idfs, avgdl) -> Tuple[np.ndarray, np.ndarray]:
     if c.kind == "match":
         docs, scores = bm25.score_terms_in_segment(

@@ -150,3 +150,119 @@ def test_phrase_pruned_path():
     d_e, s_e = bm25.topk_by_score(d_e, s_e, 10)
     assert docs_p.tolist() == d_e.tolist()
     assert np.allclose(scores_p, s_e, atol=1e-9)
+
+
+# ---- conjunction-led program pruning (score_program_topk) ----------------
+
+def _rand_postings(rng, n_terms=6, n_docs=400):
+    """Random per-term postings with positions (for phrase clauses)."""
+    out = {}
+    for i in range(n_terms):
+        df = rng.integers(20, n_docs)
+        docs = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 5, size=df).astype(np.int64)
+        dls = rng.integers(10, 120, size=df).astype(np.int64)
+        out[f"t{i}"] = (docs, tfs, dls)
+    return out
+
+
+def _exhaustive_program(pdf, clauses, bool_msm, idfs, k, boost=1.0):
+    from opensearch_spark.search import msearch as M
+
+    prog = M.Program(qid=0, bool_msm=bool_msm, boost=boost)
+    for c in clauses:
+        prog.clauses.append(M._Clause(**c))
+    prog.n_must = sum(1 for c in prog.clauses if c.occur in ("must", "filter"))
+    want_pos = any(c["kind"] == "phrase" for c in clauses)
+    decoded = bm25.decode_term_group(pdf, want_positions=want_pos)
+    docs, scores = M._run_program(prog, decoded, idfs, AVGDL)
+    docs, scores = bm25.topk_by_score(docs, scores, k)
+    if boost != 1.0:
+        scores = scores * boost
+    return docs, scores
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_program_pruned_rank_identity(seed):
+    rng = np.random.default_rng(seed)
+    postings = _rand_postings(rng)
+    pdf = make_group_pdf(postings)
+    idfs = {t: bm25.idf(len(p[0]), 500) for t, p in postings.items()}
+    cases = [
+        # must + shoulds
+        dict(clauses=[
+            {"occur": "must", "kind": "match", "terms": ["t0", "t1"],
+             "operator": "or", "msm": 0, "weight": 1.0},
+            {"occur": "should", "kind": "match", "terms": ["t2"],
+             "operator": "or", "msm": 0, "weight": 1.0},
+            {"occur": "should", "kind": "match", "terms": ["t3"],
+             "operator": "or", "msm": 0, "weight": 2.0},
+        ], bool_msm=0),
+        # must(and) + filter + must_not
+        dict(clauses=[
+            {"occur": "must", "kind": "match", "terms": ["t0", "t2"],
+             "operator": "and", "msm": 0, "weight": 1.0},
+            {"occur": "filter", "kind": "match", "terms": ["t4"],
+             "operator": "or", "msm": 0, "weight": 1.0},
+            {"occur": "must_not", "kind": "match", "terms": ["t5"],
+             "operator": "or", "msm": 0, "weight": 1.0},
+        ], bool_msm=0),
+        # two musts + msm over shoulds
+        dict(clauses=[
+            {"occur": "must", "kind": "match", "terms": ["t1"],
+             "operator": "or", "msm": 0, "weight": 1.0},
+            {"occur": "must", "kind": "match", "terms": ["t2", "t3"],
+             "operator": "or", "msm": 0, "weight": 1.0},
+            {"occur": "should", "kind": "match", "terms": ["t4"],
+             "operator": "or", "msm": 0, "weight": 1.0},
+            {"occur": "should", "kind": "match", "terms": ["t5"],
+             "operator": "or", "msm": 0, "weight": 1.0},
+        ], bool_msm=2),
+        # phrase must + should
+        dict(clauses=[
+            {"occur": "must", "kind": "phrase", "terms": ["t0", "t1"],
+             "operator": "or", "msm": 0, "weight": 1.0},
+            {"occur": "should", "kind": "match", "terms": ["t2"],
+             "operator": "or", "msm": 0, "weight": 1.0},
+        ], bool_msm=0),
+    ]
+    for case in cases:
+        got = wand.score_program_topk(
+            pdf, case["clauses"], case["bool_msm"], idfs, AVGDL, k=10
+        )
+        assert got is not None
+        gd, gs, stats = got
+        wd, ws = _exhaustive_program(pdf, case["clauses"], case["bool_msm"],
+                                     idfs, k=10)
+        assert gd.tolist() == wd.tolist(), case
+        np.testing.assert_allclose(gs, ws, rtol=0, atol=1e-12)
+        assert stats["decoded"] <= stats["total"]
+
+
+def test_program_pruning_decodes_fewer_blocks():
+    """A sparse must + dense shoulds: should blocks outside the must
+    candidates are never decoded."""
+    rng = np.random.default_rng(7)
+    n_docs = 2000
+    sparse_docs = np.sort(rng.choice(n_docs, size=12, replace=False)).astype(np.int64)
+    dense_docs = np.arange(n_docs, dtype=np.int64)
+    postings = {
+        "sparse": (sparse_docs, np.ones(12, dtype=np.int64),
+                   np.full(12, 40, dtype=np.int64)),
+        "dense": (dense_docs, np.ones(n_docs, dtype=np.int64),
+                  np.full(n_docs, 40, dtype=np.int64)),
+    }
+    pdf = make_group_pdf(postings, block=32)
+    idfs = {t: bm25.idf(len(p[0]), n_docs + 1) for t, p in postings.items()}
+    clauses = [
+        {"occur": "must", "kind": "match", "terms": ["sparse"],
+         "operator": "or", "msm": 0, "weight": 1.0},
+        {"occur": "should", "kind": "match", "terms": ["dense"],
+         "operator": "or", "msm": 0, "weight": 1.0},
+    ]
+    gd, gs, stats = wand.score_program_topk(pdf, clauses, 0, idfs, AVGDL, k=5)
+    wd, ws = _exhaustive_program(pdf, clauses, 0, idfs, k=5)
+    assert gd.tolist() == wd.tolist()
+    np.testing.assert_allclose(gs, ws, atol=1e-12)
+    # dense term has ~63 blocks; only the ~12 candidate-overlapping ones decode
+    assert stats["decoded"] < stats["total"] / 2, stats
