@@ -236,7 +236,8 @@ def bool_sql(
     )
 
 
-def _exp_cond(kind: str, value: str, fuzziness: int = 2) -> str:
+def _exp_cond(kind: str, value: str, fuzziness: int = 2,
+              prefix_length: int = 0) -> str:
     if kind == "prefix":
         return f"term LIKE {_qlit(value + '%')}"
     if kind == "wildcard":
@@ -245,23 +246,29 @@ def _exp_cond(kind: str, value: str, fuzziness: int = 2) -> str:
     if kind == "regexp":
         return f"regexp_full_match(term, {_qlit(value)})"
     if kind == "fuzzy":
-        return f"levenshtein(term, {_qlit(value)}) <= {fuzziness}"
+        cond = f"levenshtein(term, {_qlit(value)}) <= {fuzziness}"
+        if prefix_length > 0:
+            cond += f" AND term LIKE {_qlit(value[:prefix_length] + '%')}"
+        return cond
     raise ValueError(kind)
 
 
 def _exp_cte(name: str, kind: str, value: str, fuzziness: int = 2,
-             max_expansions: int = 50) -> str:
+             max_expansions: int = 50, prefix_length: int = 0) -> str:
     return (
         f"{name} AS (SELECT term FROM (SELECT DISTINCT term FROM dfreq "
-        f"WHERE {_exp_cond(kind, value, fuzziness)} ORDER BY term LIMIT {max_expansions}))"
+        f"WHERE {_exp_cond(kind, value, fuzziness, prefix_length)} "
+        f"ORDER BY term LIMIT {max_expansions}))"
     )
 
 
-def multi_term_sql(kind: str, value: str, fuzziness: int = 2) -> str:
+def multi_term_sql(kind: str, value: str, fuzziness: int = 2,
+                   prefix_length: int = 0) -> str:
     """prefix/wildcard/regexp/fuzzy: constant-score docs containing any
     dictionary expansion."""
     return (
-        f"WITH {base_ctes()},\n{_exp_cte('exp', kind, value, fuzziness)}\n"
+        f"WITH {base_ctes()},\n"
+        f"{_exp_cte('exp', kind, value, fuzziness, prefix_length=prefix_length)}\n"
         f"SELECT DISTINCT f.doc_id AS doc_id, 1.0 AS score\n"
         f"FROM tf f JOIN exp USING (term)"
     )

@@ -131,6 +131,7 @@ class Fuzzy(Node):
     field_name: str = ""
     value: str = ""
     fuzziness: int = 2       # max Levenshtein distance
+    prefix_length: int = 0   # unedited leading chars (reference default 0)
     max_expansions: int = 50
 
 

@@ -120,6 +120,8 @@ def _parse_mtq(cls, value_key="value", **extra):
             kw[extra.get("attr", "value")] = str(spec[value_key])
             if cls is A.Fuzzy and "fuzziness" in spec:
                 kw["fuzziness"] = int(spec["fuzziness"])
+            if cls is A.Fuzzy and "prefix_length" in spec:
+                kw["prefix_length"] = int(spec["prefix_length"])
             return cls(**kw)
         kw = {"field_name": fld, extra.get("attr", "value"): str(spec)}
         return cls(**kw)

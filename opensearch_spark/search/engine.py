@@ -1728,6 +1728,8 @@ class SearchEngine:
             cond = c.rlike(f"^(?:{node.value})$")
         elif isinstance(node, A.Fuzzy):
             cond = F.levenshtein(c, F.lit(node.value)) <= node.fuzziness
+            if node.prefix_length > 0:
+                cond = cond & c.startswith(node.value[: node.prefix_length])
         else:
             raise ValueError(node)
         rows = d.where(cond).orderBy("term").limit(node.max_expansions).collect()

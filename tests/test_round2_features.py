@@ -368,3 +368,17 @@ def test_analyze_validate_mappings_stats_apis(eng):
     st = eng.stats()
     assert st["docs"]["count"] > 0 and st["segments"]["count"] >= 1
     assert st["store"]["postings_bytes"] > 0
+
+
+def test_fuzzy_prefix_length(eng):
+    """fuzzy prefix_length (FuzzyQueryBuilder.prefixLength): candidates
+    must share the unedited prefix."""
+    from opensearch_spark.search import dsl as dsl_mod
+
+    free = eng.expand_terms(dsl_mod.parse(
+        {"fuzzy": {"content": {"value": "return", "fuzziness": 2}}}))
+    pinned = eng.expand_terms(dsl_mod.parse(
+        {"fuzzy": {"content": {"value": "return", "fuzziness": 2,
+                               "prefix_length": 3}}}))
+    assert set(pinned) <= set(free)
+    assert all(t.startswith("ret") for t in pinned)
