@@ -216,6 +216,15 @@ def _parse_intervals(body: dict) -> A.Intervals:
                     filt(b))
         if k == "any_of":
             return ("any_of", [rule(x) for x in b["intervals"]])
+        if k == "prefix":
+            # reference: IntervalsSourceProvider.Prefix — expanded
+            # against the term dictionary at compile time (engine)
+            return ("prefix", str(b["prefix"]).lower())
+        if k == "wildcard":
+            return ("wildcard", str(b["pattern"]).lower())
+        if k == "fuzzy":
+            return ("fuzzy", str(b["term"]).lower(),
+                    int(b.get("fuzziness", 2)))
         raise ValueError(f"unsupported intervals source: {k}")
 
     return A.Intervals(field_name=fld, rule=rule(spec),

@@ -1403,7 +1403,8 @@ class SearchEngine:
             return self._span_like(_span_expr(node), float(node.boost))
         if isinstance(node, A.Intervals):
             self._check_field(node.field_name)
-            return self._span_like(_interval_expr(node.rule), float(node.boost))
+            rule = self._expand_interval_rule(node.rule, node.field_name)
+            return self._span_like(_interval_expr(rule), float(node.boost))
         if isinstance(node, A.FunctionScore):
             return self._function_score(node)
         if isinstance(node, A.Boosting):
@@ -1533,6 +1534,42 @@ class SearchEngine:
             return A.Bool(should=per, minimum_should_match=1, boost=node.boost)
         return A.DisMax(queries=per, tie_breaker=node.tie_breaker,
                         boost=node.boost)
+
+    def _expand_interval_rule(self, rule, field: str):
+        """Expand multi-term interval sources (prefix / wildcard /
+        fuzzy — reference: IntervalsSourceProvider automata) against the
+        term dictionary: each becomes an any_of over single-term
+        matches. Pure tree rewrite; the position algebra is unchanged."""
+        kind = rule[0]
+        if kind in ("prefix", "wildcard", "fuzzy"):
+            if kind == "prefix":
+                exp = self.expand_terms(A.Prefix(field_name=field, value=rule[1]))
+            elif kind == "wildcard":
+                exp = self.expand_terms(A.Wildcard(field_name=field, value=rule[1]))
+            else:
+                exp = self.expand_terms(
+                    A.Fuzzy(field_name=field, value=rule[1], fuzziness=rule[2])
+                )
+            return ("any_of", [("match", [t], -1, False, None) for t in exp])
+
+        def expand_filt(f):
+            if f is None:
+                return None
+            fk, fr = f
+            return (fk, self._expand_interval_rule(fr, field))
+
+        if kind == "match":
+            if len(rule) > 4 and rule[4] is not None:
+                return (*rule[:4], expand_filt(rule[4]))
+            return rule
+        if kind == "all_of":
+            subs = [self._expand_interval_rule(r, field) for r in rule[1]]
+            return ("all_of", subs, rule[2], rule[3],
+                    expand_filt(rule[4]) if len(rule) > 4 else None)
+        if kind == "any_of":
+            return ("any_of", [self._expand_interval_rule(r, field)
+                               for r in rule[1]])
+        return rule
 
     def _rewrite_span_multi(self, node: "A.AnyNode") -> "A.AnyNode":
         """Replace span_multi wrappers with span_or over the dictionary

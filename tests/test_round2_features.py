@@ -382,3 +382,35 @@ def test_fuzzy_prefix_length(eng):
                                "prefix_length": 3}}}))
     assert set(pinned) <= set(free)
     assert all(t.startswith("ret") for t in pinned)
+
+
+def test_intervals_prefix_source(eng):
+    """intervals prefix source (IntervalsSourceProvider.Prefix): prefix
+    adjacent (ordered, max_gaps 0) to a fixed term == the expanded
+    any_of over dictionary terms."""
+    from opensearch_spark.search import dsl as dsl_mod
+
+    q = {"intervals": {"content": {"all_of": {
+        "intervals": [
+            {"prefix": {"prefix": "ret"}},
+            {"match": {"query": "self"}},
+        ],
+        "ordered": True, "max_gaps": 2,
+    }}}}
+    got = ids(eng.compile(dsl_mod.parse(q)).collect())
+    # brute check: docs where a token starting with 'ret' is followed by
+    # "self" within 2 gaps
+    from opensearch_spark.analysis.analyzer import tokenize
+
+    want = []
+    for r in eng.corpus.select("docId", "content").collect():
+        toks = tokenize(r["content"])
+        hit = any(
+            t.startswith("ret")
+            and any(toks[j] == "self"
+                    for j in range(i + 1, min(i + 4, len(toks))))
+            for i, t in enumerate(toks)
+        )
+        if hit:
+            want.append(int(r["docId"]))
+    assert got == sorted(want)
