@@ -98,7 +98,10 @@ def duckdb_tokens_expr(analyzer: str = "standard", col: str = "content") -> str:
     the named analyzer (used by the segment-local index build and the
     SQL oracles — one dialect, same tokens as ``tokenize``)."""
     if analyzer == "keyword":
-        return f"[{col}]"
+        # empty/NULL content -> NO tokens (matching tokenize/tokens_udf),
+        # not a one-element ['']/[NULL] list
+        return (f"CASE WHEN {col} IS NULL OR {col} = '' THEN []::VARCHAR[] "
+                f"ELSE [{col}] END")
     if analyzer == "whitespace":
         return f"regexp_extract_all({col}, '\\S+')"
     return f"regexp_extract_all(lower({col}), '{duckdb_token_regex()}')"

@@ -384,15 +384,32 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
 
 
 def _ranges_overlap(ranges: List[dict]) -> bool:
-    """True when any two [from, to) ranges intersect."""
+    """True when any two [from, to) ranges intersect. Numeric bounds
+    compare numerically; ISO-date strings compare lexicographically
+    (which IS chronological order for ISO-8601). Un-orderable bound
+    mixes return True — the union path is always correct, the
+    when-chain is only an optimization for provably disjoint specs."""
     import math
 
-    iv = sorted(
-        (float(r.get("from", -math.inf)) if r.get("from") is not None else -math.inf,
-         float(r.get("to", math.inf)) if r.get("to") is not None else math.inf)
-        for r in ranges
-    )
-    return any(iv[i][1] > iv[i + 1][0] for i in range(len(iv) - 1))
+    def key(v, default):
+        if v is None:
+            return default
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return str(v)
+
+    los = [key(r.get("from"), -math.inf) for r in ranges]
+    his = [key(r.get("to"), math.inf) for r in ranges]
+    kinds = {type(v) for v in los + his if not isinstance(v, float) or
+             v not in (-math.inf, math.inf)}
+    if len(kinds) > 1:
+        return True  # mixed bound types: cannot prove disjoint
+    try:
+        iv = sorted(zip(los, his))
+        return any(iv[i][1] > iv[i + 1][0] for i in range(len(iv) - 1))
+    except TypeError:
+        return True
 
 
 def _union_buckets(df: DataFrame, kcol: str,

@@ -89,14 +89,23 @@ def score_terms_in_segment(
     avgdl: float,
     operator: str = "or",
     msm: int = 0,
+    n_required: int | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Sum per-term BM25 over a segment. Returns (docIds, scores) of
     matching docs (operator='and' keeps only docs with ALL terms;
-    msm > 1 keeps docs matching at least msm distinct terms)."""
+    msm > 1 keeps docs matching at least msm distinct terms).
+
+    ``n_required``: the GLOBAL distinct-term count of the query for
+    operator='and'. A term present in the index but absent from THIS
+    segment means no doc here can contain it — requiring only the
+    segment-present subset would false-positive such docs, so the
+    required count must come from the query, not the segment."""
     # canonical (sorted) term order so float accumulation order is
     # deterministic and identical across scorer implementations
     terms = sorted(t for t in idf_by_term if t in decoded)
     if not terms:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    if operator == "and" and n_required is not None and len(terms) < n_required:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     all_docs = np.concatenate([decoded[t][0] for t in terms])
     contribs = np.concatenate(
@@ -113,7 +122,8 @@ def score_terms_in_segment(
     nmatch = np.zeros(uniq.size, dtype=np.int64)
     np.add.at(nmatch, inv, 1)
     if operator == "and":
-        keep = nmatch == len(set(terms))
+        need = n_required if n_required is not None else len(set(terms))
+        keep = nmatch == need
     elif msm > 1:
         keep = nmatch >= msm
     else:

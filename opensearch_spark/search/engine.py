@@ -77,7 +77,9 @@ def _make_match_scorer(idfs: Dict[str, float], avgdl: float, operator: str,
             )
         else:
             decoded = bm25.decode_term_group(pdf)
-            docs, scores = bm25.score_terms_in_segment(decoded, idfs, avgdl, operator, msm)
+            docs, scores = bm25.score_terms_in_segment(
+                decoded, idfs, avgdl, operator, msm, n_required=len(idfs)
+            )
             if boost != 1.0:
                 scores = scores * boost
         return pd.DataFrame({"docId": docs.astype(np.int64), "score": scores})
@@ -113,7 +115,9 @@ def _make_custom_sim_scorer(dfs: Dict[str, int], doc_count: int, avgdl: float,
         nmatch = np.zeros(uniq.size, dtype=np.int64)
         np.add.at(nmatch, inv, 1)
         if operator == "and":
-            keep = nmatch == len(terms)
+            # required count = GLOBAL distinct query terms (dfs), not the
+            # segment-present subset — see bm25.score_terms_in_segment
+            keep = nmatch == len(dfs)
         elif msm > 1:
             keep = nmatch >= msm
         else:
@@ -562,11 +566,14 @@ class SearchEngine:
         if self._pit is not None:
             raise ValueError("PIT reader is a read-only snapshot")
         node = dsl_mod.parse(query) if isinstance(query, dict) else dsl_mod.normalize(query)
-        ids = self.compile(node).select("docId")
-        n = ids.count()
-        if n:
-            ids.write.mode("append").parquet(self._deletes_dir)
-            self._load_deletes()
+        ids = self.compile(node).select("docId").persist()
+        try:
+            n = ids.count()
+            if n:
+                ids.write.mode("append").parquet(self._deletes_dir)
+                self._load_deletes()
+        finally:
+            ids.unpersist()
         return n
 
     # tombstone tables above this stay out of broadcast joins; pruned
@@ -1633,8 +1640,13 @@ class SearchEngine:
             col = fv
         elif kind == "script_score":
             # Painless stand-in: Spark SQL expression over corpus columns;
-            # `_score` refers to the query score
-            col = F.expr(p["source"].replace("_score", "score")).cast("double")
+            # the standalone token `_score` refers to the query score
+            # (word-boundary replace — identifiers merely CONTAINING
+            # "_score" are untouched)
+            import re as _re
+
+            src = _re.sub(r"(?<![\w])_score\b", "score", p["source"])
+            col = F.expr(src).cast("double")
         elif kind == "random_score":
             # deterministic, engine-portable uniform [0, 1): first 8 hex
             # chars of md5(seed ':' docId) / 2^32 (reference:
@@ -1687,7 +1699,11 @@ class SearchEngine:
             if self.corpus is None:
                 raise ValueError("function_score needs an attached corpus")
             j = inner.join(self.corpus.drop("score"), "docId")
-        cols = []
+        # each function contributes only where its filter matches
+        # (reference: FunctionScoreQuery combines MATCHING functions only;
+        # non-matching ones are excluded, not identity-padded)
+        cols: List = []        # function value, NULL where not matching
+        hits: List = []        # 1/0 matching indicator
         for i, fn in enumerate(node.functions):
             c = self._one_function_col(fn)
             if fn.get("filter") is not None:
@@ -1695,29 +1711,42 @@ class SearchEngine:
                 hit = self.compile(fn["filter"]).select(
                     "docId", F.lit(1).alias(hcol)
                 )
-                j = j.join(F.broadcast(hit), "docId", "left")
-                ident = 1.0 if node.score_mode == "multiply" else 0.0
-                c = F.when(F.col(hcol).isNotNull(), c).otherwise(F.lit(ident))
-            cols.append(c)
+                # no broadcast hint: a function filter can match most of
+                # the corpus — AQE picks broadcast when it is small
+                j = j.join(hit, "docId", "left")
+                matched = F.col(hcol).isNotNull()
+                cols.append(F.when(matched, c))
+                hits.append(F.when(matched, 1).otherwise(0))
+            else:
+                cols.append(c)
+                hits.append(F.lit(1))
+        n_match = hits[0]
+        for h in hits[1:]:
+            n_match = n_match + h
         if node.score_mode == "multiply":
-            fv = cols[0]
+            fv = F.coalesce(cols[0], F.lit(1.0))
             for c in cols[1:]:
-                fv = fv * c
+                fv = fv * F.coalesce(c, F.lit(1.0))
+            fv = F.when(n_match > 0, fv)
         elif node.score_mode == "sum":
-            fv = cols[0]
+            fv = F.coalesce(cols[0], F.lit(0.0))
             for c in cols[1:]:
-                fv = fv + c
+                fv = fv + F.coalesce(c, F.lit(0.0))
+            fv = F.when(n_match > 0, fv)
         elif node.score_mode == "avg":
-            fv = cols[0]
+            tot = F.coalesce(cols[0], F.lit(0.0))
             for c in cols[1:]:
-                fv = fv + c
-            fv = fv / F.lit(float(len(cols)))
+                tot = tot + F.coalesce(c, F.lit(0.0))
+            fv = F.when(n_match > 0, tot / n_match)
         elif node.score_mode == "max":
+            # greatest/least skip NULLs: non-matching functions drop out
             fv = F.greatest(*cols) if len(cols) > 1 else cols[0]
         elif node.score_mode == "min":
             fv = F.least(*cols) if len(cols) > 1 else cols[0]
-        else:  # first
-            fv = cols[0]
+        else:  # first matching function
+            fv = F.coalesce(*cols) if len(cols) > 1 else cols[0]
+        # no matching function at all -> factor 1 (query score unchanged)
+        fv = F.coalesce(fv, F.lit(1.0))
         if node.boost_mode == "sum":
             s = F.col("score") + fv
         elif node.boost_mode == "replace":

@@ -255,7 +255,7 @@ def _clause_hits(c: _Clause, decoded, idfs, avgdl) -> Tuple[np.ndarray, np.ndarr
         docs, scores = bm25.score_terms_in_segment(
             {t: decoded[t] for t in c.terms if t in decoded},
             {t: idfs[t] for t in c.terms},
-            avgdl, c.operator, c.msm,
+            avgdl, c.operator, c.msm, n_required=len(set(c.terms)),
         )
     else:
         docs, pf, dl_q = bm25.phrase_freq_in_segment(decoded, c.terms)

@@ -33,28 +33,44 @@ _INVERTED = re.compile(
 )
 
 
+_MISSING = object()
+
+
 def _lookup(params: Dict[str, Any], dotted: str):
     cur: Any = params
     for part in dotted.split("."):
         if not isinstance(cur, dict) or part not in cur:
-            return None
+            return _MISSING
         cur = cur[part]
     return cur
+
+
+def _truthy(v: Any) -> bool:
+    """Mustache falsiness: absent, None, False, and empty containers are
+    falsy; the NUMBER 0 is truthy (spec behavior — a present size=0 must
+    render, not trigger the inverted-section default)."""
+    if v is _MISSING or v is None or v is False:
+        return False
+    if isinstance(v, (str, list, dict)) and len(v) == 0:
+        return False
+    return True
 
 
 def render(template: str, params: Dict[str, Any] | None = None) -> str:
     params = params or {}
     # toJson first — its {{#toJson}} wrapper must not be parsed as a
     # boolean section
-    out = _TOJSON.sub(
-        lambda m: json.dumps(_lookup(params, m.group(1))), template
-    )
+    def tojson(m: "re.Match") -> str:
+        v = _lookup(params, m.group(1))
+        return json.dumps(None if v is _MISSING else v)
+
+    out = _TOJSON.sub(tojson, template)
 
     def sec(m: "re.Match") -> str:
-        return m.group(2) if _lookup(params, m.group(1)) else ""
+        return m.group(2) if _truthy(_lookup(params, m.group(1))) else ""
 
     def inv(m: "re.Match") -> str:
-        return "" if _lookup(params, m.group(1)) else m.group(2)
+        return "" if _truthy(_lookup(params, m.group(1))) else m.group(2)
 
     prev = None
     while prev != out:  # nested sections resolve in passes
@@ -64,7 +80,7 @@ def render(template: str, params: Dict[str, Any] | None = None) -> str:
 
     def var(m: "re.Match") -> str:
         v = _lookup(params, m.group(1))
-        if v is None:
+        if v is _MISSING or v is None:
             return ""
         if isinstance(v, bool):
             return "true" if v else "false"

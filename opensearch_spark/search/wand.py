@@ -400,7 +400,7 @@ def score_program_topk(
         else:
             docs, scores = bm25.score_terms_in_segment(
                 decoded, {t: idfs[t] for t in c["terms"]}, avgdl,
-                c["operator"], c["msm"],
+                c["operator"], c["msm"], n_required=len(set(c["terms"])),
             )
         if cand is not None and docs.size:
             keep = np.isin(docs, cand, assume_unique=True)

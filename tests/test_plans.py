@@ -82,7 +82,7 @@ def test_local_index_build_is_zero_shuffle(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    from opensearch_spark.analysis.analyzer import duckdb_token_regex
+    from opensearch_spark.analysis.analyzer import duckdb_tokens_expr
     from opensearch_spark.index.build import POSTINGS_SCHEMA, _local_index_fn
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -93,11 +93,14 @@ def test_local_index_build_is_zero_shuffle(spark, sf_dir):
         .withColumn("seg", F.spark_partition_id())
     )
     packed = prepared.mapInArrow(
-        _local_index_fn(128, "/tmp/zs_docstats", duckdb_token_regex()),
+        _local_index_fn(128, "/tmp/zs_docstats", duckdb_tokens_expr("standard")),
         schema=POSTINGS_SCHEMA,
     ).sortWithinPartitions("term", "block_no")
     p = packed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
+    # the UDF must also actually RUN (guards against signature drift
+    # that a lazy plan-string inspection would miss)
+    assert packed.limit(1).count() >= 0
 
 
 def test_bool_search_has_no_docid_shuffle(engine):

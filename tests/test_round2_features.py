@@ -414,3 +414,81 @@ def test_intervals_prefix_source(eng):
         if hit:
             want.append(int(r["docId"]))
     assert got == sorted(want)
+
+
+def test_and_with_segment_absent_required_term(spark, tmp_path):
+    """operator=and with a required term present in the index but ABSENT
+    from some segments: docs in those segments must not match (the
+    required count is the query's global term count, not the
+    segment-present subset)."""
+    import pandas as pd
+
+    rows = []
+    for i in range(40):
+        text = "common filler words here"
+        if i == 0:
+            text = "common zzrare words"
+        rows.append(("r", f"p{i}", "c", text, "x"))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["repo", "path", "commit", "content", "lang"])
+    )
+    out = str(tmp_path / "andix")
+    build_index(spark, corpus, out, n_segments=4, shuffle_partitions=4)
+    eng = SearchEngine(spark, out, corpus=corpus)
+    q = {"match": {"content": {"query": "common zzrare", "operator": "and"}}}
+    hits = ids(eng.search(q, k=50).collect())
+    assert len(hits) == 1
+    # exhaustive compile, program path, and count must all agree
+    from opensearch_spark.search import dsl as dsl_mod
+
+    assert ids(eng.compile(dsl_mod.parse(q)).collect()) == hits
+    assert eng.count(q) == 1
+    # inside a bool must (program scorer path)
+    bq = {"bool": {"must": [q], "should": [{"match": {"content": "words"}}]}}
+    bhits = ids(eng.search(bq, k=50).collect())
+    assert bhits == hits
+    # msearch path
+    ms = eng.msearch([q, bq], k=50).collect()
+    assert sorted(int(r["docId"]) for r in ms if r["qid"] == 0) == hits
+    assert sorted(int(r["docId"]) for r in ms if r["qid"] == 1) == hits
+
+
+def test_template_falsy_zero_param(eng):
+    from opensearch_spark.search.templates import render_query
+
+    q = render_query('{"size": {{size}}{{^size}}10{{/size}}}', {"size": 0})
+    assert q == {"size": 0}
+    q2 = render_query('{"size": {{size}}{{^size}}10{{/size}}}', {})
+    assert q2 == {"size": 10}
+
+
+def test_function_score_min_with_filtered_function(eng):
+    """score_mode=min combines MATCHING functions only (a non-matching
+    filtered function must not contribute an identity 0)."""
+    q = {
+        "function_score": {
+            "query": {"match": {"content": "def"}},
+            "score_mode": "min",
+            "boost_mode": "replace",
+            "functions": [
+                {"filter": {"term": {"lang": "___nomatch___"}},
+                 "weight": 0.001},
+                {"weight": 2.0},
+            ],
+        }
+    }
+    rows = eng.search(q, k=5).collect()
+    assert rows and all(abs(float(r["score"]) - 2.0) < 1e-9 for r in rows)
+
+
+def test_date_range_string_bounds(spark, sf_dir):
+    from opensearch_spark.search.aggs import compile_aggs
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    out = compile_aggs(orders, {
+        "r": {"date_range": {"field": "o_orderdate", "ranges": [
+            {"to": "1995-01-01"}, {"from": "1995-01-01"},
+        ]}},
+    }).collect()
+    total = sum(r["doc_count"] for r in out)
+    assert total == orders.where("o_orderdate is not null").count()
