@@ -217,7 +217,17 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
             if to is not None:
                 cond = cond & (F.col(fld) < F.lit(to))
             conds.append((label, cond))
-        if _ranges_overlap(ranges):
+        from pyspark.sql.types import NumericType
+
+        try:
+            numeric = isinstance(df.schema[fld].dataType, NumericType)
+        except Exception:
+            numeric = all(
+                isinstance(b, (int, float))
+                for r in ranges for b in (r.get("from"), r.get("to"))
+                if b is not None
+            )
+        if _ranges_overlap(ranges, numeric):
             df = _union_buckets(df, kcol, conds)
         else:
             expr = None
@@ -383,28 +393,31 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
     return df, kcol, (post or None)
 
 
-def _ranges_overlap(ranges: List[dict]) -> bool:
-    """True when any two [from, to) ranges intersect. Numeric bounds
-    compare numerically; ISO-date strings compare lexicographically
-    (which IS chronological order for ISO-8601). Un-orderable bound
-    mixes return True — the union path is always correct, the
-    when-chain is only an optimization for provably disjoint specs."""
+_STR_MAX = "￿" * 8
+
+
+def _ranges_overlap(ranges: List[dict], numeric: bool) -> bool:
+    """True when any two [from, to) ranges intersect, under the SAME
+    order Spark will use for the column: numeric columns compare
+    numerically, string/date columns lexicographically (chronological
+    for ISO-8601). When disjointness can't be proven, returns True —
+    the union path is always correct; the when-chain is only an
+    optimization for provably disjoint specs."""
     import math
 
-    def key(v, default):
-        if v is None:
-            return default
+    los: List[Any] = []
+    his: List[Any] = []
+    for r in ranges:
+        frm, to = r.get("from"), r.get("to")
         try:
-            return float(v)
+            if numeric:
+                los.append(float(frm) if frm is not None else -math.inf)
+                his.append(float(to) if to is not None else math.inf)
+            else:
+                los.append(str(frm) if frm is not None else "")
+                his.append(str(to) if to is not None else _STR_MAX)
         except (TypeError, ValueError):
-            return str(v)
-
-    los = [key(r.get("from"), -math.inf) for r in ranges]
-    his = [key(r.get("to"), math.inf) for r in ranges]
-    kinds = {type(v) for v in los + his if not isinstance(v, float) or
-             v not in (-math.inf, math.inf)}
-    if len(kinds) > 1:
-        return True  # mixed bound types: cannot prove disjoint
+            return True
     try:
         iv = sorted(zip(los, his))
         return any(iv[i][1] > iv[i + 1][0] for i in range(len(iv) - 1))

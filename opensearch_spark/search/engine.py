@@ -1704,8 +1704,13 @@ class SearchEngine:
         # non-matching ones are excluded, not identity-padded)
         cols: List = []        # function value, NULL where not matching
         hits: List = []        # 1/0 matching indicator
+        wts: List = []         # function weight where matching, else 0
         for i, fn in enumerate(node.functions):
-            c = self._one_function_col(fn)
+            # a matching function with a NULL value (e.g. field_value_
+            # factor on a NULL field, no `missing`) contributes 0 —
+            # documented divergence from the reference, which throws
+            c = F.coalesce(self._one_function_col(fn), F.lit(0.0))
+            w = float(fn.get("weight", 1.0))
             if fn.get("filter") is not None:
                 hcol = f"_fs_hit{i}"
                 hit = self.compile(fn["filter"]).select(
@@ -1717,12 +1722,17 @@ class SearchEngine:
                 matched = F.col(hcol).isNotNull()
                 cols.append(F.when(matched, c))
                 hits.append(F.when(matched, 1).otherwise(0))
+                wts.append(F.when(matched, F.lit(w)).otherwise(F.lit(0.0)))
             else:
                 cols.append(c)
                 hits.append(F.lit(1))
+                wts.append(F.lit(w))
         n_match = hits[0]
         for h in hits[1:]:
             n_match = n_match + h
+        w_sum = wts[0]
+        for w_ in wts[1:]:
+            w_sum = w_sum + w_
         if node.score_mode == "multiply":
             fv = F.coalesce(cols[0], F.lit(1.0))
             for c in cols[1:]:
@@ -1734,10 +1744,12 @@ class SearchEngine:
                 fv = fv + F.coalesce(c, F.lit(0.0))
             fv = F.when(n_match > 0, fv)
         elif node.score_mode == "avg":
+            # reference: WEIGHTED average — sum of (already weight-
+            # multiplied) matching values over the sum of their weights
             tot = F.coalesce(cols[0], F.lit(0.0))
             for c in cols[1:]:
                 tot = tot + F.coalesce(c, F.lit(0.0))
-            fv = F.when(n_match > 0, tot / n_match)
+            fv = F.when(w_sum > 0, tot / w_sum)
         elif node.score_mode == "max":
             # greatest/least skip NULLs: non-matching functions drop out
             fv = F.greatest(*cols) if len(cols) > 1 else cols[0]

@@ -492,3 +492,20 @@ def test_date_range_string_bounds(spark, sf_dir):
     }).collect()
     total = sum(r["doc_count"] for r in out)
     assert total == orders.where("o_orderdate is not null").count()
+
+
+def test_function_score_weighted_avg(eng):
+    """score_mode=avg is the WEIGHTED average: sum(weighted values) /
+    sum(weights)."""
+    q = {
+        "function_score": {
+            "query": {"match": {"content": "def"}},
+            "score_mode": "avg",
+            "boost_mode": "replace",
+            "functions": [{"weight": 3.0}, {"weight": 4.0}],
+        }
+    }
+    rows = eng.search(q, k=3).collect()
+    # values are 3 and 4 (weight-only fns), weights 3 and 4:
+    # (3 + 4) / (3 + 4) = 1.0
+    assert rows and all(abs(float(r["score"]) - 1.0) < 1e-9 for r in rows)
