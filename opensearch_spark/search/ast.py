@@ -59,8 +59,12 @@ class TermQ(Node):
 
 @dataclass
 class TermsQ(Node):
+    """terms query; ``lookup`` = {"id": docId, "path": column} fetches
+    the value list from another document at query time (reference:
+    TermsQueryBuilder terms-lookup / TermsLookup.java)."""
     field_name: str = ""
     values: List[Any] = field(default_factory=list)
+    lookup: Any = None
 
 
 @dataclass

@@ -95,6 +95,12 @@ def _parse_terms(body: dict) -> A.TermsQ:
     body = dict(body)
     body.pop("boost", None)
     fld, vals = _field_body(body)
+    if isinstance(vals, dict):
+        # terms lookup (reference: TermsLookup.java): values come from
+        # another document's field
+        return A.TermsQ(field_name=fld, lookup={
+            "id": int(vals["id"]), "path": str(vals["path"]),
+        })
     return A.TermsQ(field_name=fld, values=list(vals))
 
 

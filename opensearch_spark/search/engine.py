@@ -816,7 +816,23 @@ class SearchEngine:
                     n_frags=int(spec.get("number_of_fragments", 2)),
                 )
             if src:
-                keep = ["docId", "score"] + [c for c in src if c in fetched.columns]
+                # _source filtering (reference: FetchSourceContext):
+                # list form = includes; dict form = {"includes",
+                # "excludes"} with * wildcards
+                import fnmatch
+
+                if isinstance(src, dict):
+                    inc = src.get("includes") or ["*"]
+                    exc = src.get("excludes") or []
+                    cols = [
+                        c for c in fetched.columns
+                        if c not in ("docId", "score", "highlights")
+                        and any(fnmatch.fnmatch(c, p) for p in inc)
+                        and not any(fnmatch.fnmatch(c, p) for p in exc)
+                    ]
+                else:
+                    cols = [c for c in src if c in fetched.columns]
+                keep = ["docId", "score"] + cols
                 if "highlights" in fetched.columns:
                     keep.append("highlights")
                 fetched = fetched.select(*keep)
@@ -2039,6 +2055,59 @@ class SearchEngine:
             .applyInPandas(scorer, SCORE_SCHEMA)
         )
 
+    # injectable "now" anchor for date-math bounds (tests / PIT
+    # determinism); None = wall clock at evaluation
+    now = None
+
+    def _resolve_date_math(self, v):
+        """'now', 'now-7d', 'now-1M/d' date-math bounds (reference:
+        common/time/DateMathParser.java). Non-date-math values pass
+        through untouched."""
+        import datetime as _dt
+        import re as _re
+
+        if not isinstance(v, str) or not v.startswith("now"):
+            return v
+        m = _re.fullmatch(r"now((?:[+-]\d+[smhdwMy])*)(?:/([smhdwMy]))?", v)
+        if not m:
+            return v
+        t = self.now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        for part in _re.findall(r"[+-]\d+[smhdwMy]", m.group(1) or ""):
+            sign = 1 if part[0] == "+" else -1
+            n, u = int(part[1:-1]), part[-1]
+            if u == "s":
+                t += sign * _dt.timedelta(seconds=n)
+            elif u == "m":
+                t += sign * _dt.timedelta(minutes=n)
+            elif u == "h":
+                t += sign * _dt.timedelta(hours=n)
+            elif u == "d":
+                t += sign * _dt.timedelta(days=n)
+            elif u == "w":
+                t += sign * _dt.timedelta(weeks=n)
+            elif u == "M":
+                mo = t.month - 1 + sign * n
+                t = t.replace(year=t.year + mo // 12, month=mo % 12 + 1,
+                              day=min(t.day, 28))
+            elif u == "y":
+                t = t.replace(year=t.year + sign * n)
+        r = m.group(2)
+        if r == "d":
+            t = t.replace(hour=0, minute=0, second=0, microsecond=0)
+        elif r == "h":
+            t = t.replace(minute=0, second=0, microsecond=0)
+        elif r == "m":
+            t = t.replace(second=0, microsecond=0)
+        elif r == "M":
+            t = t.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+        elif r == "y":
+            t = t.replace(month=1, day=1, hour=0, minute=0, second=0,
+                          microsecond=0)
+        elif r == "w":
+            t = (t - _dt.timedelta(days=t.weekday())).replace(
+                hour=0, minute=0, second=0, microsecond=0)
+        return t
+
     def _meta_filter(self, node) -> DataFrame:
         if self.corpus is None:
             raise ValueError("term-level query needs an attached corpus")
@@ -2046,17 +2115,33 @@ class SearchEngine:
         if isinstance(node, A.TermQ):
             cond = c == F.lit(node.value)
         elif isinstance(node, A.TermsQ):
-            cond = c.isin(node.values)
+            values = node.values
+            if node.lookup is not None:
+                # terms lookup: fetch the source doc's field once at
+                # compile time (the reference's coordinator-side GET)
+                rows = self.corpus.where(
+                    F.col("docId") == int(node.lookup["id"])
+                ).select(node.lookup["path"]).collect()
+                v = rows[0][0] if rows else None
+                values = (list(v) if isinstance(v, (list, tuple))
+                          else ([] if v is None else [v]))
+                if not values:
+                    return self.corpus.where(F.lit(False)).select("docId")
+            cond = c.isin(values)
         elif isinstance(node, A.RangeQ):
             cond = F.lit(True)
-            if node.gte is not None:
-                cond = cond & (c >= F.lit(node.gte))
-            if node.gt is not None:
-                cond = cond & (c > F.lit(node.gt))
-            if node.lte is not None:
-                cond = cond & (c <= F.lit(node.lte))
-            if node.lt is not None:
-                cond = cond & (c < F.lit(node.lt))
+            gte = self._resolve_date_math(node.gte)
+            gt = self._resolve_date_math(node.gt)
+            lte = self._resolve_date_math(node.lte)
+            lt = self._resolve_date_math(node.lt)
+            if gte is not None:
+                cond = cond & (c >= F.lit(gte))
+            if gt is not None:
+                cond = cond & (c > F.lit(gt))
+            if lte is not None:
+                cond = cond & (c <= F.lit(lte))
+            if lt is not None:
+                cond = cond & (c < F.lit(lt))
         elif isinstance(node, A.Exists):
             cond = c.isNotNull()
         else:

@@ -509,3 +509,36 @@ def test_function_score_weighted_avg(eng):
     # values are 3 and 4 (weight-only fns), weights 3 and 4:
     # (3 + 4) / (3 + 4) = 1.0
     assert rows and all(abs(float(r["score"]) - 1.0) < 1e-9 for r in rows)
+
+
+def test_terms_lookup_source_filtering_date_math(spark, sf_dir, eng):
+    """Three fetch-path extras: terms lookup, _source includes/excludes
+    patterns, and date-math range bounds with an injectable anchor."""
+    import datetime
+
+    # terms lookup against the corpus (lang of an existing doc -> filter)
+    ref = eng.corpus.select("docId", "lang").limit(1).collect()[0]
+    out = eng.search({"terms": {"lang": {"id": int(ref["docId"]),
+                                         "path": "lang"}}}, k=500)
+    got_langs = {r["lang"] for r in eng.fetch(out).select("lang").collect()}
+    assert got_langs == {ref["lang"]}
+    # _source dict form with wildcards
+    r = eng.request({"query": {"match": {"content": "def"}}, "size": 2,
+                     "_source": {"includes": ["la*", "repo"],
+                                 "excludes": ["lang2*"]}})
+    cols = set(r["hits"].columns)
+    assert "lang" in cols and "repo" in cols and "content" not in cols
+    # date math over the events table via a fresh engine corpus
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev2 = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    e2 = SearchEngine(spark, eng.paths.root, corpus=None)
+    e2.corpus = ev2.withColumn("docId", F.col("event_id").cast("long"))
+    e2.now = datetime.datetime(2024, 1, 3, 12, 0, 0)
+    from opensearch_spark.search import dsl as dsl_mod
+
+    n_dm = e2.compile(dsl_mod.parse(
+        {"range": {"ts": {"gte": "now-1d/d", "lt": "now/d"}}})).count()
+    n_explicit = ev2.where(
+        "ts >= timestamp'2024-01-02 00:00:00' and ts < timestamp'2024-01-03 00:00:00'"
+    ).count()
+    assert n_dm == n_explicit and n_dm > 0
