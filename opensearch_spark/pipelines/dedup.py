@@ -88,12 +88,16 @@ def _signatures(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs over the near-dup corpus, verified with
-    exact shingle Jaccard >= threshold. Returns (a, b, jaccard)."""
-    d = near_dup_corpus(_docs(spark, sf_dir))
+def _minhash_pairs_of(d: DataFrame, key_cols: tuple = ()) -> DataFrame:
+    """MinHash+LSH near-dup pairs of a (doc_id, text[, *key_cols]) frame,
+    verified with exact shingle Jaccard >= threshold. When ``key_cols``
+    are given the band join additionally requires key equality (pairs
+    stay within the same bucket — used to route hot n-gram-Jaccard
+    buckets through the linear LSH plan). Returns (a, b, jaccard)."""
     sh = _shingles(d).cache()
     sig = _signatures(sh)
+    if key_cols:
+        sig = sig.join(d.select("doc_id", *key_cols), "doc_id")
 
     bands = None
     n_bands = N_MINHASH // BAND_SIZE
@@ -101,6 +105,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols = [F.col(f"h{bi * BAND_SIZE + j}") for j in range(BAND_SIZE)]
         b = sig.select(
             "doc_id",
+            *key_cols,
             F.lit(bi).alias("band"),
             F.md5(F.concat(*cols)).alias("band_key"),
         )
@@ -108,13 +113,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = bands.alias("a")
     b = bands.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    for kc in key_cols:
+        cond = cond & (F.col(f"a.{kc}") == F.col(f"b.{kc}"))
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
         .distinct()
     )
@@ -138,6 +145,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     return out
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over the near-dup corpus, verified with
+    exact shingle Jaccard >= threshold. Returns (a, b, jaccard)."""
+    return _minhash_pairs_of(near_dup_corpus(_docs(spark, sf_dir)))
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,31 +225,61 @@ def simhash_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
-                        max_bucket_docs: int | None = None) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs within same-source buckets of
-    the near-dup corpus (bucketed to avoid the full cross join).
-    Returns (a, b, jaccard) above threshold.
+# quadratic-bucket skew guard default: a 10k-doc bucket is ~10^8 shingle
+# join pairs — the largest a single straggler task should ever carry.
+NGRAM_MAX_BUCKET_DOCS = 10_000
 
-    Skew guard: the shingle equi-join is quadratic in bucket size, so a
-    hot source (boilerplate mirrored 10x) dominates the job.
-    ``max_bucket_docs`` drops buckets above the cap — coverage loss is
-    explicit (the dropped buckets are exactly the ones to route through
-    MinHash-LSH, which has no quadratic bucket term)."""
+
+def ngram_bucket_accounting(spark: SparkSession, sf_dir: str,
+                            max_bucket_docs: int = NGRAM_MAX_BUCKET_DOCS) -> DataFrame:
+    """(source, n_docs, routed_to_lsh) — explicit coverage accounting for
+    the skew guard: which buckets the exact quadratic path handles and
+    which get routed through MinHash-LSH."""
+    d = _ngram_corpus(spark, sf_dir)
+    return (
+        d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source", "n_docs",
+            (F.col("n_docs") > max_bucket_docs).alias("routed_to_lsh"),
+        )
+    )
+
+
+def _ngram_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _docs(spark, sf_dir)
-    d = near_dup_corpus(raw).join(
+    return near_dup_corpus(raw).join(
         raw.select(
             F.col("doc_id").alias("orig_id"), F.col("source")
         ),
         F.pmod(F.col("doc_id"), F.lit(SHIFT_ID)) == F.col("orig_id"),
     ).select("doc_id", "text", "source")
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
+                        max_bucket_docs: int | None = NGRAM_MAX_BUCKET_DOCS,
+                        route_dropped: bool = True) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within same-source buckets of
+    the near-dup corpus (bucketed to avoid the full cross join).
+    Returns (a, b, jaccard) above threshold.
+
+    Skew guard (ON by default): the shingle equi-join is quadratic in
+    bucket size, so a hot source (boilerplate mirrored 10x) dominates
+    the job. Buckets above ``max_bucket_docs`` are cut from the exact
+    path and — with ``route_dropped`` — re-covered by same-source
+    MinHash-LSH (linear in bucket size; recall bounded by the band
+    collision probability instead of exact). ``ngram_bucket_accounting``
+    reports which buckets took which path, so coverage is explicit
+    rather than silently truncated."""
+    d = _ngram_corpus(spark, sf_dir)
+    d_hot = None
     if max_bucket_docs is not None:
-        ok = (
-            d.groupBy("source").agg(F.count(F.lit(1)).alias("_bn"))
-            .where(F.col("_bn") <= max_bucket_docs)
-            .select("source")
-        )
+        counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("_bn"))
+        ok = counts.where(F.col("_bn") <= max_bucket_docs).select("source")
+        d_all = d
         d = d.join(F.broadcast(ok), "source")
+        if route_dropped:
+            hot = counts.where(F.col("_bn") > max_bucket_docs).select("source")
+            d_hot = d_all.join(F.broadcast(hot), "source")
     sh = _shingles(d, n=3)
     src = d.select("doc_id", "source")
     sh = sh.join(src, "doc_id")
@@ -249,7 +292,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    out = (
         shared.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
         .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
         .select(
@@ -260,3 +303,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    if d_hot is not None:
+        out = out.unionByName(
+            _minhash_pairs_of(d_hot, key_cols=("source",)).select("a", "b", "jaccard")
+        )
+    return out

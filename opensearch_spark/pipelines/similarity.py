@@ -5,18 +5,31 @@
   fold (zip_with + aggregate) — no Python in the loop.
 - ``lsh_buckets`` / ``lsh_ann``: random-hyperplane LSH — the scale path.
   Hyperplane signs are derived from md5 hex digits so the DuckDB oracle
-  reproduces them bit-identically. At 100 TB the bucket join replaces the
-  O(n) scan per query with a lookup of ~n/2^bits candidates.
+  reproduces them bit-identically. Signatures are computed as a single
+  map-only projection (literal sign arrays folded against the vector —
+  no explode, no join, ZERO shuffles), and the ANN path computes exact
+  cosine only on the bucket-colliding candidates, never the full table.
+- ``ivf_assign`` / ``ivf_ann``: IVF coarse quantizer + nprobe search.
+  Assignment is a map-only argmax over literal centroid vectors (no
+  window shuffle); ``materialize_ivf`` writes the assignment partitioned
+  by centroid so a 100 TB deployment prunes the scan to ~nprobe/K of
+  the corpus; the re-rank joins candidates FIRST and computes cosine on
+  the joined (small) frame only.
 
 Scale notes: brute force is one scan, embarrassingly parallel, no
-shuffle; the LSH variant shuffles (vec_id, bucket) pairs once. For a
-1000-executor deployment you'd pre-materialize the bucket table
-(bucketBy on bucket id) so queries prune to matching buckets only.
+shuffle. LSH bucketing and IVF assignment are now map-only (one scan,
+no shuffle at all). The ANN query paths are: candidate selection
+(broadcast join on bucket/probed centroid — partition-prunable when the
+assignment table is materialized with partitionBy) -> exact cosine on
+candidates only. That is the textbook inverted-file plan; nothing
+touches the full corpus except the one pruned scan.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+from typing import List
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -31,61 +44,95 @@ def _as_double(col: str = "embedding"):
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
+def _dot(vc, qc) -> "F.Column":
+    """Sequential left-to-right fold — the one float association order
+    every caller (and the DuckDB oracle rounding) agrees on."""
+    return F.aggregate(
+        F.zip_with(vc, qc, lambda a, b: a * b), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(c) -> "F.Column":
+    return F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0),
+                    lambda acc, x: acc + x)
+    )
+
+
+def _pair_cosine(vc, cc) -> "F.Column":
+    return _dot(vc, cc) / (_norm(vc) * _norm(cc))
+
+
 def cosine_scores(spark: SparkSession, sf_dir: str, query_vec_id: int = 0) -> DataFrame:
     """All vectors' cosine similarity vs the query vector (brute force)."""
     e = _emb(spark, sf_dir).select("vec_id", _as_double().alias("v"))
     q = e.where(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
-    dot = F.aggregate(
-        F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
     return (
         e.crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(dot / (norm(F.col("v")) * norm(F.col("qv"))), 5).alias("cosine"),
+            F.round(_pair_cosine(F.col("v"), F.col("qv")), 5).alias("cosine"),
         )
     )
 
 
-def _plane_signs(spark: SparkSession, dims: int) -> DataFrame:
-    """(plane, dim, sign ±1) derived from md5('plane|<p>|<d>') hex digit."""
-    planes = spark.range(N_PLANES).select(F.col("id").alias("plane"))
-    dcol = spark.range(dims).select(F.col("id").alias("dim"))
-    return planes.crossJoin(dcol).select(
-        "plane",
-        "dim",
-        F.when(
-            F.substring(
-                F.md5(F.concat(F.lit("plane|"), F.col("plane").cast("string"),
-                               F.lit("|"), F.col("dim").cast("string"))),
-                1, 1,
-            ).rlike("[89a-f]"),
-            1.0,
-        ).otherwise(-1.0).alias("sign"),
-    )
+def _plane_signs_py(dims: int) -> List[List[float]]:
+    """Per-plane sign vectors ±1 from md5('plane|<p>|<d>') hex digit —
+    computed driver-side (hashlib == Spark md5 == DuckDB md5 on the
+    same string) so the signatures need no join at all."""
+    out = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(dims):
+            h = hashlib.md5(f"plane|{p}|{d}".encode()).hexdigest()[0]
+            row.append(1.0 if h in "89abcdef" else -1.0)
+        out.append(row)
+    return out
+
+
+def _with_buckets(e: DataFrame, dims: int) -> DataFrame:
+    """(vec_id, v, bucket) in ONE map-only projection: each plane's
+    projection is a fold of v against a literal sign array; the bucket
+    is the sign bitmap. No explode, no join, no shuffle."""
+    signs = _plane_signs_py(dims)
+    bucket = None
+    for p in range(N_PLANES):
+        proj = _dot(F.col("v"), F.array(*[F.lit(s) for s in signs[p]]))
+        bit = (
+            F.when(proj > 0, F.lit(1 << p).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return e.select("vec_id", "v", bucket.alias("bucket"))
+
+
+def _dims(e: DataFrame) -> int:
+    return len(e.select("v").first()["v"])
 
 
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane signature bucket per vector: (vec_id, bucket)."""
     e = _emb(spark, sf_dir).select("vec_id", _as_double().alias("v"))
-    dims = len(e.select("v").first()["v"])
-    comp = e.select("vec_id", F.posexplode("v").alias("dim", "x"))
-    planes = _plane_signs(spark, dims)
-    proj = (
-        comp.join(F.broadcast(planes), "dim")
-        .groupBy("vec_id", "plane")
-        .agg(F.sum(F.col("x") * F.col("sign")).alias("proj"))
+    return _with_buckets(e, _dims(e)).select("vec_id", "bucket")
+
+
+def lsh_ann(spark: SparkSession, sf_dir: str, query_vec_id: int = 0) -> DataFrame:
+    """ANN candidates: vectors sharing the query's LSH bucket, with their
+    exact cosine. The cosine is computed ONLY on the candidates — the
+    bucket join runs below the cosine projection, so the plan scans the
+    corpus once for signatures and re-ranks ~n/2^planes rows, never the
+    full table."""
+    e = _emb(spark, sf_dir).select("vec_id", _as_double().alias("v"))
+    bw = _with_buckets(e, _dims(e))
+    q = bw.where(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
     )
-    return (
-        proj.groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.expr("shiftleft(CAST(proj > 0 AS LONG), CAST(plane AS INT))")
-            ).alias("bucket")
-        )
+    cand = bw.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+    return cand.select(
+        "vec_id",
+        "bucket",
+        F.round(_pair_cosine(F.col("v"), F.col("qv")), 5).alias("cosine"),
     )
 
 
@@ -93,16 +140,30 @@ N_IVF_CENTROIDS = 8
 IVF_NPROBE = 2
 
 
-def _pair_cosine(vc, cc) -> "F.Column":
-    dot = F.aggregate(
-        F.zip_with(vc, cc, lambda a, b: a * b), F.lit(0.0),
-        lambda acc, x: acc + x,
+def _assign_with_v(e: DataFrame, cvs: List[List[float]]) -> DataFrame:
+    """(vec_id, v, centroid): nearest of the K literal centroid vectors
+    by cosine, ties (cosine desc, centroid asc) on 8-dp rounding —
+    map-only argmax via struct array_min, no window, no shuffle."""
+    pairs = F.array(*[
+        F.struct(
+            (F.lit(0.0) - F.round(
+                _pair_cosine(F.col("v"), F.array(*[F.lit(x) for x in cv])), 8
+            )).alias("ncs"),
+            F.lit(k).cast("long").alias("centroid"),
+        )
+        for k, cv in enumerate(cvs)
+    ])
+    return e.select(
+        "vec_id", "v", F.array_min(pairs)["centroid"].alias("centroid")
     )
-    n = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0),
-                    lambda acc, x: acc + x)
+
+
+def _centroid_vecs(e: DataFrame) -> List[List[float]]:
+    rows = (
+        e.where(F.col("vec_id") < N_IVF_CENTROIDS)
+        .select("vec_id", "v").orderBy("vec_id").collect()
     )
-    return dot / (n(vc) * n(cc))
+    return [list(r["v"]) for r in rows]
 
 
 def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,43 +171,41 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids (the embeddings of vec_id 0..K-1) by cosine. Deterministic
     seed-init variant of k-means — zero Lloyd iterations so the DuckDB
     oracle reproduces assignments exactly; at scale you'd run a few
-    iterations with the SAME plan shape (broadcast centroids -> argmax
-    join -> mean recompute). Ties broken by (cosine desc, centroid asc)
-    on 8-dp-rounded similarity."""
+    iterations with the SAME plan shape (literal/broadcast centroids ->
+    map-side argmax -> mean recompute). Ties broken by (cosine desc,
+    centroid asc) on 8-dp-rounded similarity."""
     e = _emb(spark, sf_dir).select("vec_id", _as_double().alias("v"))
-    cents = (
-        e.where(F.col("vec_id") < N_IVF_CENTROIDS)
-        .select(F.col("vec_id").alias("centroid"), F.col("v").alias("cv"))
-    )
-    from pyspark.sql import Window
+    return _assign_with_v(e, _centroid_vecs(e)).select("vec_id", "centroid")
 
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "centroid",
-        F.round(_pair_cosine(F.col("v"), F.col("cv")), 8).alias("_cs"),
+
+def materialize_ivf(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Write the IVF assignment (vec_id, centroid, v) partitioned by
+    centroid — the pre-built inverted file. Queries that pass this as
+    ``assign_dir`` get parquet partition pruning: only the probed
+    centroids' directories are read (~nprobe/K of the corpus)."""
+    e = _emb(spark, sf_dir).select("vec_id", _as_double().alias("v"))
+    (
+        _assign_with_v(e, _centroid_vecs(e))
+        .write.mode("overwrite").partitionBy("centroid").parquet(out_dir)
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("centroid"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "centroid")
-    )
+    return out_dir
 
 
 def ivf_ann(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
-            nprobe: int = IVF_NPROBE) -> DataFrame:
-    """IVF-style ANN: probe the ``nprobe`` centroids nearest to the query,
-    re-rank their posting lists by exact cosine. The scale path
-    pre-materializes ``ivf_assign`` partitioned by centroid so a query
-    scans ~nprobe/K of the corpus instead of all of it."""
-    assign = ivf_assign(spark, sf_dir)
+            nprobe: int = IVF_NPROBE, assign_dir: str | None = None) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` centroids nearest to the query,
+    re-rank their posting lists by exact cosine. Candidates are selected
+    FIRST (probe filter on the assignment, partition-pruned when
+    ``assign_dir`` points at a ``materialize_ivf`` output) and cosine is
+    computed only on the candidate rows — never the full corpus."""
+    from pyspark.sql import Window
+
     e = _emb(spark, sf_dir).select("vec_id", _as_double().alias("v"))
     q = e.where(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
     cents = (
         e.where(F.col("vec_id") < N_IVF_CENTROIDS)
         .select(F.col("vec_id").alias("centroid"), F.col("v").alias("cv"))
     )
-    from pyspark.sql import Window
-
     probes = (
         cents.crossJoin(F.broadcast(q))
         .select(
@@ -160,21 +219,15 @@ def ivf_ann(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
         .where(F.col("_rn") <= nprobe)
         .select("centroid")
     )
-    cos = cosine_scores(spark, sf_dir, query_vec_id)
-    return (
-        assign.join(F.broadcast(probes), "centroid")
-        .join(cos, "vec_id")
-        .select("vec_id", "centroid", "cosine")
+    if assign_dir is not None:
+        assign = spark.read.parquet(assign_dir).select(
+            "vec_id", "v", F.col("centroid").cast("long").alias("centroid")
+        )
+    else:
+        assign = _assign_with_v(e, _centroid_vecs(e))
+    cand = assign.join(F.broadcast(probes), "centroid")
+    return cand.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "centroid",
+        F.round(_pair_cosine(F.col("v"), F.col("qv")), 5).alias("cosine"),
     )
-
-
-def lsh_ann(spark: SparkSession, sf_dir: str, query_vec_id: int = 0) -> DataFrame:
-    """ANN candidates: vectors sharing the query's LSH bucket, with their
-    exact cosine (re-ranking step)."""
-    b = lsh_buckets(spark, sf_dir)
-    qb = b.where(F.col("vec_id") == query_vec_id).select(F.col("bucket").alias("qbucket"))
-    cand = b.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket")).select(
-        "vec_id", "bucket"
-    )
-    cos = cosine_scores(spark, sf_dir, query_vec_id)
-    return cand.join(cos, "vec_id").select("vec_id", "bucket", "cosine")

@@ -44,6 +44,20 @@ from opensearch_spark.search import ast as A, bm25, dsl as dsl_mod, wand
 SCORE_SCHEMA = "docId long, score double"
 
 
+def _source_add(src, name: str):
+    """Append a computed column (docvalue/derived field) to a ``_source``
+    spec without destroying its shape: dict form keeps its includes/
+    excludes wildcards (reference FetchSourceContext applies them
+    regardless of doc-value fields), list form appends."""
+    if src is None:
+        return None
+    if isinstance(src, dict):
+        out = dict(src)
+        out["includes"] = list(src.get("includes") or ["*"]) + [name]
+        return out
+    return list(src) + [name]
+
+
 def _query_text(node: "A.AnyNode") -> str:
     """Concatenated analyzed text of a query tree (highlighting input)."""
     parts: List[str] = []
@@ -472,6 +486,13 @@ class SearchEngine:
             self.postings = self.postings.persist()
             self.docstats = self.docstats.persist()
         self._idf_cache: Dict[str, float] = {}
+        # full term->df map, loaded lazily ONCE per engine generation
+        # (the serving-path analog of broadcasting the term dictionary):
+        # after the first query, repeated queries resolve IDF with zero
+        # Spark jobs instead of one driver round-trip per new term.
+        # None = not loaded yet; False = vocabulary too large, fall back
+        # to per-term pushdown scans.
+        self._term_df_map: Dict[str, int] | None | bool = None
         from opensearch_spark.search.templates import TemplateRegistry
 
         self.templates = TemplateRegistry()
@@ -515,24 +536,55 @@ class SearchEngine:
             self._n_deletes = 0
 
     def open_pit(self) -> dict:
-        """Open a point-in-time token (reference: create PIT API) — the
-        exact file sets + manifest of this moment. Pass to
-        ``SearchEngine(..., pit=token)`` for a pinned reader; index
-        tables are append-only parquet, so the pinned files never
-        change."""
+        """Open a point-in-time token (reference: create PIT API,
+        ``CreatePitController.java:52`` — a PIT holds segment references
+        that block deletion until closed). The snapshot's parquet files
+        are HARDLINKED into ``<index>/pits/<pit_id>/`` and the token
+        pins those linked paths: link counts keep the bytes alive even
+        after ``compact_index``/``upsert_batch`` rmtree the live
+        generation, so PIT readers survive compaction exactly like
+        Lucene readers holding merged-away segments. ``close_pit``
+        releases the references. Pass to ``SearchEngine(..., pit=
+        token)`` for a pinned read-only reader."""
         import glob as _glob
+        import shutil as _sh
+        import uuid as _uuid
 
-        def files(d: str) -> list:
-            return sorted(_glob.glob(os.path.join(d, "**", "*.parquet"),
-                                     recursive=True))
+        pit_id = _uuid.uuid4().hex
+        pit_root = os.path.join(self.paths.root, "pits", pit_id)
+
+        def pin(d: str, name: str) -> list:
+            out = []
+            for f in sorted(_glob.glob(os.path.join(d, "**", "*.parquet"),
+                                       recursive=True)):
+                rel = os.path.relpath(f, d)
+                dst = os.path.join(pit_root, name, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(f, dst)
+                except OSError:  # cross-device: fall back to a copy
+                    _sh.copy2(f, dst)
+                out.append(dst)
+            return out
 
         return {
-            "postings_files": files(self.paths.postings),
-            "docstats_files": files(self.paths.docstats),
-            "termstats_files": files(self.paths.termstats),
-            "deletes_files": files(self._deletes_dir),
+            "pit_id": pit_id,
+            "postings_files": pin(self.paths.postings, "postings"),
+            "docstats_files": pin(self.paths.docstats, "docstats"),
+            "termstats_files": pin(self.paths.termstats, "termstats"),
+            "deletes_files": pin(self._deletes_dir, "deletes"),
             "globals": dict(self.globals),
         }
+
+    def close_pit(self, token: dict) -> None:
+        """Release a PIT's pinned file references (reference: delete PIT
+        API). Readers still holding the token fail afterwards."""
+        import shutil as _sh
+
+        pit_id = token.get("pit_id")
+        if pit_id:
+            _sh.rmtree(os.path.join(self.paths.root, "pits", pit_id),
+                       ignore_errors=True)
 
     def delete(self, doc_ids: Sequence[int]) -> int:
         """Soft-delete documents by id (reference: Lucene soft deletes /
@@ -703,14 +755,13 @@ class SearchEngine:
             df = df.where(pred)
         out = df.orderBy(*order)
         if from_ > 0:
-            from pyspark.sql import Window
-
-            w = Window.orderBy(*order)
-            out = (
-                out.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") > from_)
-                .drop("_rn")
-            )
+            # deep pagination stays bounded: orderBy + offset + limit
+            # compiles to TakeOrderedAndProject(limit=from_+k, offset=
+            # from_) — each task keeps a from_+k heap and the driver
+            # merges, instead of shuffling the whole matched set into
+            # one task for a global row_number window (reference bounds
+            # the same way via from+size <= max_result_window).
+            return out.offset(from_).limit(k)
         return out.limit(k)
 
     def request(self, body: dict) -> dict:
@@ -795,15 +846,13 @@ class SearchEngine:
                 else:
                     out_c = F.date_format(col.cast("timestamp"), fmt)
                 fetched = fetched.withColumn(f"{fld}_value", out_c)
-                if src is not None:
-                    src = list(src) + [f"{fld}_value"]
+                src = _source_add(src, f"{fld}_value")
             # derived fields (reference: DerivedFieldMapper — computed at
             # query time): Spark SQL expressions over the fetched row
             for name, spec in (derived or {}).items():
                 expr = spec["script"] if isinstance(spec, dict) else spec
                 fetched = fetched.withColumn(name, F.expr(str(expr)))
-                if src is not None:
-                    src = list(src) + [name]
+                src = _source_add(src, name)
             if "highlight" in body:
                 from opensearch_spark.search import highlight as H
 
@@ -1085,10 +1134,12 @@ class SearchEngine:
         Spark job over termstats); each candidate scores
         ``ln((df+1)/(N+1)) + channel`` with channel = ln(rwel) for the
         unchanged in-dictionary token and edits * ln(1 - rwel) per edit;
-        the phrase score sums token scores and candidates combine by
-        driver-side beam product (bounded: max_candidates per token).
+        the phrase score sums token scores and candidates combine by a
+        left-to-right beam fold (the reference's candidate-set beam;
+        bounded beam width, never the cartesian product — a 12-token
+        phrase at 5 candidates/token would otherwise materialize ~244M
+        combos on the driver).
         Returns [{"text", "score"}] best-first, input phrase excluded."""
-        import itertools
         import math as _math
 
         toks = self._tok(text)
@@ -1112,15 +1163,22 @@ class SearchEngine:
                 lm = _math.log((c["freq"] + 1) / (n + 1))
                 cands.append((c["text"], lm + c["distance"] * chan_err))
             per_token.append(cands[: max_candidates + 1])
-        out = []
-        for combo in itertools.product(*per_token):
-            words = [w for w, _s in combo]
-            if words == toks:
-                continue
-            out.append({
-                "text": " ".join(words),
-                "score": float(sum(s for _w, s in combo)),
-            })
+        # beam fold: keep the best `beam` partial phrases per prefix
+        # length. beam >= size+1 so dropping the input phrase at the end
+        # still leaves `size` full candidates.
+        beam = max(size + 1, (max_candidates + 1) ** 2)
+        partials: List[tuple] = [((), 0.0)]
+        for cands in per_token:
+            partials = [
+                (words + (w,), s + cs) for words, s in partials for w, cs in cands
+            ]
+            partials.sort(key=lambda p: (-p[1], p[0]))
+            partials = partials[:beam]
+        out = [
+            {"text": " ".join(words), "score": float(s)}
+            for words, s in partials
+            if list(words) != toks
+        ]
         out.sort(key=lambda d: (-d["score"], d["text"]))
         return out[:size]
 
@@ -1934,16 +1992,47 @@ class SearchEngine:
                 f"full-text query on non-indexed field {name!r} (index covers {self.text_field!r})"
             )
 
+    # vocabularies under this row count load fully on first use (a code
+    # corpus dictionary is millions of terms at most; ~30 MB of driver
+    # memory buys zero per-query jobs on the serving path)
+    TERMSTATS_MAP_MAX = 2_000_000
+
+    def _load_term_df_map(self) -> "Dict[str, int] | bool":
+        """Term dictionary as a driver map, built once per generation
+        (the broadcast-termstats analog of the reference's cached
+        per-shard term dictionary). Falls back to per-term pushdown
+        scans when the vocabulary exceeds TERMSTATS_MAP_MAX."""
+        if self._term_df_map is None:
+            rows = (
+                self.termstats.groupBy("term").agg(F.sum("df").alias("df"))
+                .limit(self.TERMSTATS_MAP_MAX + 1)
+                .collect()
+            )
+            if len(rows) > self.TERMSTATS_MAP_MAX:
+                self._term_df_map = False
+            else:
+                self._term_df_map = {r["term"]: int(r["df"]) for r in rows}
+        return self._term_df_map
+
     def _idfs(self, terms: Iterable[str]) -> Dict[str, float]:
         need = [t for t in set(terms) if t not in self._idf_cache]
         if need:
-            # sum df across generations (incremental batches append rows)
-            rows = (
-                self.termstats.where(F.col("term").isin(need))
-                .groupBy("term").agg(F.sum("df").alias("df"))
-                .collect()
-            )
-            found = {r["term"]: bm25.idf(int(r["df"]), self.doc_count) for r in rows}
+            m = self._load_term_df_map()
+            if m is not False:
+                found = {
+                    t: bm25.idf(m[t], self.doc_count) for t in need if t in m
+                }
+            else:
+                # sum df across generations (incremental batches append)
+                rows = (
+                    self.termstats.where(F.col("term").isin(need))
+                    .groupBy("term").agg(F.sum("df").alias("df"))
+                    .collect()
+                )
+                found = {
+                    r["term"]: bm25.idf(int(r["df"]), self.doc_count)
+                    for r in rows
+                }
             for t in need:
                 self._idf_cache[t] = found.get(t, float("nan"))  # nan = not in index
         return {t: self._idf_cache[t] for t in set(terms)}
@@ -1953,6 +2042,9 @@ class SearchEngine:
         """Raw document frequencies (summed across generations); absent
         terms are omitted."""
         need = list(set(terms))
+        m = self._load_term_df_map()
+        if m is not False:
+            return {t: m[t] for t in need if t in m}
         rows = (
             self.termstats.where(F.col("term").isin(need))
             .groupBy("term").agg(F.sum("df").alias("df"))
@@ -2086,9 +2178,15 @@ class SearchEngine:
             elif u == "w":
                 t += sign * _dt.timedelta(weeks=n)
             elif u == "M":
+                import calendar as _cal
+
                 mo = t.month - 1 + sign * n
-                t = t.replace(year=t.year + mo // 12, month=mo % 12 + 1,
-                              day=min(t.day, 28))
+                yy, mm = t.year + mo // 12, mo % 12 + 1
+                # clamp to the target month's real last day (reference
+                # DateMathParser uses java.time plusMonths semantics:
+                # Mar 31 + 1M == Apr 30, not Apr 28)
+                t = t.replace(year=yy, month=mm,
+                              day=min(t.day, _cal.monthrange(yy, mm)[1]))
             elif u == "y":
                 t = t.replace(year=t.year + sign * n)
         r = m.group(2)

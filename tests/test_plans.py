@@ -128,3 +128,79 @@ def test_count_match_uses_no_scorer(engine):
             {"match": {"content": "def"}}
         )
     ).count()
+
+
+def optimized_str(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _cosine_above_join(df) -> None:
+    """The exact-cosine projection (references the broadcast query
+    vector qv) must be an ANCESTOR of the candidate join — i.e. cosine
+    is computed only on candidate rows, never projected over the full
+    embeddings scan (the round-2 'ANN defeats its own pruning' defect)."""
+    lines = optimized_str(df).splitlines()
+    cos_i = next(
+        i for i, ln in enumerate(lines)
+        if "aggregate(zip_with" in ln and "qv" in ln
+    )
+    join_i = next(i for i, ln in enumerate(lines) if "Join" in ln)
+    assert cos_i < join_i, "\n".join(lines[:20])
+
+
+def test_lsh_ann_cosine_only_on_candidates(spark, sf_dir):
+    from opensearch_spark.pipelines import similarity as S
+
+    _cosine_above_join(S.lsh_ann(spark, sf_dir))
+
+
+def test_ivf_ann_cosine_only_on_candidates(spark, sf_dir):
+    from opensearch_spark.pipelines import similarity as S
+
+    _cosine_above_join(S.ivf_ann(spark, sf_dir))
+
+
+def test_lsh_buckets_zero_shuffle(spark, sf_dir):
+    """Signature computation is one map-only projection: literal sign
+    arrays folded against the vector — no explode/join/Exchange."""
+    from opensearch_spark.pipelines import similarity as S
+
+    p = executed_str(S.lsh_buckets(spark, sf_dir))
+    assert "Exchange" not in p, p
+    assert "Generate" not in p, p  # no posexplode
+
+
+def test_ivf_assign_zero_shuffle(spark, sf_dir):
+    """Centroid argmax is array_min over literal centroid structs — no
+    per-vec_id window shuffle."""
+    from opensearch_spark.pipelines import similarity as S
+
+    p = executed_str(S.ivf_assign(spark, sf_dir))
+    assert "Exchange" not in p, p
+    assert "Window" not in p, p
+
+
+def test_deep_pagination_is_bounded(engine):
+    """from_ > 0 compiles to TakeOrderedAndProject(offset) — no global
+    row_number window funnelling the matched set through one task."""
+    df = engine.search({"match": {"content": "def"}}, k=5, from_=7)
+    p = executed_str(df)
+    assert "Window" not in p, p
+    assert "TakeOrdered" in p, p
+
+
+def test_repeated_idf_lookup_runs_no_job(engine):
+    """Serving path: after the first query loads the term->df map, IDF
+    resolution for NEW terms is a driver dict lookup — no Spark job per
+    query (the broadcast-termstats analog)."""
+    engine._idfs(["def"])  # triggers the one-time full load
+    assert isinstance(engine._term_df_map, dict)
+    saved = engine.termstats
+    engine.termstats = None  # any scan attempt would now blow up
+    try:
+        out = engine._idfs(["return", "zzz_not_in_index"])
+        assert out["zzz_not_in_index"] != out["zzz_not_in_index"]  # nan
+        dfs = engine._dfs(["return"])
+        assert dfs.get("return", 0) > 0
+    finally:
+        engine.termstats = saved

@@ -199,7 +199,8 @@ def test_ngram_jaccard_skew_cap(spark, tmp_path):
     p = str(tmp_path / "docs")
     os.makedirs(p)
     docs.write.mode("overwrite").parquet(os.path.join(p, "documents.parquet"))
-    capped = dedup.ngram_jaccard_pairs(spark, p, max_bucket_docs=30)
+    capped = dedup.ngram_jaccard_pairs(spark, p, max_bucket_docs=30,
+                                       route_dropped=False)
     pairs = capped.select("a", "b").collect()
     # all surviving pairs come from the small bucket (ids < 100 or their
     # near-dup shifted copies)
@@ -207,6 +208,22 @@ def test_ngram_jaccard_skew_cap(spark, tmp_path):
         for v in (int(r["a"]), int(r["b"])):
             base = v % dedup.SHIFT_ID
             assert base < 100, f"big-bucket pair leaked: {r}"
+
+    # default path: the hot bucket is ROUTED through same-source
+    # MinHash-LSH instead of silently dropped — near-dup pairs from the
+    # big bucket reappear, and the accounting names the routed bucket
+    routed = dedup.ngram_jaccard_pairs(spark, p, max_bucket_docs=30)
+    big_pairs = [
+        r for r in routed.select("a", "b").collect()
+        if int(r["a"]) % dedup.SHIFT_ID >= 100
+    ]
+    assert big_pairs, "hot bucket not re-covered by LSH routing"
+    acct = {
+        r["source"]: (int(r["n_docs"]), bool(r["routed_to_lsh"]))
+        for r in dedup.ngram_bucket_accounting(spark, p, 30).collect()
+    }
+    assert acct["big"] == (2 * n_big, True)
+    assert acct["small"] == (2 * n_small, False)
 
 
 def test_search_template(eng):
@@ -542,3 +559,61 @@ def test_terms_lookup_source_filtering_date_math(spark, sf_dir, eng):
         "ts >= timestamp'2024-01-02 00:00:00' and ts < timestamp'2024-01-03 00:00:00'"
     ).count()
     assert n_dm == n_explicit and n_dm > 0
+
+
+def test_pit_survives_compaction(spark, tmp_path):
+    """PIT hardlink-pins its file set: compact_index (which rmtrees the
+    old generation) must not break an open PIT reader — the reference's
+    PIT holds segment references that block deletion (ADVICE r2)."""
+    from opensearch_spark.index.incremental import compact_index
+
+    corpus = spark.createDataFrame(generate_corpus(120, seed=23))
+    out = str(tmp_path / "ix")
+    build_index(spark, corpus, out, n_segments=4, shuffle_partitions=8)
+    live = SearchEngine(spark, out, corpus=corpus)
+    pit = live.open_pit()
+    before = [(int(r["docId"]), round(float(r["score"]), 6))
+              for r in live.search(Q, k=10).collect()]
+    compact_index(spark, out, target_segments=2)
+    pinned = SearchEngine(spark, out, corpus=corpus, pit=pit)
+    pinned_rows = [(int(r["docId"]), round(float(r["score"]), 6))
+                   for r in pinned.search(Q, k=10).collect()]
+    assert pinned_rows == before
+    # close releases the pinned references
+    fresh = SearchEngine(spark, out, corpus=corpus)
+    fresh.close_pit(pit)
+    assert not os.path.exists(os.path.join(out, "pits", pit["pit_id"]))
+
+
+def test_source_dict_with_docvalue_and_derived(eng):
+    """_source dict form (includes/excludes wildcards) must keep working
+    when docvalue_fields / derived fields are also requested (ADVICE r2:
+    the old list(src)+[...] destroyed the dict)."""
+    out = eng.request({
+        "query": Q, "size": 5,
+        "_source": {"includes": ["la*"], "excludes": ["lang2*"]},
+        "docvalue_fields": ["path"],
+        "derived": {"lang_upper": "upper(lang)"},
+    })
+    cols = out["hits"].columns
+    assert "lang" in cols            # wildcard include still applied
+    assert "repo" not in cols        # not included
+    assert "path_value" in cols      # docvalue field appended
+    assert "lang_upper" in cols      # derived field appended
+    rows = out["hits"].collect()
+    assert rows and rows[0]["lang_upper"] == rows[0]["lang"].upper()
+
+
+def test_date_math_month_end_clamp(eng):
+    """now+1M anchored on Mar 31 resolves to Apr 30 (java.time
+    plusMonths semantics), not Apr 28."""
+    import datetime as dt
+
+    eng.now = dt.datetime(2024, 3, 31, 12, 0, 0)
+    try:
+        got = eng._resolve_date_math("now+1M")
+        assert got == dt.datetime(2024, 4, 30, 12, 0, 0), got
+        got = eng._resolve_date_math("now-1M")
+        assert got == dt.datetime(2024, 2, 29, 12, 0, 0), got  # leap year
+    finally:
+        eng.now = None
