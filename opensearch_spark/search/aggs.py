@@ -43,13 +43,34 @@ _METRIC_KINDS = {
     "avg", "sum", "min", "max", "value_count", "cardinality", "stats",
     "extended_stats", "percentiles", "percentile_ranks", "weighted_avg",
     "median_absolute_deviation", "top_hits", "matrix_stats",
+    "geo_bounds", "geo_centroid",
 }
 _BUCKET_KINDS = {
     "terms", "multi_terms", "rare_terms", "histogram", "date_histogram",
     "auto_date_histogram", "variable_width_histogram", "range",
-    "date_range", "ip_range", "filters", "missing", "global", "composite",
-    "nested", "reverse_nested", "sampler", "diversified_sampler",
+    "date_range", "ip_range", "geo_distance", "filters", "missing",
+    "global", "composite", "nested", "reverse_nested", "sampler",
+    "diversified_sampler", "children", "parent",
 }
+
+# reference: org.opensearch.common.geo.GeoUtils.EARTH_MEAN_RADIUS — the
+# haversine radius the reference's arc distance calculator uses
+EARTH_MEAN_RADIUS_M = 6371008.7714150598
+
+
+def _haversine_m(lat_c: Column, lon_c: Column, olat: float, olon: float) -> Column:
+    """Great-circle distance in meters (reference: common/geo/GeoUtils
+    arcDistance / SloppyMath.haversinMeters) as a pure codegen
+    expression — sin/cos/asin stay JVM-side, no UDF."""
+    phi1 = F.radians(F.lit(float(olat)))
+    phi2 = F.radians(lat_c)
+    dphi = F.radians(lat_c - F.lit(float(olat)))
+    dlmb = F.radians(lon_c - F.lit(float(olon)))
+    a = (
+        F.pow(F.sin(dphi / 2), 2)
+        + F.cos(phi1) * F.cos(phi2) * F.pow(F.sin(dlmb / 2), 2)
+    )
+    return F.lit(2.0 * EARTH_MEAN_RADIUS_M) * F.asin(F.sqrt(a))
 _PIPELINE_KINDS = {
     "cumulative_sum", "derivative", "serial_diff", "moving_fn", "moving_avg",
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
@@ -296,6 +317,69 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
                 cond = cond & (ipnum < int(ipaddress.IPv4Address(to)))
             conds.append((label, cond))
         df = _union_buckets(df, kcol, conds)
+    elif kind == "geo_distance":
+        # reference: bucket/range/GeoDistanceAggregationBuilder /
+        # GeoDistanceRangeAggregatorFactory — distance-from-origin
+        # buckets; like `range` the buckets are INDEPENDENT (a doc in
+        # overlapping rings counts in each). The distance is one
+        # haversine codegen expression; `field` names a struct column
+        # with `lat`/`lon` members (the geo_point analog).
+        fld = body["field"]
+        origin = body["origin"]
+        olat = float(origin["lat"] if isinstance(origin, dict) else origin[1])
+        olon = float(origin["lon"] if isinstance(origin, dict) else origin[0])
+        unit_m = {"m": 1.0, "km": 1000.0, "mi": 1609.344}[
+            str(body.get("unit", "m"))
+        ]
+        dist = _haversine_m(
+            F.col(f"{fld}.lat").cast("double"),
+            F.col(f"{fld}.lon").cast("double"), olat, olon,
+        ) / F.lit(unit_m)
+        conds = []
+        for r in body["ranges"]:
+            frm, to = r.get("from"), r.get("to")
+            label = r.get("key") or f"{frm if frm is not None else '*'}-{to if to is not None else '*'}"
+            cond = F.lit(True)
+            if frm is not None:
+                cond = cond & (dist >= F.lit(float(frm)))
+            if to is not None:
+                cond = cond & (dist < F.lit(float(to)))
+            conds.append((label, cond))
+        if _ranges_overlap(body["ranges"], numeric=True):
+            df = _union_buckets(df, kcol, conds)
+        else:
+            expr = None
+            for label, cond in conds:
+                expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+            df = df.withColumn(kcol, expr).where(F.col(kcol).isNotNull())
+    elif kind == "children":
+        # reference: modules/parent-join/.../ChildrenAggregationBuilder.
+        # java:59 — sub-aggs switch from parent scope to the children of
+        # each bucketed parent. Relational facade: the child frame and
+        # join keys come in the body; the bucketed parent keys join to
+        # the child rows (bucket doc_count = number of children, as in
+        # the reference). At scale this is a plain shuffle join on the
+        # parent key — broadcast-able when the bucketed parent set is
+        # small.
+        child: DataFrame = body["child"]
+        pcol, ccol = body["on"]
+        keep = list(dict.fromkeys((keys_so_far or []) + [pcol]))
+        df = df.select(*keep).join(
+            child.withColumnRenamed(ccol, pcol), pcol
+        )
+        return df, None, None
+    elif kind == "parent":
+        # reference: modules/parent-join/.../ParentAggregationBuilder.
+        # java:57 — sub-aggs jump from child scope to each child's
+        # parent, counting each parent once per bucket.
+        parent: DataFrame = body["parent"]
+        ccol, pcol = body["on"]
+        keep = list(dict.fromkeys((keys_so_far or []) + [ccol]))
+        df = (
+            df.select(*keep).dropDuplicates(keep)
+            .join(parent.withColumnRenamed(pcol, ccol), ccol)
+        )
+        return df, None, None
     elif kind == "nested":
         # reference: bucket/nested/NestedAggregator.java:72 — sub-aggs
         # run per child document. Children live inline in the parent row
@@ -636,6 +720,29 @@ def _metric_exprs(name: str, kind: str, body: dict) -> List[Column]:
         # percentile_approx of deviations from the overall median is
         # done by caller; here: exact-ish via 50th pct
         return [F.percentile_approx(c, 0.5, 10000).alias(f"{name}_median")]
+    if kind == "geo_bounds":
+        # reference: metrics/GeoBoundsAggregator.java — bounding box of
+        # the points (wrap_longitude=false semantics: plain min/max)
+        fld = body["field"]
+        lat = F.col(f"{fld}.lat").cast("double")
+        lon = F.col(f"{fld}.lon").cast("double")
+        return [
+            F.max(lat).alias(f"{name}_top_left_lat"),
+            F.min(lon).alias(f"{name}_top_left_lon"),
+            F.min(lat).alias(f"{name}_bottom_right_lat"),
+            F.max(lon).alias(f"{name}_bottom_right_lon"),
+        ]
+    if kind == "geo_centroid":
+        # reference: metrics/GeoCentroidAggregator.java:58 — running
+        # arithmetic mean of lat/lon plus the point count
+        fld = body["field"]
+        lat = F.col(f"{fld}.lat").cast("double")
+        lon = F.col(f"{fld}.lon").cast("double")
+        return [
+            F.avg(lat).alias(f"{name}_lat"),
+            F.avg(lon).alias(f"{name}_lon"),
+            F.count(lat).alias(f"{name}_count"),
+        ]
     if kind == "matrix_stats":
         # reference: modules/aggs-matrix-stats MatrixStatsAggregator.java:56
         # — pairwise covariance/correlation over the listed fields
@@ -707,6 +814,8 @@ def _apply_pipeline(out: DataFrame, name: str, kind: str, body: dict,
         settings = body.get("settings", {}) or {}
         alpha = float(settings.get("alpha", 0.3))
         beta = float(settings.get("beta", 0.1))
+        gamma = float(settings.get("gamma", 0.3))
+        period = int(settings.get("period", 1))
         src = path
 
         out_schema = ", ".join(
@@ -735,6 +844,29 @@ def _apply_pipeline(out: DataFrame, name: str, kind: str, body: dict,
                             s = alpha * v + (1 - alpha) * (s + b)
                             b = beta * (s - last_s) + (1 - beta) * b
                     res.append(s)
+                elif model == "holt_winters":
+                    # reference: pipeline/HoltWintersModel.java — additive
+                    # triple exponential smoothing; needs >= 2 full
+                    # periods in the window (the reference also emits no
+                    # value until enough buckets accumulate). One-step-
+                    # ahead forecast from the window.
+                    p = period
+                    if len(w) < 2 * p:
+                        res.append(None)
+                        continue
+                    s = sum(w[:p]) / p
+                    b = sum((w[j + p] - w[j]) / p for j in range(p)) / p
+                    seasonal = [w[j] - s for j in range(p)]
+                    seasonal += [0.0] * (len(w) - p)
+                    last_s, last_b = s, b
+                    for j in range(p, len(w)):
+                        s_ = (alpha * (w[j] - seasonal[j - p])
+                              + (1 - alpha) * (last_s + last_b))
+                        b_ = beta * (s_ - last_s) + (1 - beta) * last_b
+                        seasonal[j] = (gamma * (w[j] - (last_s + last_b))
+                                       + (1 - gamma) * seasonal[j - p])
+                        last_s, last_b = s_, b_
+                    res.append(last_s + last_b + seasonal[len(w) - p])
                 elif model == "linear":
                     num = sum((j + 1) * v for j, v in enumerate(w))
                     den = sum(range(1, len(w) + 1))

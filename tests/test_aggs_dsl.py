@@ -265,3 +265,111 @@ def test_moving_avg_holt_model(orders, ddb):
     for i, r in enumerate(out):
         w = vals[max(0, i - 3): i + 1]
         assert abs(r["h"] - holt(w)) < 1e-9
+
+
+def test_geo_distance_overlapping_rings(spark, ddb):
+    """Overlapping geo_distance rings count a doc in EVERY matching ring
+    (RangeAggregator independence), and the haversine matches DuckDB."""
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(i, i * 37 % 140 - 70.0, i * 53 % 340 - 170.0) for i in range(200)],
+        "id long, lat double, lon double",
+    ).withColumn("location", F.struct("lat", "lon"))
+    got = {r["key_r"]: r["doc_count"] for r in compile_aggs(ev, {
+        "r": {"geo_distance": {"field": "location",
+                               "origin": {"lat": 10.0, "lon": 20.0},
+                               "unit": "km",
+                               "ranges": [{"to": 8000},
+                                          {"from": 4000, "to": 12000},
+                                          {"from": 10000}]}},
+    }).collect()}
+    import math
+
+    R = 6371008.7714150598
+    def hav(lat, lon):
+        a = (math.sin(math.radians(lat - 10.0) / 2) ** 2
+             + math.cos(math.radians(10.0)) * math.cos(math.radians(lat))
+             * math.sin(math.radians(lon - 20.0) / 2) ** 2)
+        return 2 * R * math.asin(math.sqrt(a)) / 1000.0
+    pts = [(i * 37 % 140 - 70.0, i * 53 % 340 - 170.0) for i in range(200)]
+    want = {
+        "*-8000": sum(1 for la, lo in pts if hav(la, lo) < 8000),
+        "4000-12000": sum(1 for la, lo in pts if 4000 <= hav(la, lo) < 12000),
+        "10000-*": sum(1 for la, lo in pts if hav(la, lo) >= 10000),
+    }
+    assert got == want
+    # independence: total bucket membership exceeds the doc count
+    assert sum(got.values()) > 200
+
+
+def test_children_and_parent_aggs(spark):
+    """children: bucket doc_count counts CHILD docs; parent: each parent
+    counted once per bucket even with many children."""
+    parents = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "pid long, grp string")
+    children = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 30.0), (3, 40.0), (3, 50.0), (3, 60.0)],
+        "cpid long, val double")
+    got = {r["key_g"]: (r["doc_count"], r["s"]) for r in compile_aggs(parents, {
+        "g": {"terms": {"field": "grp", "size": 10, "order": {"_key": "asc"}},
+              "aggs": {"ch": {"children": {"child": children,
+                                           "on": ("pid", "cpid")},
+                              "aggs": {"s": {"sum": {"field": "val"}}}}}},
+    }).collect()}
+    assert got == {"a": (3, 60.0), "b": (3, 150.0)}
+
+    # parent: children bucketed by a child field, jump to parents
+    kids = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "x"), (3, "y"), (3, "y")],
+        "kpid long, tag string")
+    pvals = spark.createDataFrame(
+        [(1, 5.0), (2, 7.0), (3, 9.0)], "pid long, pv double")
+    got2 = {r["key_t"]: (r["doc_count"], r["s"]) for r in compile_aggs(kids, {
+        "t": {"terms": {"field": "tag", "size": 10, "order": {"_key": "asc"}},
+              "aggs": {"p": {"parent": {"parent": pvals,
+                                        "on": ("kpid", "pid")},
+                             "aggs": {"s": {"sum": {"field": "pv"}}}}}},
+    }).collect()}
+    # tag x has parents {1,2} (1 deduped), tag y parent {3}
+    assert got2 == {"x": (2, 12.0), "y": (1, 9.0)}
+
+
+def test_moving_avg_holt_winters(spark):
+    """holt_winters vs a hand-rolled additive HW on a seasonal series."""
+    import pandas as pd
+
+    vals = [10, 2, 12, 4, 14, 6, 16, 8, 18, 10]
+    df = spark.createDataFrame(pd.DataFrame({
+        "k": list(range(len(vals))), "v": [float(v) for v in vals]}))
+    out = compile_aggs(df, {
+        "b": {"histogram": {"field": "k", "interval": 1}},
+        "hw": {"moving_avg": {"buckets_path": "s", "window": 4,
+                              "model": "holt_winters",
+                              "settings": {"alpha": 0.5, "beta": 0.2,
+                                           "gamma": 0.4, "period": 2}}},
+        "s": {"sum": {"field": "v"}},
+    })
+    got = {int(r["key_b"]): r["hw"] for r in out.collect()}
+
+    def hw_ref(w, alpha, beta, gamma, p):
+        if len(w) < 2 * p:
+            return None
+        s = sum(w[:p]) / p
+        b = sum((w[j + p] - w[j]) / p for j in range(p)) / p
+        sea = [w[j] - s for j in range(p)] + [0.0] * (len(w) - p)
+        ls, lb = s, b
+        for j in range(p, len(w)):
+            s_ = alpha * (w[j] - sea[j - p]) + (1 - alpha) * (ls + lb)
+            b_ = beta * (s_ - ls) + (1 - beta) * lb
+            sea[j] = gamma * (w[j] - (ls + lb)) + (1 - gamma) * sea[j - p]
+            ls, lb = s_, b_
+        return ls + lb + sea[len(w) - p]
+
+    for i in range(len(vals)):
+        w = [float(v) for v in vals[max(0, i - 3): i + 1]]
+        want = hw_ref(w, 0.5, 0.2, 0.4, 2)
+        if want is None:
+            assert got[i] is None
+        else:
+            assert abs(got[i] - want) < 1e-9, (i, got[i], want)
