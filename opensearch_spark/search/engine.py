@@ -493,6 +493,7 @@ class SearchEngine:
         # None = not loaded yet; False = vocabulary too large, fall back
         # to per-term pushdown scans.
         self._term_df_map: Dict[str, int] | None | bool = None
+        self._msearch_plans: Dict[tuple, DataFrame] = {}
         from opensearch_spark.search.templates import TemplateRegistry
 
         self.templates = TemplateRegistry()
@@ -1200,6 +1201,10 @@ class SearchEngine:
         )
         return [{"text": r["term"], "weight": int(r["w"])} for r in rows]
 
+    # compiled-plan cache size for repeated msearch batches (serving
+    # regime: the same query template batch arrives continuously)
+    MSEARCH_PLAN_CACHE = 32
+
     def msearch(self, queries: Sequence[dict], k: int = 10) -> DataFrame:
         """Batched multi-search (reference: the `_msearch` endpoint,
         ``action/search/TransportMultiSearchAction.java``): N queries in
@@ -1207,7 +1212,50 @@ class SearchEngine:
         postings scan + per-segment decode (msearch.py); other query
         families fall back to the per-query compiler and are unioned in.
         Returns DataFrame(qid, docId, score), per-qid top-k ordered by
-        (score desc, docId asc)."""
+        (score desc, docId asc).
+
+        Repeated batches hit a small compiled-plan cache: re-collecting
+        the SAME DataFrame object skips Catalyst analysis/optimization,
+        which is the fixed per-batch driver cost in the serving regime."""
+        import json as _json
+
+        sig = None
+        if all(isinstance(q, dict) for q in queries):
+            try:
+                sig = (_json.dumps(list(queries), sort_keys=True), int(k),
+                       self._n_deletes)
+            except TypeError:
+                sig = None
+        if sig is not None:
+            cached = self._msearch_plans.get(sig)
+            if cached is not None:
+                return cached
+        out = self._msearch_build(queries, k)
+        if sig is not None:
+            if len(self._msearch_plans) >= self.MSEARCH_PLAN_CACHE:
+                self._msearch_plans.pop(next(iter(self._msearch_plans)))
+            self._msearch_plans[sig] = out
+        return out
+
+    def msearch_many(self, batches: Sequence[Sequence[dict]], k: int = 10,
+                     max_concurrent: int = 4) -> list:
+        """Pipelined batch submission: up to ``max_concurrent`` msearch
+        jobs in flight at once, so driver-side planning of batch N+1
+        overlaps cluster execution of batch N (sequential submission
+        leaves a fixed ~1s planning gap between jobs that caps serving
+        throughput). Returns the collected rows of each batch, order
+        preserved."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        run = inheritable_thread_target(
+            lambda b: self.msearch(b, k=k).collect()
+        )
+        with ThreadPoolExecutor(max_workers=int(max_concurrent)) as pool:
+            return list(pool.map(run, batches))
+
+    def _msearch_build(self, queries: Sequence[dict], k: int) -> DataFrame:
         from pyspark.sql import Window
 
         from opensearch_spark.search import msearch as M

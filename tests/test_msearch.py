@@ -83,3 +83,23 @@ def test_msearch_single_job_plan(eng):
 
 def test_msearch_empty_batch(eng):
     assert eng.msearch([], k=K).count() == 0
+
+
+def test_msearch_plan_cache_and_many(eng):
+    """Identical batches return the SAME compiled DataFrame (Catalyst
+    analysis paid once); msearch_many pipelines batches and matches the
+    sequential results exactly."""
+    batch = BATCH[:6]
+    d1 = eng.msearch(batch, k=K)
+    d2 = eng.msearch(batch, k=K)
+    assert d1 is d2  # plan-cache hit
+    assert eng.msearch(batch, k=K + 1) is not d1  # k is part of the key
+
+    want = [(int(r["qid"]), int(r["docId"]), round(float(r["score"]), 6))
+            for r in d1.collect()]
+    many = eng.msearch_many([batch, batch, batch], k=K, max_concurrent=3)
+    assert len(many) == 3
+    for rows in many:
+        got = [(int(r["qid"]), int(r["docId"]), round(float(r["score"]), 6))
+               for r in rows]
+        assert got == want
