@@ -60,6 +60,9 @@ def add_batch(
     n_segments = int(manifest["n_segments"])
     block_size = int(manifest["block_size"])
     nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # new docs can add dictionary terms: the wildcard trigram table (if
+    # built) would go stale and miss them — drop it; rebuild on demand
+    shutil.rmtree(os.path.join(index_dir, "wildgrams"), ignore_errors=True)
 
     analyzer = str(manifest.get("analyzer", "standard"))
     if analyzer not in ("standard", "whitespace", "keyword"):

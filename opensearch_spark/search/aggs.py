@@ -48,7 +48,8 @@ _METRIC_KINDS = {
 _BUCKET_KINDS = {
     "terms", "multi_terms", "rare_terms", "histogram", "date_histogram",
     "auto_date_histogram", "variable_width_histogram", "range",
-    "date_range", "ip_range", "geo_distance", "filters", "missing",
+    "date_range", "ip_range", "geo_distance", "geotile_grid", "filters",
+    "missing",
     "global", "composite", "nested", "reverse_nested", "sampler",
     "diversified_sampler", "children", "parent",
 }
@@ -352,6 +353,33 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
             for label, cond in conds:
                 expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
             df = df.withColumn(kcol, expr).where(F.col(kcol).isNotNull())
+    elif kind == "geotile_grid":
+        # reference: bucket/geogrid/GeoTileGridAggregationBuilder — web
+        # mercator z/x/y tile buckets; the tile key is pure codegen
+        # arithmetic (floor + log/tan), no UDF. Key format "z/x/y" as in
+        # the reference's GeoTileUtils.stringEncode.
+        fld = body["field"]
+        z = int(body.get("precision", 7))
+        n = float(1 << z)
+        lat = F.col(f"{fld}.lat").cast("double")
+        lon = F.col(f"{fld}.lon").cast("double")
+        xt = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+        lat_rad = F.radians(lat)
+        import math as _math
+
+        yt = F.floor(
+            (F.lit(1.0) - F.log(F.tan(lat_rad) + F.lit(1.0) / F.cos(lat_rad))
+             / F.lit(_math.pi)) / F.lit(2.0) * F.lit(n)
+        )
+        # clamp to the valid tile range (poles beyond mercator bounds)
+        xt = F.greatest(F.lit(0), F.least(xt, F.lit(int(n) - 1)))
+        yt = F.greatest(F.lit(0), F.least(yt, F.lit(int(n) - 1)))
+        df = df.where(lat.isNotNull() & lon.isNotNull()).withColumn(
+            kcol,
+            F.concat_ws("/", F.lit(str(z)), xt.cast("long").cast("string"),
+                        yt.cast("long").cast("string")),
+        )
+        post["limit"] = ("doc_count", "desc", int(body.get("size", 10000)))
     elif kind == "children":
         # reference: modules/parent-join/.../ChildrenAggregationBuilder.
         # java:59 — sub-aggs switch from parent scope to the children of

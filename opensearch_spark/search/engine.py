@@ -494,6 +494,12 @@ class SearchEngine:
         # to per-term pushdown scans.
         self._term_df_map: Dict[str, int] | None | bool = None
         self._msearch_plans: Dict[tuple, DataFrame] = {}
+        # wildcard trigram accelerator (build_wildcard_index), if built
+        _wg = os.path.join(self.paths.root, "wildgrams")
+        self._wildgrams: DataFrame | None = (
+            spark.read.parquet(_wg) if os.path.isdir(_wg) and pit is None
+            else None
+        )
         from opensearch_spark.search.templates import TemplateRegistry
 
         self.templates = TemplateRegistry()
@@ -1909,10 +1915,76 @@ class SearchEngine:
 
     # ---- multi-term (dictionary expansion) queries ------------------------
 
+    def build_wildcard_index(self) -> str:
+        """Char-trigram accelerator for wildcard expansion (reference:
+        index/mapper/WildcardFieldMapper.java:80 — the wildcard field
+        type indexes character n-grams of each value, anchored with
+        start/end markers, so leading-wildcard patterns prune by their
+        literal runs instead of scanning the whole dictionary).
+
+        Builds ``<index>/wildgrams`` = (gram, term) over the term
+        dictionary, one row per distinct trigram of ``^term$``, sorted
+        by gram so the pushdown ``gram IN (...)`` filter row-group-skips
+        at scale. Idempotent; expand_terms uses it automatically when
+        present."""
+        out = os.path.join(self.paths.root, "wildgrams")
+        d = self.termstats.select("term").distinct()
+        anchored = F.concat(F.lit("^"), F.col("term"), F.lit("$"))
+        grams = (
+            d.select(
+                "term",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, greatest(length(concat('^', term, '$')) - 2, 1)),"
+                        " i -> substring(concat('^', term, '$'), i, 3))"
+                    )
+                ).alias("gram"),
+            )
+            .where(F.length("gram") == 3)
+            .distinct()
+            .repartition(1)
+            .sortWithinPartitions("gram")
+        )
+        grams.write.mode("overwrite").parquet(out)
+        self._wildgrams = self.spark.read.parquet(out)
+        return out
+
+    @staticmethod
+    def _wildcard_grams(pattern: str) -> List[str]:
+        """Required literal trigrams of a wildcard pattern: every
+        3-gram of each literal run, with ^/$ anchors when the pattern
+        doesn't start/end with a wildcard. A term matching the pattern
+        necessarily contains every one of these grams (a necessary
+        condition; the rlike verify on the pruned candidate set stays
+        exact)."""
+        runs: List[str] = []
+        cur = ""
+        for ch in pattern:
+            if ch in "*?":
+                if cur:
+                    runs.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        if cur:
+            runs.append(cur)
+        if runs and not pattern.startswith(("*", "?")):
+            runs[0] = "^" + runs[0]
+        if runs and not pattern.endswith(("*", "?")):
+            runs[-1] = runs[-1] + "$"
+        grams: List[str] = []
+        for r in runs:
+            grams.extend(r[i: i + 3] for i in range(len(r) - 2))
+        return sorted(set(grams))
+
     def expand_terms(self, node) -> List[str]:
         """Term-dictionary expansion (reference: automaton over the FST
         dictionary; here: predicate over the termstats table, ordered by
-        term, capped at max_expansions — the reference's cap too)."""
+        term, capped at max_expansions — the reference's cap too).
+        Wildcard patterns with literal runs use the trigram accelerator
+        when ``build_wildcard_index`` has run: candidates = terms
+        containing every required gram (pushdown IN-filter on the gram
+        table), then the exact regex verifies only those."""
         d = self.termstats.select("term").distinct()
         c = F.col("term")
         if isinstance(node, A.Prefix):
@@ -1924,6 +1996,16 @@ class SearchEngine:
                 for ch in node.value
             )
             cond = c.rlike(f"^(?:{pat})$")
+            grams = self._wildcard_grams(node.value)
+            if grams and self._wildgrams is not None:
+                cand = (
+                    self._wildgrams.where(F.col("gram").isin(grams))
+                    .groupBy("term")
+                    .agg(F.count(F.lit(1)).alias("_ng"))
+                    .where(F.col("_ng") == len(grams))
+                    .select("term")
+                )
+                d = cand
         elif isinstance(node, A.Regexp):
             cond = c.rlike(f"^(?:{node.value})$")
         elif isinstance(node, A.Fuzzy):

@@ -617,3 +617,36 @@ def test_date_math_month_end_clamp(eng):
         assert got == dt.datetime(2024, 2, 29, 12, 0, 0), got  # leap year
     finally:
         eng.now = None
+
+
+def test_wildcard_trigram_accelerator(eng):
+    """build_wildcard_index: leading-wildcard expansion via the trigram
+    table must equal the full-dictionary scan (WildcardFieldMapper
+    analog), with the gram IN-filter pushed to the gram-table scan."""
+    from opensearch_spark.search import ast as A
+
+    node = A.Wildcard(field_name="content", value="*eturn*")
+    base = eng.expand_terms(node)           # full dictionary scan
+    eng.build_wildcard_index()
+    assert eng._wildgrams is not None
+    accel = eng.expand_terms(node)
+    assert accel == base and base           # same expansion, non-empty
+
+    # anchored pattern (no leading wildcard) also matches
+    node2 = A.Wildcard(field_name="content", value="ret?rn")
+    assert eng.expand_terms(node2) == ["return"]
+
+    # required-gram extraction: anchors + literal runs
+    g = eng._wildcard_grams("*tion")
+    assert g == ["ion", "on$", "tio"]
+    assert eng._wildcard_grams("ab") == ["^ab", "ab$"]  # anchors extend short runs
+    assert eng._wildcard_grams("*a*") == []  # too short -> no pruning
+
+    # the candidate plan pushes the gram filter into the parquet scan
+    from pyspark.sql import functions as F
+
+    grams = eng._wildcard_grams("*eturn*")
+    cand = eng._wildgrams.where(F.col("gram").isin(grams))
+    p = cand._jdf.queryExecution().toString()
+    assert "PushedFilters" in p and "gram" in p.split("PushedFilters")[1][:200]
+    eng._wildgrams = None  # leave fixture state as other tests expect
