@@ -109,14 +109,49 @@ def main() -> None:
     msearch_qps = round(len(batch) / ms_sec, 2)
 
     # concurrent serving: engine-pipelined submission (msearch_many) —
-    # driver planning overlaps executor scoring and identical batches
-    # hit the compiled-plan cache (the cluster serving regime;
-    # sequential submission leaves a fixed per-batch driver gap)
+    # driver planning overlaps executor scoring (the cluster serving
+    # regime; sequential submission leaves a fixed per-batch driver
+    # gap). DISTINCT batches per round so the number measures scoring
+    # throughput, not the compiled-plan cache.
     rounds = 6
+    vocab = ["hash", "join", "table", "vector", "stream", "window",
+             "customer", "order", "line", "scan", "filter", "batch"]
+
+    def round_batch(r: int) -> list:
+        # same shapes/sizes as `batch`, words rotated per round so every
+        # round is a distinct (cache-missing) batch of equal weight
+        out = []
+        for i in range(len(batch)):
+            a = vocab[(i + r) % len(vocab)]
+            b = vocab[(i + r + 3) % len(vocab)]
+            c = vocab[(i + r + 7) % len(vocab)]
+            kind = i % 4
+            if kind == 0:
+                out.append({"match": {"text": f"{a} {b} {c}"}})
+            elif kind == 1:
+                out.append({"match": {"text": {"query": f"{a} {b}",
+                                               "operator": "and"}}})
+            elif kind == 2:
+                out.append({"match_phrase": {"text": f"{a} {b}"}})
+            else:
+                out.append({"bool": {"must": [{"match": {"text": a}}],
+                                     "should": [{"match": {"text": b}}]}})
+        return out
+
+    distinct = [round_batch(r) for r in range(rounds)]
     t = time.perf_counter()
-    eng.msearch_many([batch] * rounds, k=10, max_concurrent=4)
+    eng.msearch_many(distinct, k=10, max_concurrent=4)
     conc_sec = time.perf_counter() - t
     msearch_concurrent_qps = round(rounds * len(batch) / conc_sec, 2)
+
+    # hot-template serving: the SAME batch repeated — compiled-plan
+    # cache + shuffle-stage reuse answer it almost driver-free (the
+    # repeated-identical-query regime of a production cache tier)
+    eng.msearch(batch, k=10).collect()
+    t = time.perf_counter()
+    eng.msearch_many([batch] * rounds, k=10, max_concurrent=4)
+    hot_sec = time.perf_counter() - t
+    msearch_hot_qps = round(rounds * len(batch) / hot_sec, 2)
 
     # phrase regression gate: phrase p50 vs the committed round-2 number
     # (VERDICT r2 flagged an unexplained 0.30->0.40 s phrase drift; this
@@ -140,6 +175,7 @@ def main() -> None:
         "query_p50_sec": round(sorted(lat.values())[len(lat) // 2], 4),
         "msearch_queries_per_sec": msearch_qps,
         "msearch_concurrent_qps": msearch_concurrent_qps,
+        "msearch_hot_template_qps": msearch_hot_qps,
         "phrase_p50_sec": phrase_p50,
         "phrase_vs_r02_ratio": round(phrase_p50 / phrase_ref, 3),
     }
