@@ -49,8 +49,12 @@ N_DOCS = int(os.environ.get("SCALE_DOCS", "480000"))
 N_SEGMENTS = 128
 SHUFFLE = 64
 REPEATS = int(os.environ.get("SCALE_REPEATS", "3"))
-LEVELS = (2, 8, 32)
-PAIRS = ((2, 8), (8, 32))
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SCALE_LEVELS", "2,8,32").split(",")
+)
+PAIRS = tuple(
+    (a, b) for a, b in ((2, 8), (8, 32)) if a in LEVELS and b in LEVELS
+)
 QBATCH = int(os.environ.get("SCALE_QBATCH", "64"))
 
 

@@ -161,6 +161,48 @@ cos AS (
 """.strip()
 
 
+def _embed_dup_sql(shift: int = 1_000_000, threshold: float = 0.9) -> str:
+    """Embedding near-dup pairs: planted corpus (v + 0.15*reverse(v)),
+    md5-derived hyperplane buckets, exact-cosine verify — mirrors
+    similarity.embedding_dup_pairs."""
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+comp0 AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM base),
+cnt AS (SELECT vec_id, max(i) AS n FROM comp0 GROUP BY vec_id),
+pert AS (
+  SELECT c.vec_id + {shift} AS vec_id,
+         list(c.x + 0.15 * r.x ORDER BY c.i) AS v
+  FROM comp0 c
+  JOIN cnt ct ON ct.vec_id = c.vec_id
+  JOIN comp0 r ON r.vec_id = c.vec_id AND r.i = ct.n + 1 - c.i
+  GROUP BY c.vec_id
+),
+nd AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
+comp AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM nd),
+planes AS (
+  SELECT p.p AS plane, d.d AS dim,
+         CASE WHEN substr(md5('plane|' || p.p || '|' || d.d), 1, 1)
+              SIMILAR TO '[89a-f]' THEN 1.0 ELSE -1.0 END AS sign
+  FROM generate_series(0, {N_PLANES - 1}) AS p(p),
+       (SELECT DISTINCT dim AS d FROM comp) d
+),
+proj AS (
+  SELECT c.vec_id, pl.plane, sum(c.x * pl.sign) AS proj
+  FROM comp c JOIN planes pl USING (dim) GROUP BY c.vec_id, pl.plane
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN proj > 0 THEN 1::BIGINT << CAST(plane AS INT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+bv AS (SELECT b.vec_id, b.bucket, n.v FROM buckets b JOIN nd n USING (vec_id))
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.v, b.v), 5) AS cosine
+FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 5) >= {threshold}
+""".strip()
+
+
 ORACLES: dict[str, str] = {
     "d_exact_dedup": """
         SELECT sha256(text) AS text_sha, min(doc_id) AS rep_doc_id,
@@ -303,6 +345,7 @@ ORACLES: dict[str, str] = {
         JOIN cos c ON c.vec_id = b.vec_id
         """
     ),
+    "d_embed_dup": _embed_dup_sql(),
     "m_payload_integrity": """
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                sha256(text) AS payload_sha

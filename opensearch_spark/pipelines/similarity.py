@@ -136,6 +136,49 @@ def lsh_ann(spark: SparkSession, sf_dir: str, query_vec_id: int = 0) -> DataFram
     )
 
 
+EMBED_DUP_SHIFT = 1_000_000
+EMBED_DUP_THRESHOLD = 0.9
+
+
+def embedding_dup_corpus(e: DataFrame) -> DataFrame:
+    """embeddings ∪ deterministic near-copies (v + 0.15·reverse(v),
+    vec_id + EMBED_DUP_SHIFT) — planted near-duplicates so the
+    embedding-dedup operator has real positives in the synthetic
+    tables (the text pipeline's near_dup_corpus pattern)."""
+    pert = e.select(
+        (F.col("vec_id") + EMBED_DUP_SHIFT).alias("vec_id"),
+        F.zip_with("v", F.reverse("v"),
+                   lambda a, b: a + F.lit(0.15) * b).alias("v"),
+    )
+    return e.unionByName(pert)
+
+
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str,
+                        threshold: float = EMBED_DUP_THRESHOLD) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over the planted near-dup
+    corpus: candidates = vectors sharing an LSH bucket (signature is the
+    map-only fold — one shuffle on (bucket)), verified by exact cosine
+    >= threshold computed ONLY on bucket-colliding pairs. The embedding
+    analog of MinHash-LSH text dedup: no all-pairs join ever
+    materializes; recall is bounded by the band-collision probability
+    (more planes/bands at scale), precision is exact."""
+    e = _emb(spark, sf_dir).select("vec_id", _as_double().alias("v"))
+    nd = embedding_dup_corpus(e)
+    bw = _with_buckets(nd, _dims(e))
+    a = bw.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                  "bucket")
+    b = bw.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                  "bucket")
+    pairs = a.join(b, "bucket").where(F.col("a") < F.col("b"))
+    return (
+        pairs.select(
+            "a", "b",
+            F.round(_pair_cosine(F.col("va"), F.col("vb")), 5).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
 N_IVF_CENTROIDS = 8
 IVF_NPROBE = 2
 
