@@ -844,6 +844,8 @@ def _apply_pipeline(out: DataFrame, name: str, kind: str, body: dict,
         beta = float(settings.get("beta", 0.1))
         gamma = float(settings.get("gamma", 0.3))
         period = int(settings.get("period", 1))
+        hw_type = str(settings.get("type", "add")).lower()
+        hw_pad = bool(settings.get("pad", True))
         src = path
 
         out_schema = ", ".join(
@@ -873,28 +875,48 @@ def _apply_pipeline(out: DataFrame, name: str, kind: str, body: dict,
                             b = beta * (s - last_s) + (1 - beta) * b
                     res.append(s)
                 elif model == "holt_winters":
-                    # reference: pipeline/HoltWintersModel.java — additive
-                    # triple exponential smoothing; needs >= 2 full
-                    # periods in the window (the reference also emits no
-                    # value until enough buckets accumulate). One-step-
-                    # ahead forecast from the window.
+                    # reference: pipeline/HoltWintersModel.java — triple
+                    # exponential smoothing, additive (default) or
+                    # multiplicative seasonality (settings.type); needs
+                    # >= 2 full periods in the window (the reference
+                    # also emits no value until enough buckets
+                    # accumulate). One-step-ahead forecast. The
+                    # multiplicative branch applies the reference's
+                    # `pad` offset to dodge zero-division on
+                    # zero-valued buckets.
                     p = period
                     if len(w) < 2 * p:
                         res.append(None)
                         continue
-                    s = sum(w[:p]) / p
-                    b = sum((w[j + p] - w[j]) / p for j in range(p)) / p
-                    seasonal = [w[j] - s for j in range(p)]
-                    seasonal += [0.0] * (len(w) - p)
+                    mult = hw_type.startswith("mult")
+                    vals_w = [v + 1e-10 for v in w] if (mult and hw_pad) else w
+                    s = sum(vals_w[:p]) / p
+                    b = sum((vals_w[j + p] - vals_w[j]) / p
+                            for j in range(p)) / p
+                    if mult:
+                        seasonal = [vals_w[j] / s for j in range(p)]
+                    else:
+                        seasonal = [vals_w[j] - s for j in range(p)]
+                    seasonal += [0.0] * (len(vals_w) - p)
                     last_s, last_b = s, b
-                    for j in range(p, len(w)):
-                        s_ = (alpha * (w[j] - seasonal[j - p])
-                              + (1 - alpha) * (last_s + last_b))
+                    for j in range(p, len(vals_w)):
+                        if mult:
+                            s_ = (alpha * (vals_w[j] / seasonal[j - p])
+                                  + (1 - alpha) * (last_s + last_b))
+                            seasonal[j] = (gamma * (vals_w[j] / (last_s + last_b))
+                                           + (1 - gamma) * seasonal[j - p])
+                        else:
+                            s_ = (alpha * (vals_w[j] - seasonal[j - p])
+                                  + (1 - alpha) * (last_s + last_b))
+                            seasonal[j] = (gamma * (vals_w[j] - (last_s + last_b))
+                                           + (1 - gamma) * seasonal[j - p])
                         b_ = beta * (s_ - last_s) + (1 - beta) * last_b
-                        seasonal[j] = (gamma * (w[j] - (last_s + last_b))
-                                       + (1 - gamma) * seasonal[j - p])
                         last_s, last_b = s_, b_
-                    res.append(last_s + last_b + seasonal[len(w) - p])
+                    sea = seasonal[len(vals_w) - p]
+                    if mult:
+                        res.append((last_s + last_b) * sea)
+                    else:
+                        res.append(last_s + last_b + sea)
                 elif model == "linear":
                     num = sum((j + 1) * v for j, v in enumerate(w))
                     den = sum(range(1, len(w) + 1))

@@ -373,3 +373,45 @@ def test_moving_avg_holt_winters(spark):
             assert got[i] is None
         else:
             assert abs(got[i] - want) < 1e-9, (i, got[i], want)
+
+
+def test_moving_avg_holt_winters_multiplicative(spark):
+    """holt_winters type=mult vs a hand-rolled multiplicative HW."""
+    import pandas as pd
+
+    vals = [20, 4, 24, 6, 28, 8, 32, 10]
+    df = spark.createDataFrame(pd.DataFrame({
+        "k": list(range(len(vals))), "v": [float(v) for v in vals]}))
+    out = compile_aggs(df, {
+        "b": {"histogram": {"field": "k", "interval": 1}},
+        "hw": {"moving_avg": {"buckets_path": "s", "window": 4,
+                              "model": "holt_winters",
+                              "settings": {"alpha": 0.4, "beta": 0.2,
+                                           "gamma": 0.3, "period": 2,
+                                           "type": "mult"}}},
+        "s": {"sum": {"field": "v"}},
+    })
+    got = {int(r["key_b"]): r["hw"] for r in out.collect()}
+
+    def hw_mult(w, alpha, beta, gamma, p):
+        if len(w) < 2 * p:
+            return None
+        w = [v + 1e-10 for v in w]
+        s = sum(w[:p]) / p
+        b = sum((w[j + p] - w[j]) / p for j in range(p)) / p
+        sea = [w[j] / s for j in range(p)] + [0.0] * (len(w) - p)
+        ls, lb = s, b
+        for j in range(p, len(w)):
+            s_ = alpha * (w[j] / sea[j - p]) + (1 - alpha) * (ls + lb)
+            sea[j] = gamma * (w[j] / (ls + lb)) + (1 - gamma) * sea[j - p]
+            b_ = beta * (s_ - ls) + (1 - beta) * lb
+            ls, lb = s_, b_
+        return (ls + lb) * sea[len(w) - p]
+
+    for i in range(len(vals)):
+        w = [float(v) for v in vals[max(0, i - 3): i + 1]]
+        want = hw_mult(w, 0.4, 0.2, 0.3, 2)
+        if want is None:
+            assert got[i] is None
+        else:
+            assert abs(got[i] - want) < 1e-9, (i, got[i], want)
