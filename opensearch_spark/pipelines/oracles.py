@@ -346,6 +346,34 @@ ORACLES: dict[str, str] = {
         """
     ),
     "d_embed_dup": _embed_dup_sql(),
+    "t_contamination": f"""
+        WITH {_ND},
+        w AS (SELECT doc_id, string_split(text, ' ') AS words FROM nd),
+        tokp AS (
+          SELECT doc_id, unnest(words) AS term,
+                 generate_subscripts(words, 1) AS pos
+          FROM w
+        ),
+        sh AS (
+          SELECT DISTINCT a.doc_id,
+                 a.term || ' ' || b.term || ' ' || c.term || ' ' ||
+                 d.term || ' ' || e.term AS shingle
+          FROM tokp a
+          JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+          JOIN tokp d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+          JOIN tokp e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4
+        ),
+        probes AS (
+          SELECT DISTINCT
+                 array_to_string(list_slice(words, 1, 5), ' ') AS shingle
+          FROM w
+          WHERE doc_id % 100 = 0 AND len(words) >= 5 AND doc_id < 1000000
+        )
+        SELECT sh.doc_id, count(*) AS n_probe_hits
+        FROM sh JOIN probes USING (shingle)
+        GROUP BY sh.doc_id
+    """,
     "m_payload_integrity": """
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                sha256(text) AS payload_sha

@@ -104,3 +104,46 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(canon).alias("fingerprint"),
         F.sha2(F.col("text"), 256).alias("content_sha"),
     )
+
+
+PROBE_NGRAM_N = 5
+PROBE_DOC_MOD = 100
+
+
+def contamination(spark: SparkSession, sf_dir: str,
+                  n: int = PROBE_NGRAM_N,
+                  probe_mod: int = PROBE_DOC_MOD) -> DataFrame:
+    """Benchmark-contamination check over the near-dup corpus: which
+    documents contain any probe n-gram (training-data hygiene — detect
+    eval-set text inside a training corpus before fine-tuning).
+
+    Probe set = the first ``n``-gram of every doc with
+    ``doc_id % probe_mod == 0`` (the stand-in benchmark). A document is
+    contaminated when any probe appears among its word ``n``-grams.
+    Plan: one shingle explode + a BROADCAST join against the tiny probe
+    set + one groupBy(doc) — at 100 TB the probe set (a benchmark's
+    worth of n-grams) always fits in a broadcast, so the check costs one
+    corpus scan, no all-pairs anything. Returns (doc_id,
+    n_probe_hits) for contaminated docs."""
+    from opensearch_spark.pipelines.dedup import _shingles, near_dup_corpus
+
+    d = near_dup_corpus(_docs(spark, sf_dir).select("doc_id", "text"))
+    probes = (
+        d.where(
+            (F.pmod(F.col("doc_id"), F.lit(probe_mod)) == 0)
+            & (F.size(F.split("text", " ")) >= n)
+            & (F.col("doc_id") < 1_000_000)
+        )
+        .select(
+            F.expr(
+                f"array_join(slice(split(text, ' '), 1, {n}), ' ')"
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    sh = _shingles(d, n=n)
+    return (
+        sh.join(F.broadcast(probes), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_probe_hits"))
+    )

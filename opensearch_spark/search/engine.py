@@ -1211,6 +1211,14 @@ class SearchEngine:
     # regime: the same query template batch arrives continuously)
     MSEARCH_PLAN_CACHE = 32
 
+    def rank_eval(self, body: dict) -> dict:
+        """`_rank_eval` (reference: modules/rank-eval — precision@k,
+        recall@k, MRR, (n)dcg@k, expected reciprocal rank over rated
+        search requests). One msearch job runs all rated requests."""
+        from opensearch_spark.search.rankeval import rank_eval as _re
+
+        return _re(self, body)
+
     def msearch(self, queries: Sequence[dict], k: int = 10) -> DataFrame:
         """Batched multi-search (reference: the `_msearch` endpoint,
         ``action/search/TransportMultiSearchAction.java``): N queries in
