@@ -77,6 +77,27 @@ class RangeQ(Node):
 
 
 @dataclass
+class GeoDistanceQ(Node):
+    """geo_distance query (reference: index/query/
+    GeoDistanceQueryBuilder.java) — points within ``distance_m`` meters
+    of (lat, lon); filter context, constant score."""
+    field_name: str = ""
+    lat: float = 0.0
+    lon: float = 0.0
+    distance_m: float = 0.0
+
+
+@dataclass
+class GeoBoundingBoxQ(Node):
+    """geo_bounding_box query (GeoBoundingBoxQueryBuilder.java)."""
+    field_name: str = ""
+    top: float = 0.0
+    left: float = 0.0
+    bottom: float = 0.0
+    right: float = 0.0
+
+
+@dataclass
 class Exists(Node):
     field_name: str = ""
 

@@ -114,6 +114,52 @@ def _parse_range(body: dict) -> A.RangeQ:
     )
 
 
+def _parse_distance_m(v) -> float:
+    """'200km' / '5000m' / '3mi' / bare number (meters) — reference:
+    common/unit/DistanceUnit.java."""
+    if isinstance(v, (int, float)):
+        return float(v)
+    s = str(v).strip().lower()
+    for suf, mul in (("km", 1000.0), ("mi", 1609.344), ("m", 1.0)):
+        if s.endswith(suf):
+            return float(s[: -len(suf)]) * mul
+    return float(s)
+
+
+def _parse_geo_point(p) -> tuple:
+    """{"lat","lon"} dict | [lon, lat] array | "lat,lon" string —
+    the reference's three accepted geo_point formats."""
+    if isinstance(p, dict):
+        return float(p["lat"]), float(p["lon"])
+    if isinstance(p, (list, tuple)):
+        return float(p[1]), float(p[0])   # GeoJSON order: [lon, lat]
+    lat, lon = str(p).split(",")
+    return float(lat), float(lon)
+
+
+def _parse_geo_distance(body: dict) -> "A.GeoDistanceQ":
+    spec = {k: v for k, v in body.items() if k not in ("distance", "boost")}
+    ((fld, point),) = spec.items()
+    lat, lon = _parse_geo_point(point)
+    return A.GeoDistanceQ(
+        field_name=fld, lat=lat, lon=lon,
+        distance_m=_parse_distance_m(body["distance"]),
+        boost=float(body.get("boost", 1.0)),
+    )
+
+
+def _parse_geo_bbox(body: dict) -> "A.GeoBoundingBoxQ":
+    spec = {k: v for k, v in body.items() if k != "boost"}
+    ((fld, box),) = spec.items()
+    tl_lat, tl_lon = _parse_geo_point(box["top_left"])
+    br_lat, br_lon = _parse_geo_point(box["bottom_right"])
+    return A.GeoBoundingBoxQ(
+        field_name=fld, top=tl_lat, left=tl_lon,
+        bottom=br_lat, right=br_lon,
+        boost=float(body.get("boost", 1.0)),
+    )
+
+
 def _parse_mtq(cls, value_key="value", **extra):
     def p(body):
         fld, spec = _field_body(body)
@@ -464,6 +510,8 @@ _PARSERS = {
     "term": _parse_term,
     "terms": _parse_terms,
     "range": _parse_range,
+    "geo_distance": lambda b: _parse_geo_distance(b),
+    "geo_bounding_box": lambda b: _parse_geo_bbox(b),
     "exists": lambda b: A.Exists(field_name=b["field"]),
     "ids": lambda b: A.Ids(values=[int(v) for v in b["values"]]),
     "match_all": lambda b: A.MatchAll(boost=float((b or {}).get("boost", 1.0))),

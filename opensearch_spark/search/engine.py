@@ -1464,7 +1464,8 @@ class SearchEngine:
             return inner.select("docId", F.lit(float(node.boost)).alias("score"))
         if isinstance(node, A.DisMax):
             return self._dismax(node)
-        if isinstance(node, (A.TermQ, A.TermsQ, A.RangeQ, A.Exists)):
+        if isinstance(node, (A.TermQ, A.TermsQ, A.RangeQ, A.Exists,
+                             A.GeoDistanceQ, A.GeoBoundingBoxQ)):
             return self._meta_filter(node).select(
                 "docId", F.lit(float(node.boost)).alias("score")
             )
@@ -2380,6 +2381,26 @@ class SearchEngine:
                 cond = cond & (c < F.lit(lt))
         elif isinstance(node, A.Exists):
             cond = c.isNotNull()
+        elif isinstance(node, A.GeoDistanceQ):
+            # reference: GeoDistanceQueryBuilder — arc distance <=
+            # distance; same haversine codegen expression the geo aggs
+            # use (GeoUtils mean radius), no UDF
+            from opensearch_spark.search.aggs import _haversine_m
+
+            f = node.field_name
+            cond = _haversine_m(
+                F.col(f"{f}.lat").cast("double"),
+                F.col(f"{f}.lon").cast("double"),
+                node.lat, node.lon,
+            ) <= F.lit(float(node.distance_m))
+        elif isinstance(node, A.GeoBoundingBoxQ):
+            f = node.field_name
+            lat = F.col(f"{f}.lat").cast("double")
+            lon = F.col(f"{f}.lon").cast("double")
+            cond = (
+                (lat <= F.lit(node.top)) & (lat >= F.lit(node.bottom))
+                & (lon >= F.lit(node.left)) & (lon <= F.lit(node.right))
+            )
         else:
             raise ValueError(f"not a meta filter: {node!r}")
         return self.corpus.where(cond).select("docId")

@@ -650,3 +650,52 @@ def test_wildcard_trigram_accelerator(eng):
     p = cand._jdf.queryExecution().toString()
     assert "PushedFilters" in p and "gram" in p.split("PushedFilters")[1][:200]
     eng._wildgrams = None  # leave fixture state as other tests expect
+
+
+def test_geo_queries(spark, ix):
+    """geo_distance / geo_bounding_box queries (filter context) vs a
+    brute-force haversine check over the corpus."""
+    import math
+
+    out, corpus = ix
+    geo = corpus.withColumn(
+        "location",
+        F.struct(
+            ((F.xxhash64("repo", "path", "commit") % 1400) / 10.0).alias("lat"),
+            ((F.xxhash64("path", "commit") % 3400) / 10.0).alias("lon"),
+        ),
+    )
+    eng = SearchEngine(spark, out, corpus=geo)
+    got = ids(eng.search({
+        "bool": {"must": [{"match": {"content": "def"}}],
+                 "filter": [{"geo_distance": {
+                     "distance": "5000km",
+                     "location": {"lat": 10.0, "lon": 20.0}}}]},
+    }, k=1000).collect())
+
+    R = 6371008.7714150598
+    def hav(lat, lon):
+        a = (math.sin(math.radians(lat - 10.0) / 2) ** 2
+             + math.cos(math.radians(10.0)) * math.cos(math.radians(lat))
+             * math.sin(math.radians(lon - 20.0) / 2) ** 2)
+        return 2 * R * math.asin(math.sqrt(a))
+    base = ids(eng.search({"match": {"content": "def"}}, k=1000).collect())
+    pts = {int(r["docId"]): (r["location"]["lat"], r["location"]["lon"])
+           for r in geo.withColumn(
+               "docId", F.xxhash64("repo", "path", "commit")
+           ).select("docId", "location").collect()}
+    want = sorted(d for d in base if hav(*pts[d]) <= 5_000_000)
+    assert got == want and got
+
+    # bbox: result == manual lat/lon box filter
+    got2 = ids(eng.search({
+        "bool": {"must": [{"match": {"content": "def"}}],
+                 "filter": [{"geo_bounding_box": {"location": {
+                     "top_left": {"lat": 60.0, "lon": -100.0},
+                     "bottom_right": {"lat": -60.0, "lon": 150.0}}}}]},
+    }, k=1000).collect())
+    want2 = sorted(
+        d for d in base
+        if -60.0 <= pts[d][0] <= 60.0 and -100.0 <= pts[d][1] <= 150.0
+    )
+    assert got2 == want2 and got2
