@@ -494,6 +494,7 @@ class SearchEngine:
         # to per-term pushdown scans.
         self._term_df_map: Dict[str, int] | None | bool = None
         self._msearch_plans: Dict[tuple, DataFrame] = {}
+        self._search_plans: Dict[tuple, DataFrame] = {}
         # wildcard trigram accelerator (build_wildcard_index), if built
         _wg = os.path.join(self.paths.root, "wildgrams")
         self._wildgrams: DataFrame | None = (
@@ -678,6 +679,26 @@ class SearchEngine:
             raise ValueError(
                 f"from+size {from_ + k} exceeds max_result_window {self.MAX_RESULT_WINDOW}"
             )
+        # hot-query plan cache (the request-cache analog,
+        # indices/IndicesRequestCache.java — keyed on the whole request):
+        # a repeated identical search returns the SAME compiled
+        # DataFrame, skipping Catalyst analysis and reusing finished
+        # shuffle stages on re-collect.
+        sig = None
+        if isinstance(query, dict):
+            import json as _json
+
+            try:
+                sig = (_json.dumps(
+                    [query, sort, search_after, collapse, slice_],
+                    sort_keys=True), int(k), int(from_),
+                    terminate_after, self._n_deletes)
+            except TypeError:
+                sig = None
+        if sig is not None:
+            cached = self._search_plans.get(sig)
+            if cached is not None:
+                return cached
         node = dsl_mod.parse(query) if isinstance(query, dict) else dsl_mod.normalize(query)
         prune = (sort is None and search_after is None and from_ == 0
                  and collapse is None and slice_ is None)
@@ -768,8 +789,14 @@ class SearchEngine:
             # merges, instead of shuffling the whole matched set into
             # one task for a global row_number window (reference bounds
             # the same way via from+size <= max_result_window).
-            return out.offset(from_).limit(k)
-        return out.limit(k)
+            out = out.offset(from_).limit(k)
+        else:
+            out = out.limit(k)
+        if sig is not None:
+            if len(self._search_plans) >= self.MSEARCH_PLAN_CACHE:
+                self._search_plans.pop(next(iter(self._search_plans)))
+            self._search_plans[sig] = out
+        return out
 
     def request(self, body: dict) -> dict:
         """Full `_search` request body — the reference's REST surface

@@ -103,3 +103,29 @@ def test_msearch_plan_cache_and_many(eng):
         got = [(int(r["qid"]), int(r["docId"]), round(float(r["score"]), 6))
                for r in rows]
         assert got == want
+
+
+def test_search_hot_query_plan_cache(eng):
+    """Repeated identical search() returns the same compiled DataFrame
+    (request-cache analog); a delete invalidates it and results drop the
+    tombstoned doc."""
+    q = {"match": {"content": "def return"}}
+    d1 = eng.search(q, k=7)
+    assert eng.search(q, k=7) is d1
+    assert eng.search(q, k=8) is not d1
+    rows = d1.collect()
+    victim = int(rows[0]["docId"])
+    eng.delete([victim])
+    try:
+        d2 = eng.search(q, k=7)
+        assert d2 is not d1
+        assert victim not in [int(r["docId"]) for r in d2.collect()]
+    finally:
+        # leave the module fixture clean for other tests
+        import glob, os as _os
+
+        for f in glob.glob(_os.path.join(eng._deletes_dir, "*.parquet")):
+            _os.remove(f)
+        eng._load_deletes()
+        eng._search_plans.clear()
+        eng._msearch_plans.clear()
