@@ -1,0 +1,146 @@
+"""Multi-index registry: named indexes, aliases, cross-index search.
+
+Reference surfaces re-expressed:
+- index aliases (``cluster/metadata/AliasMetadata.java``, the `_aliases`
+  API): an alias names one or more concrete indexes; reads fan out to
+  every index behind the alias.
+- multi-index / wildcard targets (``action/support/IndexNameExpression
+  Resolver.java``): `_search` over ``logs-*`` or ``a,b,c`` resolves to
+  the matching concrete indexes.
+- `_mget` / document GET (``action/get/TransportGetAction.java``): fetch
+  by docId with found/missing flags.
+
+Spark shape: each index is a SearchEngine over its own parquet index
+tables. A cross-index search compiles ONE plan — the per-index top-k
+frames (each already a pruned per-segment scorer) are unioned with an
+``_index`` literal column and reduced by a single global
+TakeOrderedAndProject, exactly the reference's cross-shard reduce one
+level up. No per-index collect, one Spark job.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from typing import Dict, List, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class Cluster:
+    """Registry of named indexes + aliases (a coordinator-node facade)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.engines: Dict[str, object] = {}
+        self.aliases: Dict[str, List[str]] = {}
+
+    # ---- index / alias management ------------------------------------
+
+    def register(self, name: str, engine) -> None:
+        self.engines[name] = engine
+
+    def create_index(self, name: str, corpus: DataFrame, index_dir: str,
+                     **build_kw) -> object:
+        """Build an index over ``corpus`` and register it."""
+        from opensearch_spark.index.build import build_index
+        from opensearch_spark.search.engine import SearchEngine
+
+        eng_kw = {
+            k: build_kw.get(k)
+            for k in ("text_field", "doc_id_col")
+            if k in build_kw
+        }
+        bk = dict(build_kw)
+        if "text_field" in bk:
+            bk["text_col"] = bk.pop("text_field")
+        build_index(self.spark, corpus, index_dir, **bk)
+        eng = SearchEngine(self.spark, index_dir, corpus=corpus, **eng_kw)
+        self.register(name, eng)
+        return eng
+
+    def put_alias(self, alias: str, *index_names: str) -> None:
+        for n in index_names:
+            if n not in self.engines:
+                raise ValueError(f"unknown index {n!r}")
+        self.aliases.setdefault(alias, [])
+        for n in index_names:
+            if n not in self.aliases[alias]:
+                self.aliases[alias].append(n)
+
+    def delete_alias(self, alias: str) -> None:
+        self.aliases.pop(alias, None)
+
+    def resolve(self, target: str | Sequence[str]) -> List[str]:
+        """Index-name expression resolution: comma-separated lists,
+        aliases, and ``*`` wildcards (IndexNameExpressionResolver)."""
+        if isinstance(target, str):
+            parts = [p.strip() for p in target.split(",") if p.strip()]
+        else:
+            parts = list(target)
+        out: List[str] = []
+
+        def add(n: str) -> None:
+            if n not in out:
+                out.append(n)
+
+        for p in parts:
+            if p in self.aliases:
+                for n in self.aliases[p]:
+                    add(n)
+            elif any(ch in p for ch in "*?"):
+                matched = sorted(
+                    n for n in self.engines if fnmatch.fnmatch(n, p)
+                )
+                for n in matched:
+                    add(n)
+            elif p in self.engines:
+                add(p)
+            else:
+                raise ValueError(f"no such index or alias: {p!r}")
+        if not out:
+            raise ValueError(f"target {target!r} matched no indexes")
+        return out
+
+    # ---- cross-index operations --------------------------------------
+
+    def search(self, target, query: dict, k: int = 10) -> DataFrame:
+        """Top-k across every index behind ``target``: per-index top-k
+        plans unioned with an ``_index`` column, ONE global
+        TakeOrderedAndProject — a single Spark job."""
+        names = self.resolve(target)
+        parts = []
+        for n in names:
+            eng = self.engines[n]
+            parts.append(
+                eng.search(query, k=k)
+                .select(F.lit(n).alias("_index"), "docId", "score")
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u.orderBy(F.desc("score"), F.asc("docId"),
+                         F.asc("_index")).limit(k)
+
+    def count(self, target, query: dict) -> int:
+        return sum(self.engines[n].count(query) for n in self.resolve(target))
+
+    def mget(self, target, doc_ids: Sequence[int]) -> List[dict]:
+        """`_mget`: fetch documents by id with found flags (reference:
+        TransportGetAction — realtime GET against the live corpus)."""
+        names = self.resolve(target)
+        out: List[dict] = []
+        for did in doc_ids:
+            hit = None
+            for n in names:
+                eng = self.engines[n]
+                if eng.corpus is None:
+                    continue
+                rows = eng.corpus.where(
+                    F.col("docId") == int(did)
+                ).limit(1).collect()
+                if rows:
+                    hit = {"_index": n, "_id": int(did), "found": True,
+                           "_source": rows[0].asDict()}
+                    break
+            out.append(hit or {"_id": int(did), "found": False})
+        return out
