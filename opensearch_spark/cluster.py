@@ -103,17 +103,24 @@ class Cluster:
 
     # ---- cross-index operations --------------------------------------
 
-    def search(self, target, query: dict, k: int = 10) -> DataFrame:
+    def search(self, target, query: dict, k: int = 10,
+               indices_boost: Dict[str, float] | None = None) -> DataFrame:
         """Top-k across every index behind ``target``: per-index top-k
         plans unioned with an ``_index`` column, ONE global
-        TakeOrderedAndProject — a single Spark job."""
+        TakeOrderedAndProject — a single Spark job. ``indices_boost``
+        multiplies scores per index (reference: the `indices_boost`
+        request key, SearchSourceBuilder)."""
         names = self.resolve(target)
+        boosts = indices_boost or {}
         parts = []
         for n in names:
             eng = self.engines[n]
+            part = eng.search(query, k=k)
+            b = float(boosts.get(n, 1.0))
+            score = (F.col("score") * F.lit(b)) if b != 1.0 else F.col("score")
             parts.append(
-                eng.search(query, k=k)
-                .select(F.lit(n).alias("_index"), "docId", "score")
+                part.select(F.lit(n).alias("_index"), "docId",
+                            score.alias("score"))
             )
         u = parts[0]
         for p in parts[1:]:

@@ -1123,17 +1123,28 @@ class SearchEngine:
         return out
 
     def suggest(self, text: str, size: int = 5, max_edits: int = 2,
-                prefix_length: int = 1, min_doc_freq: int = 1) -> dict:
+                prefix_length: int = 1, min_doc_freq: int = 1,
+                suggest_mode: str = "missing") -> dict:
         """Term suggester ("did you mean", reference:
         ``search/suggest/term/TermSuggester.java``): per analyzed token,
         candidate terms from the dictionary within ``max_edits``
         Levenshtein, sharing a ``prefix_length`` prefix, ordered by
         (edit distance asc, doc freq desc, term asc). One Spark job over
-        the tiny termstats table per call."""
+        the tiny termstats table per call.
+
+        ``suggest_mode`` (reference: TermSuggestionBuilder.SuggestMode):
+        "missing" = only suggest for tokens absent from the index;
+        "popular" = only candidates more frequent than the input token;
+        "always" = suggest regardless."""
         toks = self._tok(text)
         out: dict = {}
         d = self.termstats.groupBy("term").agg(F.sum("df").alias("df"))
+        mode = str(suggest_mode).lower()
+        tok_dfs = self._dfs(toks) if mode in ("missing", "popular") else {}
         for tok in dict.fromkeys(toks):
+            if mode == "missing" and tok_dfs.get(tok, 0) > 0:
+                out[tok] = []
+                continue
             pref = tok[:prefix_length]
             cand = (
                 d.where(
@@ -1150,10 +1161,11 @@ class SearchEngine:
                 .limit(size + 1)
                 .collect()
             )
+            floor = tok_dfs.get(tok, 0) if mode == "popular" else -1
             out[tok] = [
                 {"text": r["term"], "freq": int(r["df"]),
                  "distance": int(r["distance"])}
-                for r in cand if r["term"] != tok
+                for r in cand if r["term"] != tok and int(r["df"]) > floor
             ][:size]
         return out
 
@@ -1181,7 +1193,9 @@ class SearchEngine:
             return []
         n = self.doc_count
         per_token: List[List[tuple]] = []
-        sug = self.suggest(text, size=max_candidates,
+        # candidate generation ignores suggest_mode (the reference's
+        # phrase suggester generates candidates for every token)
+        sug = self.suggest(text, size=max_candidates, suggest_mode="always",
                            max_edits=max_edits, prefix_length=prefix_length)
         dfs = self._dfs(toks)
         chan_err = _math.log(max(1.0 - real_word_error_likelihood, 1e-9))

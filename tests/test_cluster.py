@@ -53,3 +53,40 @@ def test_mget(cluster):
     assert res[0]["found"] and res[0]["_index"] == "metrics"
     assert res[0]["_source"]["docId"] == some
     assert not res[1]["found"]
+
+
+def test_indices_boost(cluster):
+    q = {"match": {"content": "def return"}}
+    plain = [(r["_index"], int(r["docId"])) for r in
+             cluster.search("logs", q, k=5).collect()]
+    boosted = cluster.search("logs", q, k=5,
+                             indices_boost={"logs-2024": 100.0}).collect()
+    # with a 100x boost every top hit comes from logs-2024
+    assert all(r["_index"] == "logs-2024" for r in boosted)
+    assert plain != [(r["_index"], int(r["docId"])) for r in boosted]
+
+
+def test_suggest_mode(spark, tmp_path):
+    """suggest_mode missing/popular/always (reference:
+    TermSuggestionBuilder.SuggestMode) on a controlled vocabulary:
+    'cat' appears once, 'car' in ten docs."""
+    from opensearch_spark.cluster import Cluster
+
+    rows = [("r", f"p{i}", "c", "car wheel", "x") for i in range(10)]
+    rows.append(("r", "pc", "c", "cat wheel", "x"))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string,"
+        " lang string")
+    c = Cluster(spark)
+    eng = c.create_index("sug", corpus, str(tmp_path / "sug"),
+                         n_segments=1, shuffle_partitions=2)
+    # missing (the reference default): 'cat' is in the dictionary -> []
+    assert eng.suggest("cat", size=3)["cat"] == []
+    # always: suggests 'car' even though 'cat' exists
+    always = eng.suggest("cat", size=3, suggest_mode="always")["cat"]
+    assert [s["text"] for s in always] == ["car"]
+    # popular: 'car' (df 10) > 'cat' (df 1) -> suggested; the reverse
+    # direction yields nothing ('cat' is rarer than 'car')
+    pop = eng.suggest("cat", size=3, suggest_mode="popular")["cat"]
+    assert [s["text"] for s in pop] == ["car"]
+    assert eng.suggest("car", size=3, suggest_mode="popular")["car"] == []
