@@ -281,7 +281,9 @@ def main() -> None:
         "pairs": pair_stats,
     }
     print(json.dumps(out, indent=1))
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    # single-campaign snapshot; the curated multi-campaign composite in
+    # BENCH_SCALING.json is maintained by hand — don't clobber it
+    with open(os.path.join(REPO, "BENCH_SCALING_LAST.json"), "w") as f:
         json.dump(out, f, indent=1)
 
 
