@@ -493,6 +493,20 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
                     (F.floor(F.col(sbody["field"]) / F.lit(float(sbody["interval"])))
                      * F.lit(float(sbody["interval"]))).cast("string")
                 )
+            elif skind == "date_histogram":
+                iv = (sbody.get("calendar_interval")
+                      or sbody.get("fixed_interval") or "1d")
+                unit = {"1d": "day", "day": "day", "1h": "hour",
+                        "hour": "hour", "1M": "month", "month": "month",
+                        "1w": "week", "week": "week", "1y": "year",
+                        "year": "year", "minute": "minute",
+                        "1m": "minute"}.get(iv, "day")
+                cols.append(
+                    F.date_format(
+                        F.date_trunc(unit, F.col(sbody["field"])),
+                        "yyyy-MM-dd HH:mm:ss",
+                    )
+                )
             else:
                 raise ValueError(f"composite source kind {skind} unsupported")
         df = df.withColumn(kcol, F.concat_ws("|", *cols))

@@ -415,3 +415,35 @@ def test_moving_avg_holt_winters_multiplicative(spark):
             assert got[i] is None
         else:
             assert abs(got[i] - want) < 1e-9, (i, got[i], want)
+
+
+def test_composite_date_histogram_source(orders, ddb):
+    """composite with a date_histogram source + after-key paging."""
+    got = rows(compile_aggs(orders, {
+        "c": {"composite": {
+            "size": 4,
+            "sources": [{"m": {"date_histogram": {
+                "field": "o_orderdate", "calendar_interval": "month"}}}],
+        }}
+    }))
+    want = ddb.execute("""
+        SELECT strftime(date_trunc('month', o_orderdate),
+                        '%Y-%m-%d %H:%M:%S') AS m, count(*)
+        FROM orders GROUP BY m ORDER BY m LIMIT 4
+    """).fetchall()
+    assert [(g[0], g[1]) for g in got] == want
+    # page 2 via after
+    after = got[-1][0]
+    got2 = rows(compile_aggs(orders, {
+        "c": {"composite": {
+            "size": 4, "after": after,
+            "sources": [{"m": {"date_histogram": {
+                "field": "o_orderdate", "calendar_interval": "month"}}}],
+        }}
+    }))
+    want2 = ddb.execute(f"""
+        SELECT strftime(date_trunc('month', o_orderdate),
+                        '%Y-%m-%d %H:%M:%S') AS m, count(*)
+        FROM orders GROUP BY m HAVING m > '{after}' ORDER BY m LIMIT 4
+    """).fetchall()
+    assert [(g[0], g[1]) for g in got2] == want2
