@@ -826,7 +826,8 @@ class SearchEngine:
                         src = spec["script"]
                         f = str(src["source"] if isinstance(src, dict) else src)
                     sort.append((f, d))
-        collapse = (body.get("collapse") or {}).get("field")
+        collapse_body = body.get("collapse") or {}
+        collapse = collapse_body.get("field")
 
         if "rescore" in body:
             r = body["rescore"]
@@ -843,6 +844,42 @@ class SearchEngine:
                 search_after=body.get("search_after"), collapse=collapse,
                 terminate_after=body.get("terminate_after"),
             )
+
+        ih = collapse_body.get("inner_hits")
+        if collapse and ih:
+            # collapse inner_hits (reference: CollapseBuilder.java
+            # inner_hits — per collapsed group, the top-N group members
+            # as a nested array). One window + one collect per group;
+            # the array is sorted by rank so collect_list's
+            # nondeterministic order can't leak through.
+            from pyspark.sql import Window
+
+            n_ih = int(ih.get("size", 3))
+            node = dsl_mod.parse(q) if isinstance(q, dict) else q
+            matched = self.compile(node).join(
+                self.corpus.select("docId", collapse), "docId"
+            )
+            w = (
+                Window.partitionBy(collapse)
+                .orderBy(F.desc("score"), F.asc("docId"))
+            )
+            top = (
+                matched.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= n_ih)
+            )
+            inner = (
+                top.groupBy(collapse)
+                .agg(F.sort_array(F.collect_list(
+                    F.struct("_rn", "docId", "score"))).alias("_ih"))
+                .select(
+                    collapse,
+                    F.expr(
+                        "transform(_ih, x -> struct(x.docId AS docId,"
+                        " x.score AS score))"
+                    ).alias("inner_hits"),
+                )
+            )
+            hits = hits.join(F.broadcast(inner), collapse, "left")
 
         aggs_body = body.get("aggs") or body.get("aggregations")
         aggs_df = None
@@ -891,34 +928,37 @@ class SearchEngine:
                 from opensearch_spark.search import highlight as H
 
                 hl = body["highlight"]
-                ((fld, spec),) = hl["fields"].items()
+                fields = list(hl["fields"].items())
                 text = _query_text(dsl_mod.parse(q) if isinstance(q, dict) else q)
-                fetched = H.highlight(
-                    fetched, text, text_col=fld,
-                    frag_size=int(spec.get("fragment_size", 100)),
-                    n_frags=int(spec.get("number_of_fragments", 2)),
-                )
+                for fld, spec in fields:
+                    out_col = ("highlights" if len(fields) == 1
+                               else f"highlights_{fld}")
+                    fetched = H.highlight(
+                        fetched, text, text_col=fld,
+                        frag_size=int(spec.get("fragment_size", 100)),
+                        n_frags=int(spec.get("number_of_fragments", 2)),
+                        out_col=out_col,
+                    )
             if src:
                 # _source filtering (reference: FetchSourceContext):
                 # list form = includes; dict form = {"includes",
                 # "excludes"} with * wildcards
                 import fnmatch
 
+                hl_cols = [c for c in fetched.columns
+                           if c == "highlights" or c.startswith("highlights_")]
                 if isinstance(src, dict):
                     inc = src.get("includes") or ["*"]
                     exc = src.get("excludes") or []
                     cols = [
                         c for c in fetched.columns
-                        if c not in ("docId", "score", "highlights")
+                        if c not in ("docId", "score") and c not in hl_cols
                         and any(fnmatch.fnmatch(c, p) for p in inc)
                         and not any(fnmatch.fnmatch(c, p) for p in exc)
                     ]
                 else:
                     cols = [c for c in src if c in fetched.columns]
-                keep = ["docId", "score"] + cols
-                if "highlights" in fetched.columns:
-                    keep.append("highlights")
-                fetched = fetched.select(*keep)
+                fetched = fetched.select(*(["docId", "score"] + cols + hl_cols))
             hits = fetched
         out = {"hits": hits, "aggregations": aggs_df}
         tth = body.get("track_total_hits")

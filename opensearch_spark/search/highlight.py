@@ -55,12 +55,15 @@ def highlight(
     text_col: str = "content",
     frag_size: int = 100,
     n_frags: int = 2,
+    out_col: str = "highlights",
 ) -> DataFrame:
-    """Add a ``highlights: array<string>`` column to fetched hit rows."""
+    """Add an ``array<string>`` fragment column (default name
+    ``highlights``) to fetched hit rows; multi-field highlight calls
+    this once per field with distinct ``out_col`` names."""
     terms = set(tokenize(query_text))
 
     @F.pandas_udf("array<string>")
     def hl(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: make_fragments(t or "", terms, frag_size, n_frags))
 
-    return fetched.withColumn("highlights", hl(F.col(text_col)))
+    return fetched.withColumn(out_col, hl(F.col(text_col)))

@@ -230,3 +230,40 @@ def test_docvalue_fields_and_track_total_hits(eng):
     capped = eng.request({"query": Q, "size": 1, "track_total_hits": 1})
     assert capped["total"]["relation"] in ("eq", "gte")
     assert capped["total"]["value"] <= exact
+
+
+def test_collapse_inner_hits(eng):
+    """collapse inner_hits (CollapseBuilder): top hit per group plus the
+    group's top-N members as a nested array, rank-ordered."""
+    out = eng.request({
+        "query": Q, "size": 5,
+        "collapse": {"field": "lang", "inner_hits": {"size": 3}},
+    })
+    rows_ = out["hits"].collect()
+    assert rows_
+    langs = [r["lang"] for r in rows_]
+    assert len(langs) == len(set(langs))  # one hit per group
+    full = eng.search(Q, k=10000).collect()
+    by_doc = {int(r["docId"]): float(r["score"]) for r in full}
+    for r in rows_:
+        ih = r["inner_hits"]
+        assert 1 <= len(ih) <= 3
+        scores = [float(x["score"]) for x in ih]
+        assert scores == sorted(scores, reverse=True)
+        # the collapsed main hit is the group's best == first inner hit
+        assert int(ih[0]["docId"]) == int(r["docId"])
+        for x in ih:
+            assert abs(by_doc[int(x["docId"])] - float(x["score"])) < 1e-9
+
+
+def test_multi_field_highlight(eng):
+    out = eng.request({
+        "query": Q, "size": 3,
+        "_source": ["lang"],
+        "highlight": {"fields": {"content": {"fragment_size": 60},
+                                 "lang": {}}},
+    })
+    cols = out["hits"].columns
+    assert "highlights_content" in cols and "highlights_lang" in cols
+    r = out["hits"].collect()[0]
+    assert any("<em>" in f for f in r["highlights_content"])
