@@ -133,21 +133,47 @@ class Cluster:
 
     def mget(self, target, doc_ids: Sequence[int]) -> List[dict]:
         """`_mget`: fetch documents by id with found flags (reference:
-        TransportGetAction — realtime GET against the live corpus)."""
+        TransportGetAction — realtime GET against the live corpus).
+        ONE pushdown-filtered job per index, not per id: the id set
+        becomes an IN-filter the parquet scan prunes on; earlier indexes
+        in resolution order win duplicate ids."""
         names = self.resolve(target)
-        out: List[dict] = []
-        for did in doc_ids:
-            hit = None
-            for n in names:
-                eng = self.engines[n]
-                if eng.corpus is None:
+        ids = [int(d) for d in doc_ids]
+        found: Dict[int, dict] = {}
+        for n in names:
+            eng = self.engines[n]
+            if eng.corpus is None:
+                continue
+            missing = [d for d in ids if d not in found]
+            if not missing:
+                break
+            for r in eng.corpus.where(F.col("docId").isin(missing)).collect():
+                did = int(r["docId"])
+                if did not in found:
+                    found[did] = {"_index": n, "_id": did, "found": True,
+                                  "_source": r.asDict()}
+        return [found.get(d, {"_id": d, "found": False}) for d in ids]
+
+    def field_caps(self, target) -> Dict[str, dict]:
+        """`_field_caps` (reference: action/fieldcaps/
+        TransportFieldCapabilitiesAction): per field, its type and
+        whether it is searchable (the indexed text field) / aggregatable
+        (everything with doc values — every corpus column here), merged
+        across the resolved indexes."""
+        out: Dict[str, dict] = {}
+        for n in self.resolve(target):
+            eng = self.engines[n]
+            if eng.corpus is None:
+                continue
+            for f in eng.corpus.schema.fields:
+                if f.name == "docId":
                     continue
-                rows = eng.corpus.where(
-                    F.col("docId") == int(did)
-                ).limit(1).collect()
-                if rows:
-                    hit = {"_index": n, "_id": int(did), "found": True,
-                           "_source": rows[0].asDict()}
-                    break
-            out.append(hit or {"_id": int(did), "found": False})
+                cap = out.setdefault(f.name, {
+                    "type": f.dataType.simpleString(),
+                    "searchable": False, "aggregatable": True,
+                    "indices": [],
+                })
+                if f.name == eng.text_field:
+                    cap["searchable"] = True
+                cap["indices"].append(n)
         return out

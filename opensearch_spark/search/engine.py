@@ -990,6 +990,39 @@ class SearchEngine:
             src = _json.dumps(src)
         return self.request(T.render_query(src, body.get("params")))
 
+    def msearch_template(self, items: Sequence[dict]) -> DataFrame:
+        """`_msearch/template` (reference: MultiSearchTemplateAction):
+        render each Mustache template into a search body, execute ALL of
+        them as ONE msearch job. Per-item ``size`` trims each query's
+        hits from the shared top-k. Returns (qid, docId, score)."""
+        import json as _json
+
+        from pyspark.sql import Window
+
+        from opensearch_spark.search import templates as T
+
+        bodies = []
+        for it in items:
+            src = it.get("source")
+            if src is None:
+                src = self.templates.get(it["id"])
+            if not isinstance(src, str):
+                src = _json.dumps(src)
+            bodies.append(T.render_query(src, it.get("params")))
+        sizes = [int(b.get("size", 10)) for b in bodies]
+        out = self.msearch([b["query"] for b in bodies], k=max(sizes))
+        size_df = self.spark.createDataFrame(
+            list(enumerate(sizes)), "qid int, _size int"
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docId"))
+        return (
+            out.withColumn("_rn", F.row_number().over(w))
+            .join(F.broadcast(size_df), "qid")
+            .where(F.col("_rn") <= F.col("_size"))
+            .drop("_rn", "_size")
+            .orderBy("qid", F.desc("score"), F.asc("docId"))
+        )
+
     def rescore(
         self,
         query: dict | A.AnyNode,

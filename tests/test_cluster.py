@@ -90,3 +90,39 @@ def test_suggest_mode(spark, tmp_path):
     pop = eng.suggest("cat", size=3, suggest_mode="popular")["cat"]
     assert [s["text"] for s in pop] == ["car"]
     assert eng.suggest("car", size=3, suggest_mode="popular")["car"] == []
+
+
+def test_field_caps(cluster):
+    caps = cluster.field_caps("logs")
+    assert caps["content"]["searchable"] and caps["content"]["type"] == "string"
+    assert caps["content"]["indices"] == ["logs-2024", "logs-2025"]
+    assert not caps["lang"]["searchable"] and caps["lang"]["aggregatable"]
+
+
+def test_mget_batched_first_index_wins(cluster):
+    a = cluster.engines["logs-2024"]
+    b = cluster.engines["logs-2025"]
+    ida = int(a.corpus.select("docId").limit(1).collect()[0][0])
+    idb = int(b.corpus.select("docId").orderBy("docId").limit(1).collect()[0][0])
+    res = cluster.mget("logs", [ida, idb, 123456789])
+    assert res[0]["found"] and res[1]["found"] and not res[2]["found"]
+    assert res[0]["_id"] == ida and res[1]["_id"] == idb
+
+
+def test_msearch_template(cluster):
+    eng = cluster.engines["logs-2024"]
+    eng.templates.put("t1", '{"query": {"match": {"{{f}}": "{{q}}"}}, "size": {{n}}}')
+    out = eng.msearch_template([
+        {"id": "t1", "params": {"f": "content", "q": "def return", "n": 3}},
+        {"source": '{"query": {"match_phrase": {"content": "{{p}}"}}, "size": 5}',
+         "params": {"p": "def main"}},
+    ]).collect()
+    by_qid = {}
+    for r in out:
+        by_qid.setdefault(int(r["qid"]), []).append(r)
+    assert len(by_qid[0]) <= 3
+    # qid 0 == direct search results
+    direct = [(int(r["docId"]), round(float(r["score"]), 6))
+              for r in eng.search({"match": {"content": "def return"}}, k=3).collect()]
+    got = [(int(r["docId"]), round(float(r["score"]), 6)) for r in by_qid[0]]
+    assert got == direct
