@@ -53,3 +53,56 @@ def reindex(
         n_segments=n_segments,
         **build_kwargs,
     )
+
+
+def update_by_query(
+    spark: SparkSession,
+    engine,
+    index_dir: str,
+    query: dict,
+    script: "dict[str, str] | Callable[[DataFrame], DataFrame]",
+    text_col: Optional[str] = None,
+    doc_id_col: str = "docId",
+    id_cols=("repo", "path", "commit"),
+) -> int:
+    """`_update_by_query` (reference: the reindex module's
+    UpdateByQueryAction / TransportUpdateByQueryAction): rewrite every
+    document matching ``query`` in place.
+
+    ``script``: either {column: SQL expression} applied with
+    ``withColumn`` (the Painless-script analog, pure Catalyst) or a
+    DataFrame -> DataFrame callable. Implementation = the reference's
+    own decomposition: snapshot the matched docs, transform, then
+    delete+add via ``upsert_batch`` (Lucene updates are delete + re-add
+    into a new segment too). Returns the number of updated docs.
+
+    Scale shape: one semi-join scan to select, one transform projection,
+    then the upsert path (tombstone write + compaction + incremental
+    add) — no driver-side row loops anywhere."""
+    from opensearch_spark.index.incremental import upsert_batch
+    from opensearch_spark.search import dsl as dsl_mod
+
+    if engine.corpus is None:
+        raise ValueError("update_by_query needs an attached corpus")
+    matched = engine.compile(dsl_mod.parse(query)).select("docId")
+    docs = engine.corpus.join(matched, "docId", "left_semi")
+    # materialize the snapshot BEFORE mutating the index: the matched
+    # set's lineage reads the postings files that upsert's compaction is
+    # about to delete (the reference snapshots with a scroll for the
+    # same reason)
+    docs = docs.localCheckpoint(eager=True)
+    n = docs.count()
+    if n == 0:
+        return 0
+    if callable(script):
+        docs = script(docs)
+    else:
+        for col, expr in script.items():
+            docs = docs.withColumn(col, F.expr(str(expr)))
+    # the engine's corpus always carries the derived docId column — it
+    # IS the document identity, so the upsert re-keys on it directly
+    upsert_batch(
+        spark, docs, index_dir,
+        text_col=text_col or engine.text_field, doc_id_col="docId",
+    )
+    return int(n)

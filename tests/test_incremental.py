@@ -174,3 +174,36 @@ def test_compact_target_segments(spark, corpora, tmp_path):
     after = [(int(r["docId"]), round(float(r["score"]), 9))
              for r in e2.search(q, k=20).collect()]
     assert after == before
+
+
+def test_update_by_query(spark, tmp_path):
+    """_update_by_query: matched docs rewritten in place (delete + re-add,
+    the reference's own decomposition); unmatched docs untouched."""
+    from opensearch_spark.index.build import build_index
+    from opensearch_spark.index.reindex import update_by_query
+    from opensearch_spark.search.engine import SearchEngine
+    from opensearch_spark.testing.corpus import generate_corpus
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(generate_corpus(150, seed=51))
+    out = str(tmp_path / "ubq")
+    build_index(spark, corpus, out, n_segments=2, shuffle_partitions=4)
+    eng = SearchEngine(spark, out, corpus=corpus)
+    before_total = eng.docstats.count()
+    n_match = eng.count({"match": {"content": "def"}})
+    assert n_match > 0
+
+    n = update_by_query(
+        spark, eng, out, {"match": {"content": "def"}},
+        {"content": "concat('zzzpatched ', content)"},
+    )
+    assert n == n_match
+    # rebuild the reader over the patched corpus view
+    patched = corpus.withColumn(
+        "docId", F.xxhash64("repo", "path", "commit"))
+    eng2 = SearchEngine(spark, out, corpus=corpus)
+    assert eng2.count({"match": {"content": "zzzpatched"}}) == n_match
+    # every patched doc still matches its old content too (prefix added)
+    assert eng2.count({"match": {"content": "def"}}) == n_match
+    # total live docs unchanged (update, not insert)
+    assert eng2.docstats.count() == before_total
