@@ -62,9 +62,7 @@ def update_by_query(
     query: dict,
     script: "dict[str, str] | Callable[[DataFrame], DataFrame]",
     text_col: Optional[str] = None,
-    doc_id_col: str = "docId",
-    id_cols=("repo", "path", "commit"),
-) -> int:
+) -> dict:
     """`_update_by_query` (reference: the reindex module's
     UpdateByQueryAction / TransportUpdateByQueryAction): rewrite every
     document matching ``query`` in place.
@@ -74,7 +72,15 @@ def update_by_query(
     DataFrame -> DataFrame callable. Implementation = the reference's
     own decomposition: snapshot the matched docs, transform, then
     delete+add via ``upsert_batch`` (Lucene updates are delete + re-add
-    into a new segment too). Returns the number of updated docs.
+    into a new segment too).
+
+    Returns ``{"updated": n, "corpus": DataFrame}`` where ``corpus`` is
+    the post-update corpus view (untouched docs ∪ rewritten docs) —
+    reopen with ``SearchEngine(spark, index_dir, corpus=result
+    ["corpus"], doc_id_col="docId", ...)`` so fetch/filter/agg results
+    agree with the rewritten index. The PASSED-IN engine is INVALIDATED
+    (its file listings and caches predate the compaction) — like every
+    index mutation here, readers opening after the call see the update.
 
     Scale shape: one semi-join scan to select, one transform projection,
     then the upsert path (tombstone write + compaction + incremental
@@ -86,14 +92,15 @@ def update_by_query(
         raise ValueError("update_by_query needs an attached corpus")
     matched = engine.compile(dsl_mod.parse(query)).select("docId")
     docs = engine.corpus.join(matched, "docId", "left_semi")
-    # materialize the snapshot BEFORE mutating the index: the matched
-    # set's lineage reads the postings files that upsert's compaction is
-    # about to delete (the reference snapshots with a scroll for the
-    # same reason)
+    untouched = engine.corpus.join(matched, "docId", "left_anti")
+    # materialize the snapshots BEFORE mutating the index: their lineage
+    # reads the postings files that upsert's compaction is about to
+    # delete (the reference snapshots with a scroll for the same reason)
     docs = docs.localCheckpoint(eager=True)
+    untouched = untouched.localCheckpoint(eager=True)
     n = docs.count()
     if n == 0:
-        return 0
+        return {"updated": 0, "corpus": engine.corpus}
     if callable(script):
         docs = script(docs)
     else:
@@ -105,4 +112,9 @@ def update_by_query(
         spark, docs, index_dir,
         text_col=text_col or engine.text_field, doc_id_col="docId",
     )
-    return int(n)
+    # poison the stale engine's caches so accidental reuse fails loudly
+    # on the next file read instead of silently serving stale plans
+    engine._search_plans.clear()
+    engine._msearch_plans.clear()
+    engine._term_df_map = None
+    return {"updated": int(n), "corpus": untouched.unionByName(docs)}

@@ -64,14 +64,19 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams."""
+    """(doc_id, shingle) distinct word n-grams. Docs shorter than ``n``
+    words contribute no shingles — guarded explicitly because
+    ``sequence(1, 0)`` is DESCENDING in Spark ([1, 0]), which would feed
+    ``slice(words, 0, n)`` and abort the whole job with
+    INVALID_PARAMETER_VALUE.START."""
     return (
         df.select(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(split(text,' ')) - {n - 1}, 0)),"
-                    f" i -> array_join(slice(split(text,' '), i, {n}), ' '))"
+                    f"CASE WHEN size(split(text,' ')) < {n} THEN array()"
+                    f" ELSE transform(sequence(1, size(split(text,' ')) - {n - 1}),"
+                    f" i -> array_join(slice(split(text,' '), i, {n}), ' ')) END"
                 )
             ).alias("shingle"),
         )

@@ -44,20 +44,6 @@ from opensearch_spark.search import ast as A, bm25, dsl as dsl_mod, wand
 SCORE_SCHEMA = "docId long, score double"
 
 
-def _source_add(src, name: str):
-    """Append a computed column (docvalue/derived field) to a ``_source``
-    spec without destroying its shape: dict form keeps its includes/
-    excludes wildcards (reference FetchSourceContext applies them
-    regardless of doc-value fields), list form appends."""
-    if src is None:
-        return None
-    if isinstance(src, dict):
-        out = dict(src)
-        out["includes"] = list(src.get("includes") or ["*"]) + [name]
-        return out
-    return list(src) + [name]
-
-
 def _query_text(node: "A.AnyNode") -> str:
     """Concatenated analyzed text of a query tree (highlighting input)."""
     parts: List[str] = []
@@ -879,7 +865,10 @@ class SearchEngine:
                     ).alias("inner_hits"),
                 )
             )
-            hits = hits.join(F.broadcast(inner), collapse, "left")
+            # no broadcast hint: `inner` has one row per distinct
+            # collapse value of the FULL matched set (unbounded
+            # cardinality at scale) — let AQE pick the join strategy
+            hits = hits.join(inner, collapse, "left")
 
         aggs_body = body.get("aggs") or body.get("aggregations")
         aggs_df = None
@@ -899,7 +888,18 @@ class SearchEngine:
         derived = body.get("derived") or body.get("derived_fields")
         dvf = body.get("docvalue_fields")
         if src or derived or dvf or "highlight" in body:
-            fetched = self.fetch(hits)
+            # hits may carry corpus columns (collapse key, field-sort
+            # keys); the fetch join would duplicate them — keep only the
+            # hit identity (+ computed columns like inner_hits) and let
+            # the corpus join restore the rest
+            corp_cols = set(self.corpus.columns) - {"docId"}
+            hits_clean = hits.drop(*[c for c in hits.columns if c in corp_cols])
+            fetched = self.fetch(hits_clean)
+            # columns the caller asked for explicitly (docvalue/derived):
+            # always kept, NEVER subject to _source includes/excludes
+            # (the reference returns them in a separate 'fields' section
+            # outside _source filtering)
+            forced_cols: List[str] = []
             # doc-value field formatting (reference: DocValueFieldsContext
             # / DocValueFormat): render columns with the requested format
             # — date patterns via date_format, printf-style via
@@ -917,13 +917,13 @@ class SearchEngine:
                 else:
                     out_c = F.date_format(col.cast("timestamp"), fmt)
                 fetched = fetched.withColumn(f"{fld}_value", out_c)
-                src = _source_add(src, f"{fld}_value")
+                forced_cols.append(f"{fld}_value")
             # derived fields (reference: DerivedFieldMapper — computed at
             # query time): Spark SQL expressions over the fetched row
             for name, spec in (derived or {}).items():
                 expr = spec["script"] if isinstance(spec, dict) else spec
                 fetched = fetched.withColumn(name, F.expr(str(expr)))
-                src = _source_add(src, name)
+                forced_cols.append(name)
             if "highlight" in body:
                 from opensearch_spark.search import highlight as H
 
@@ -947,18 +947,24 @@ class SearchEngine:
 
                 hl_cols = [c for c in fetched.columns
                            if c == "highlights" or c.startswith("highlights_")]
+                keep_always = set(hl_cols) | set(forced_cols) | {
+                    "docId", "score", "inner_hits",
+                }
                 if isinstance(src, dict):
                     inc = src.get("includes") or ["*"]
                     exc = src.get("excludes") or []
                     cols = [
                         c for c in fetched.columns
-                        if c not in ("docId", "score") and c not in hl_cols
+                        if c not in keep_always
                         and any(fnmatch.fnmatch(c, p) for p in inc)
                         and not any(fnmatch.fnmatch(c, p) for p in exc)
                     ]
                 else:
-                    cols = [c for c in src if c in fetched.columns]
-                fetched = fetched.select(*(["docId", "score"] + cols + hl_cols))
+                    cols = [c for c in src
+                            if c in fetched.columns and c not in keep_always]
+                tail = [c for c in fetched.columns
+                        if c in keep_always and c not in ("docId", "score")]
+                fetched = fetched.select(*(["docId", "score"] + cols + tail))
             hits = fetched
         out = {"hits": hits, "aggregations": aggs_df}
         tth = body.get("track_total_hits")
@@ -1009,6 +1015,8 @@ class SearchEngine:
             if not isinstance(src, str):
                 src = _json.dumps(src)
             bodies.append(T.render_query(src, it.get("params")))
+        if not bodies:
+            return self.spark.createDataFrame([], "qid int, " + SCORE_SCHEMA)
         sizes = [int(b.get("size", 10)) for b in bodies]
         out = self.msearch([b["query"] for b in bodies], k=max(sizes))
         size_df = self.spark.createDataFrame(
@@ -2052,7 +2060,6 @@ class SearchEngine:
         present."""
         out = os.path.join(self.paths.root, "wildgrams")
         d = self.termstats.select("term").distinct()
-        anchored = F.concat(F.lit("^"), F.col("term"), F.lit("$"))
         grams = (
             d.select(
                 "term",
@@ -2511,9 +2518,15 @@ class SearchEngine:
             f = node.field_name
             lat = F.col(f"{f}.lat").cast("double")
             lon = F.col(f"{f}.lon").cast("double")
+            if node.left <= node.right:
+                lon_cond = (lon >= F.lit(node.left)) & (lon <= F.lit(node.right))
+            else:
+                # antimeridian wrap (reference GeoBoundingBoxQueryBuilder:
+                # left > right means the box crosses the dateline)
+                lon_cond = (lon >= F.lit(node.left)) | (lon <= F.lit(node.right))
             cond = (
                 (lat <= F.lit(node.top)) & (lat >= F.lit(node.bottom))
-                & (lon >= F.lit(node.left)) & (lon <= F.lit(node.right))
+                & lon_cond
             )
         else:
             raise ValueError(f"not a meta filter: {node!r}")

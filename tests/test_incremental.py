@@ -193,17 +193,21 @@ def test_update_by_query(spark, tmp_path):
     n_match = eng.count({"match": {"content": "def"}})
     assert n_match > 0
 
-    n = update_by_query(
+    res = update_by_query(
         spark, eng, out, {"match": {"content": "def"}},
         {"content": "concat('zzzpatched ', content)"},
     )
-    assert n == n_match
-    # rebuild the reader over the patched corpus view
-    patched = corpus.withColumn(
-        "docId", F.xxhash64("repo", "path", "commit"))
-    eng2 = SearchEngine(spark, out, corpus=corpus)
+    assert res["updated"] == n_match
+    # reopen over the RETURNED corpus view so the doc store agrees with
+    # the rewritten index (index and _source updated together)
+    eng2 = SearchEngine(spark, out, corpus=res["corpus"],
+                        doc_id_col="docId")
     assert eng2.count({"match": {"content": "zzzpatched"}}) == n_match
     # every patched doc still matches its old content too (prefix added)
     assert eng2.count({"match": {"content": "def"}}) == n_match
     # total live docs unchanged (update, not insert)
     assert eng2.docstats.count() == before_total
+    # fetch returns the REWRITTEN source text, consistent with the index
+    hit = eng2.request({"query": {"match": {"content": "zzzpatched"}},
+                        "size": 1, "_source": ["content"]})
+    assert hit["hits"].collect()[0]["content"].startswith("zzzpatched ")

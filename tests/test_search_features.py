@@ -267,3 +267,61 @@ def test_multi_field_highlight(eng):
     assert "highlights_content" in cols and "highlights_lang" in cols
     r = out["hits"].collect()[0]
     assert any("<em>" in f for f in r["highlights_content"])
+
+
+def test_collapse_with_source_fetch(eng):
+    """collapse + _source/docvalue fetch must not duplicate the collapse
+    column (the fetch join restores corpus columns; hits carry only
+    identity + computed columns)."""
+    out = eng.request({
+        "query": Q, "size": 4,
+        "collapse": {"field": "lang", "inner_hits": {"size": 2}},
+        "_source": ["lang"],
+        "docvalue_fields": ["path"],
+    })
+    cols = out["hits"].columns
+    assert cols.count("lang") == 1
+    rows_ = out["hits"].collect()
+    assert rows_ and all(r["inner_hits"] for r in rows_)
+    assert "path_value" in cols
+
+
+def test_docvalue_fields_exempt_from_source_excludes(eng):
+    """Explicitly-requested docvalue/derived fields are returned even
+    when a _source exclude pattern matches them (the reference returns
+    them in a separate 'fields' section outside _source filtering)."""
+    out = eng.request({
+        "query": Q, "size": 2,
+        "_source": {"includes": ["lang*"], "excludes": ["*_value", "lang2*"]},
+        "docvalue_fields": ["path"],
+        "derived": {"lang_upper": "upper(lang)"},
+    })
+    cols = out["hits"].columns
+    assert "path_value" in cols and "lang_upper" in cols
+    assert "lang" in cols and "repo" not in cols
+
+
+def test_geo_bbox_dateline_wrap(spark, tmp_path):
+    """left > right = box crosses the antimeridian (reference
+    GeoBoundingBoxQueryBuilder wrap semantics)."""
+    corpus = spark.createDataFrame(generate_corpus(200, seed=9))
+    out = str(tmp_path / "geoix")
+    build_index(spark, corpus, out, n_segments=2, shuffle_partitions=4)
+    geo = corpus.withColumn(
+        "location",
+        F.struct(
+            F.lit(0.0).alias("lat"),
+            ((F.xxhash64("path") % 3600) / 10.0 - 180.0).alias("lon"),
+        ),
+    )
+    e2 = SearchEngine(spark, out, corpus=geo)
+    got = {int(r["docId"]) for r in e2.search({
+        "geo_bounding_box": {"location": {
+            "top_left": {"lat": 10.0, "lon": 170.0},
+            "bottom_right": {"lat": -10.0, "lon": -170.0}}},
+    }, k=1000).collect()}
+    pts = {int(r["docId"]): r["location"]["lon"]
+           for r in geo.withColumn("docId", F.xxhash64("repo", "path", "commit"))
+           .select("docId", "location").collect()}
+    want = {d for d, lon in pts.items() if lon >= 170.0 or lon <= -170.0}
+    assert got == want
