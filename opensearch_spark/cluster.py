@@ -37,6 +37,8 @@ class Cluster:
     # ---- index / alias management ------------------------------------
 
     def register(self, name: str, engine) -> None:
+        if name in self.aliases:
+            raise ValueError(f"index name {name!r} collides with an alias")
         self.engines[name] = engine
 
     def create_index(self, name: str, corpus: DataFrame, index_dir: str,
@@ -59,6 +61,11 @@ class Cluster:
         return eng
 
     def put_alias(self, alias: str, *index_names: str) -> None:
+        if alias in self.engines:
+            # the reference forbids alias/index name collisions
+            # (MetadataCreateIndexService validation) — an alias equal to
+            # a concrete index would silently shadow it in resolve()
+            raise ValueError(f"alias {alias!r} collides with an index name")
         for n in index_names:
             if n not in self.engines:
                 raise ValueError(f"unknown index {n!r}")

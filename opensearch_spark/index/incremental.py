@@ -60,9 +60,17 @@ def add_batch(
     n_segments = int(manifest["n_segments"])
     block_size = int(manifest["block_size"])
     nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # new docs can add dictionary terms: the wildcard trigram table (if
-    # built) would go stale and miss them — drop it; rebuild on demand
-    shutil.rmtree(os.path.join(index_dir, "wildgrams"), ignore_errors=True)
+    # new docs can add dictionary terms, so a built wildcard trigram
+    # table would miss them. Mark it STALE rather than deleting: open
+    # readers hold DataFrames over those files (rmtree would crash
+    # them), and a pre-batch reader's stale grams are CONSISTENT with
+    # its pre-batch postings view. New readers skip stale tables and
+    # fall back to the dictionary scan until build_wildcard_index
+    # rebuilds.
+    _wg = os.path.join(index_dir, "wildgrams")
+    if os.path.isdir(_wg):
+        with open(os.path.join(_wg, "_STALE"), "w") as fh:
+            fh.write("superseded by add_batch\n")
 
     analyzer = str(manifest.get("analyzer", "standard"))
     if analyzer not in ("standard", "whitespace", "keyword"):

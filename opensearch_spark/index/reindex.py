@@ -103,6 +103,15 @@ def update_by_query(
         return {"updated": 0, "corpus": engine.corpus}
     if callable(script):
         docs = script(docs)
+        # the transform must REWRITE rows, not drop them: a dropped doc
+        # would be neither tombstoned nor re-added — still searchable in
+        # the index yet missing from the returned corpus (use
+        # delete_by_query to remove docs)
+        if docs.count() != n:
+            raise ValueError(
+                "update_by_query script must preserve row count; "
+                "use delete_by_query to remove documents"
+            )
     else:
         for col, expr in script.items():
             docs = docs.withColumn(col, F.expr(str(expr)))

@@ -183,30 +183,32 @@ N_IVF_CENTROIDS = 8
 IVF_NPROBE = 2
 
 
-def _assign_with_v(e: DataFrame, cvs: List[List[float]]) -> DataFrame:
-    """(vec_id, v, centroid): nearest of the K literal centroid vectors
-    by cosine, ties (cosine desc, centroid asc) on 8-dp rounding —
-    map-only argmax via struct array_min, no window, no shuffle."""
+def _assign_with_v(e: DataFrame, cents: List[tuple]) -> DataFrame:
+    """(vec_id, v, centroid): nearest centroid by cosine, ties (cosine
+    desc, centroid id asc) on 8-dp rounding — map-only argmax via struct
+    array_min, no window, no shuffle. ``cents`` = [(centroid_id, vec)];
+    labels are the centroids' TRUE ids (they must agree with the probe
+    selection's id space even when seed vec_ids are non-contiguous)."""
     pairs = F.array(*[
         F.struct(
             (F.lit(0.0) - F.round(
                 _pair_cosine(F.col("v"), F.array(*[F.lit(x) for x in cv])), 8
             )).alias("ncs"),
-            F.lit(k).cast("long").alias("centroid"),
+            F.lit(int(cid)).cast("long").alias("centroid"),
         )
-        for k, cv in enumerate(cvs)
+        for cid, cv in cents
     ])
     return e.select(
         "vec_id", "v", F.array_min(pairs)["centroid"].alias("centroid")
     )
 
 
-def _centroid_vecs(e: DataFrame) -> List[List[float]]:
+def _centroid_vecs(e: DataFrame) -> List[tuple]:
     rows = (
         e.where(F.col("vec_id") < N_IVF_CENTROIDS)
         .select("vec_id", "v").orderBy("vec_id").collect()
     )
-    return [list(r["v"]) for r in rows]
+    return [(int(r["vec_id"]), list(r["v"])) for r in rows]
 
 
 def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

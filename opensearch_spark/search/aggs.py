@@ -329,9 +329,9 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
         origin = body["origin"]
         olat = float(origin["lat"] if isinstance(origin, dict) else origin[1])
         olon = float(origin["lon"] if isinstance(origin, dict) else origin[0])
-        unit_m = {"m": 1.0, "km": 1000.0, "mi": 1609.344}[
-            str(body.get("unit", "m"))
-        ]
+        from opensearch_spark.search.dsl import parse_distance_m
+
+        unit_m = parse_distance_m("1" + str(body.get("unit", "m")))
         dist = _haversine_m(
             F.col(f"{fld}.lat").cast("double"),
             F.col(f"{fld}.lon").cast("double"), olat, olon,

@@ -114,13 +114,28 @@ def _parse_range(body: dict) -> A.RangeQ:
     )
 
 
-def _parse_distance_m(v) -> float:
-    """'200km' / '5000m' / '3mi' / bare number (meters) — reference:
-    common/unit/DistanceUnit.java."""
+# meters per unit, matched LONGEST SUFFIX FIRST so 'nmi' never
+# mis-dispatches to 'mi' nor 'cm' to 'm' (reference:
+# common/unit/DistanceUnit.java's unit table)
+DISTANCE_UNITS_M = [
+    ("nmi", 1852.0), ("km", 1000.0), ("mi", 1609.344), ("yd", 0.9144),
+    ("ft", 0.3048), ("in", 0.0254), ("cm", 0.01), ("mm", 0.001),
+    ("m", 1.0),
+]
+
+# request keys that are OPTIONS, not the geo field name, in geo queries
+_GEO_OPTION_KEYS = {
+    "distance", "distance_type", "validation_method", "ignore_unmapped",
+    "_name", "boost", "unit", "type",
+}
+
+
+def parse_distance_m(v) -> float:
+    """'200km' / '5000m' / '3nmi' / bare number (meters)."""
     if isinstance(v, (int, float)):
         return float(v)
     s = str(v).strip().lower()
-    for suf, mul in (("km", 1000.0), ("mi", 1609.344), ("m", 1.0)):
+    for suf, mul in DISTANCE_UNITS_M:
         if s.endswith(suf):
             return float(s[: -len(suf)]) * mul
     return float(s)
@@ -137,20 +152,26 @@ def _parse_geo_point(p) -> tuple:
     return float(lat), float(lon)
 
 
+def _geo_field(body: dict) -> tuple:
+    spec = {k: v for k, v in body.items() if k not in _GEO_OPTION_KEYS}
+    if len(spec) != 1:
+        raise ValueError(f"geo query needs exactly one field, got {list(spec)}")
+    ((fld, val),) = spec.items()
+    return fld, val
+
+
 def _parse_geo_distance(body: dict) -> "A.GeoDistanceQ":
-    spec = {k: v for k, v in body.items() if k not in ("distance", "boost")}
-    ((fld, point),) = spec.items()
+    fld, point = _geo_field(body)
     lat, lon = _parse_geo_point(point)
     return A.GeoDistanceQ(
         field_name=fld, lat=lat, lon=lon,
-        distance_m=_parse_distance_m(body["distance"]),
+        distance_m=parse_distance_m(body["distance"]),
         boost=float(body.get("boost", 1.0)),
     )
 
 
 def _parse_geo_bbox(body: dict) -> "A.GeoBoundingBoxQ":
-    spec = {k: v for k, v in body.items() if k != "boost"}
-    ((fld, box),) = spec.items()
+    fld, box = _geo_field(body)
     tl_lat, tl_lon = _parse_geo_point(box["top_left"])
     br_lat, br_lon = _parse_geo_point(box["bottom_right"])
     return A.GeoBoundingBoxQ(

@@ -479,12 +479,21 @@ class SearchEngine:
         # None = not loaded yet; False = vocabulary too large, fall back
         # to per-term pushdown scans.
         self._term_df_map: Dict[str, int] | None | bool = None
+        import threading as _threading
+
         self._msearch_plans: Dict[tuple, DataFrame] = {}
         self._search_plans: Dict[tuple, DataFrame] = {}
+        # msearch_many drives msearch/search from a thread pool: cache
+        # get/evict/put must be atomic or two threads evicting the same
+        # head key race into KeyError
+        self._plan_cache_lock = _threading.Lock()
         # wildcard trigram accelerator (build_wildcard_index), if built
+        # and not marked STALE by a later add_batch
         _wg = os.path.join(self.paths.root, "wildgrams")
         self._wildgrams: DataFrame | None = (
-            spark.read.parquet(_wg) if os.path.isdir(_wg) and pit is None
+            spark.read.parquet(_wg)
+            if (os.path.isdir(_wg) and pit is None
+                and not os.path.exists(os.path.join(_wg, "_STALE")))
             else None
         )
         from opensearch_spark.search.templates import TemplateRegistry
@@ -682,7 +691,8 @@ class SearchEngine:
             except TypeError:
                 sig = None
         if sig is not None:
-            cached = self._search_plans.get(sig)
+            with self._plan_cache_lock:
+                cached = self._search_plans.get(sig)
             if cached is not None:
                 return cached
         node = dsl_mod.parse(query) if isinstance(query, dict) else dsl_mod.normalize(query)
@@ -779,9 +789,11 @@ class SearchEngine:
         else:
             out = out.limit(k)
         if sig is not None:
-            if len(self._search_plans) >= self.MSEARCH_PLAN_CACHE:
-                self._search_plans.pop(next(iter(self._search_plans)))
-            self._search_plans[sig] = out
+            with self._plan_cache_lock:
+                if len(self._search_plans) >= self.MSEARCH_PLAN_CACHE:
+                    self._search_plans.pop(
+                        next(iter(self._search_plans), None), None)
+                self._search_plans[sig] = out
         return out
 
     def request(self, body: dict) -> dict:
@@ -1363,14 +1375,17 @@ class SearchEngine:
             except TypeError:
                 sig = None
         if sig is not None:
-            cached = self._msearch_plans.get(sig)
+            with self._plan_cache_lock:
+                cached = self._msearch_plans.get(sig)
             if cached is not None:
                 return cached
         out = self._msearch_build(queries, k)
         if sig is not None:
-            if len(self._msearch_plans) >= self.MSEARCH_PLAN_CACHE:
-                self._msearch_plans.pop(next(iter(self._msearch_plans)))
-            self._msearch_plans[sig] = out
+            with self._plan_cache_lock:
+                if len(self._msearch_plans) >= self.MSEARCH_PLAN_CACHE:
+                    self._msearch_plans.pop(
+                        next(iter(self._msearch_plans), None), None)
+                self._msearch_plans[sig] = out
         return out
 
     def msearch_many(self, batches: Sequence[Sequence[dict]], k: int = 10,

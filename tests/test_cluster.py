@@ -126,3 +126,30 @@ def test_msearch_template(cluster):
               for r in eng.search({"match": {"content": "def return"}}, k=3).collect()]
     got = [(int(r["docId"]), round(float(r["score"]), 6)) for r in by_qid[0]]
     assert got == direct
+
+
+def test_alias_index_name_collisions_rejected(cluster):
+    with pytest.raises(ValueError):
+        cluster.put_alias("metrics", "logs-2024")  # alias == index name
+    with pytest.raises(ValueError):
+        cluster.register("logs", object())  # index == existing alias
+
+
+def test_geo_query_options_and_units(cluster):
+    """Standard optional keys must not confuse the geo field detection;
+    distance units dispatch longest-suffix-first."""
+    from opensearch_spark.search import dsl as dsl_mod
+
+    n = dsl_mod.parse({"geo_distance": {
+        "distance": "2nmi", "distance_type": "arc",
+        "validation_method": "STRICT", "_name": "x",
+        "location": {"lat": 1.0, "lon": 2.0}}})
+    assert n.field_name == "location"
+    assert abs(n.distance_m - 2 * 1852.0) < 1e-9
+    assert abs(dsl_mod.parse_distance_m("50cm") - 0.5) < 1e-12
+    assert abs(dsl_mod.parse_distance_m("3mi") - 3 * 1609.344) < 1e-9
+    b = dsl_mod.parse({"geo_bounding_box": {
+        "type": "indexed", "ignore_unmapped": True,
+        "location": {"top_left": [2.0, 1.0],
+                     "bottom_right": "0.5,3.0"}}})
+    assert (b.top, b.left, b.bottom, b.right) == (1.0, 2.0, 0.5, 3.0)

@@ -699,3 +699,33 @@ def test_geo_queries(spark, ix):
         if -60.0 <= pts[d][0] <= 60.0 and -100.0 <= pts[d][1] <= 150.0
     )
     assert got2 == want2 and got2
+
+
+def test_wildgrams_stale_after_add_batch(spark, tmp_path):
+    """add_batch marks the wildcard trigram table stale (no deletion —
+    open readers keep a consistent pre-batch view); new readers fall
+    back to the dictionary scan until an explicit rebuild."""
+    from opensearch_spark.index.incremental import add_batch
+    from opensearch_spark.search import ast as A
+
+    corpus = spark.createDataFrame(generate_corpus(120, seed=61))
+    out = str(tmp_path / "wix")
+    build_index(spark, corpus, out, n_segments=2, shuffle_partitions=4)
+    eng = SearchEngine(spark, out, corpus=corpus)
+    eng.build_wildcard_index()
+    assert eng._wildgrams is not None
+    new = spark.createDataFrame(
+        [("r2", "p2", "c2", "zzwildly new content", "py")],
+        "repo string, path string, commit string, content string, lang string")
+    add_batch(spark, new, out)
+    # pre-batch reader still works (files not deleted)
+    assert eng.expand_terms(A.Wildcard(field_name="content", value="*eturn*"))
+    # fresh reader skips the stale table but still answers via scan
+    eng2 = SearchEngine(spark, out, corpus=corpus)
+    assert eng2._wildgrams is None
+    assert "zzwildly" in eng2.expand_terms(
+        A.Wildcard(field_name="content", value="zzwild*"))
+    # rebuild restores acceleration including the new term
+    eng2.build_wildcard_index()
+    assert "zzwildly" in eng2.expand_terms(
+        A.Wildcard(field_name="content", value="*ildly"))
