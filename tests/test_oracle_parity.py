@@ -75,3 +75,22 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "score" in df.columns
+
+
+def test_ngram_oracle_precondition_no_routed_buckets(spark):
+    """d_ngram_jaccard's DuckDB oracle computes the EXACT all-pairs
+    path; the engine's default routes buckets above NGRAM_MAX_BUCKET_DOCS
+    through MinHash-LSH (bounded recall). The two agree only while no
+    bucket exceeds the cap — assert that precondition holds at the
+    certification scale so the divergence can never be silent."""
+    from opensearch_spark.pipelines.dedup import (
+        NGRAM_MAX_BUCKET_DOCS, ngram_bucket_accounting,
+    )
+
+    acct = ngram_bucket_accounting(spark, SF_DIR, NGRAM_MAX_BUCKET_DOCS)
+    routed = [r["source"] for r in acct.collect() if r["routed_to_lsh"]]
+    assert routed == [], (
+        f"buckets {routed} exceed the skew cap at certification scale — "
+        "the d_ngram_jaccard oracle no longer matches the default path; "
+        "pin the entry to max_bucket_docs=None or extend the oracle"
+    )
