@@ -48,8 +48,8 @@ _METRIC_KINDS = {
 _BUCKET_KINDS = {
     "terms", "multi_terms", "rare_terms", "histogram", "date_histogram",
     "auto_date_histogram", "variable_width_histogram", "range",
-    "date_range", "ip_range", "geo_distance", "geotile_grid", "filters",
-    "missing",
+    "date_range", "ip_range", "geo_distance", "geotile_grid",
+    "geohash_grid", "filters", "missing",
     "global", "composite", "nested", "reverse_nested", "sampler",
     "diversified_sampler", "children", "parent",
 }
@@ -378,6 +378,56 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
             kcol,
             F.concat_ws("/", F.lit(str(z)), xt.cast("long").cast("string"),
                         yt.cast("long").cast("string")),
+        )
+        post["limit"] = ("doc_count", "desc", int(body.get("size", 10000)))
+    elif kind == "geohash_grid":
+        # reference: bucket/geogrid/GeoHashGridAggregationBuilder —
+        # geohash-cell buckets. A geohash of `precision` chars encodes
+        # 5*precision bits interleaving lon (even bit positions from the
+        # MSB) and lat: quantize lon/lat to ceil/floor(bits/2) cells,
+        # interleave the bits, then base32 the 5-bit groups — all plain
+        # integer arithmetic, no UDF, mirrored in the DuckDB oracle.
+        fld = body["field"]
+        prec = int(body.get("precision", 5))
+        bits = 5 * prec
+        lon_bits = (bits + 1) // 2
+        lat_bits = bits // 2
+        lat = F.col(f"{fld}.lat").cast("double")
+        lon = F.col(f"{fld}.lon").cast("double")
+        xi = F.least(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0)
+                    * F.lit(float(1 << lon_bits))).cast("long"),
+            F.lit((1 << lon_bits) - 1),
+        )
+        yi = F.least(
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0)
+                    * F.lit(float(1 << lat_bits))).cast("long"),
+            F.lit((1 << lat_bits) - 1),
+        )
+        # interleaved value: MSB (bit index bits-1) is lon's top bit
+        inter = None
+        for i in range(bits):
+            # bit position i from the LSB; even-from-MSB == lon when
+            # (bits-1-i) is even
+            from_msb = bits - 1 - i
+            if from_msb % 2 == 0:
+                src = F.shiftright(xi, lon_bits - 1 - (from_msb // 2))
+            else:
+                src = F.shiftright(yi, lat_bits - 1 - (from_msb // 2))
+            term = F.shiftleft(src.bitwiseAND(F.lit(1)), i)
+            inter = term if inter is None else inter + term
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        chars = [
+            F.substring(
+                F.lit(b32),
+                (F.shiftright(inter, 5 * (prec - 1 - ci))
+                 .bitwiseAND(F.lit(31)) + 1).cast("int"),
+                1,
+            )
+            for ci in range(prec)
+        ]
+        df = df.where(lat.isNotNull() & lon.isNotNull()).withColumn(
+            kcol, F.concat(*chars)
         )
         post["limit"] = ("doc_count", "desc", int(body.get("size", 10000)))
     elif kind == "children":
