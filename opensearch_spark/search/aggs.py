@@ -75,6 +75,7 @@ def _haversine_m(lat_c: Column, lon_c: Column, olat: float, olon: float) -> Colu
 _PIPELINE_KINDS = {
     "cumulative_sum", "derivative", "serial_diff", "moving_fn", "moving_avg",
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
+    "extended_stats_bucket", "percentiles_bucket",
     "bucket_script", "bucket_selector", "bucket_sort",
 }
 
@@ -1010,6 +1011,46 @@ def _apply_pipeline(out: DataFrame, name: str, kind: str, body: dict,
             .withColumn(f"{name}_min", F.min(F.col(path)).over(whole))
             .withColumn(f"{name}_max", F.max(F.col(path)).over(whole))
         )
+    if kind == "extended_stats_bucket":
+        # reference: pipeline/ExtendedStatsBucketPipelineAggregator —
+        # stats_bucket plus POPULATION variance/std_dev and the
+        # sigma-scaled bounds
+        sigma = float(body.get("sigma", 2.0))
+        whole = Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        avg = F.avg(F.col(path)).over(whole)
+        sd = F.coalesce(F.stddev_pop(F.col(path)).over(whole), F.lit(0.0))
+        return (
+            out.withColumn(f"{name}_avg", avg)
+            .withColumn(f"{name}_sum", F.sum(F.col(path)).over(whole))
+            .withColumn(f"{name}_min", F.min(F.col(path)).over(whole))
+            .withColumn(f"{name}_max", F.max(F.col(path)).over(whole))
+            .withColumn(f"{name}_count", F.count(F.col(path)).over(whole))
+            .withColumn(f"{name}_variance",
+                        F.coalesce(F.var_pop(F.col(path)).over(whole),
+                                   F.lit(0.0)))
+            .withColumn(f"{name}_std_deviation", sd)
+            .withColumn(f"{name}_upper", avg + F.lit(sigma) * sd)
+            .withColumn(f"{name}_lower", avg - F.lit(sigma) * sd)
+        )
+    if kind == "percentiles_bucket":
+        # reference: pipeline/PercentilesBucketPipelineAggregator — the
+        # requested percentiles over the sibling buckets' values, linear
+        # interpolation over the sorted values (Spark's exact
+        # `percentile` agg uses the same definition)
+        percents = body.get("percents", [1.0, 5.0, 25.0, 50.0, 75.0,
+                                         95.0, 99.0])
+        whole = Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        for p in percents:
+            col = f"{name}_p{format(float(p), 'g').replace('.', '_')}"
+            out = out.withColumn(
+                col,
+                F.expr(f"percentile({path}, {float(p) / 100.0!r})").over(whole),
+            )
+        return out
     if kind == "bucket_script":
         variables = {k: v for k, v in (path or {}).items()}
         script = body["script"]

@@ -98,6 +98,17 @@ class GeoBoundingBoxQ(Node):
 
 
 @dataclass
+class GeoPolygonQ(Node):
+    """geo_polygon query (reference: index/query/
+    GeoPolygonQueryBuilder.java) — points inside the polygon given as
+    a closed-or-open ring of (lat, lon) vertices; filter context.
+    Membership is even-odd ray casting, unrolled per edge into plain
+    Catalyst arithmetic (the polygon is a query-time literal)."""
+    field_name: str = ""
+    points: List[tuple] = field(default_factory=list)  # [(lat, lon), ...]
+
+
+@dataclass
 class Exists(Node):
     field_name: str = ""
 
@@ -187,6 +198,7 @@ class FunctionScore(Node):
     functions: List[dict] = field(default_factory=list)
     score_mode: str = "multiply"  # multiply | sum | avg | max | min | first
     boost_mode: str = "multiply"  # multiply | sum | replace | avg | max | min
+    min_score: Optional[float] = None  # drop hits scoring below (script_score)
 
 
 @dataclass

@@ -170,6 +170,67 @@ def _parse_geo_distance(body: dict) -> "A.GeoDistanceQ":
     )
 
 
+def _parse_geo_polygon(body: dict) -> "A.GeoPolygonQ":
+    """reference: GeoPolygonQueryBuilder — {"field": {"points": [...]}}
+    with each point in any of the three geo_point formats; a closing
+    vertex equal to the first is accepted and dropped."""
+    fld, spec = _geo_field(body)
+    pts = [_parse_geo_point(p) for p in spec["points"]]
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    if len(pts) < 3:
+        raise ValueError("geo_polygon needs at least 3 distinct points")
+    return A.GeoPolygonQ(
+        field_name=fld, points=pts, boost=float(body.get("boost", 1.0))
+    )
+
+
+def _parse_geo_shape(body: dict) -> "A.AnyNode":
+    """reference: GeoShapeQueryBuilder — shape-relation queries. The
+    engine's geo fields are points, so the supported shapes are the
+    ones with a point-vs-shape meaning: ``envelope`` (bbox),
+    ``polygon``, ``circle`` and ``point`` (exact cell). ``relation``
+    intersects/within coincide for point docs; ``disjoint`` negates.
+    (GeoJSON coordinate order: [lon, lat].)"""
+    fld, spec = _geo_field(body)
+    shape = spec["shape"]
+    relation = str(spec.get("relation", "intersects")).lower()
+    stype = str(shape["type"]).lower()
+    coords = shape.get("coordinates")
+    if stype == "envelope":
+        # GeoJSON envelope: [[minLon, maxLat], [maxLon, minLat]]
+        (l, t), (r, b) = coords
+        node: A.AnyNode = A.GeoBoundingBoxQ(
+            field_name=fld, top=float(t), left=float(l),
+            bottom=float(b), right=float(r),
+        )
+    elif stype == "polygon":
+        ring = [(float(p[1]), float(p[0])) for p in coords[0]]
+        if len(ring) > 1 and ring[0] == ring[-1]:
+            ring = ring[:-1]
+        node = A.GeoPolygonQ(field_name=fld, points=ring)
+    elif stype == "circle":
+        lon, lat = coords
+        node = A.GeoDistanceQ(
+            field_name=fld, lat=float(lat), lon=float(lon),
+            distance_m=parse_distance_m(shape.get("radius", "0m")),
+        )
+    elif stype == "point":
+        lon, lat = coords
+        eps = 1e-9
+        node = A.GeoBoundingBoxQ(
+            field_name=fld, top=float(lat) + eps, left=float(lon) - eps,
+            bottom=float(lat) - eps, right=float(lon) + eps,
+        )
+    else:
+        raise ValueError(f"unsupported geo_shape type: {stype}")
+    if relation == "disjoint":
+        return A.Bool(must=[A.MatchAll()], must_not=[node])
+    if relation in ("intersects", "within"):
+        return node
+    raise ValueError(f"unsupported geo_shape relation: {relation}")
+
+
 def _parse_geo_bbox(body: dict) -> "A.GeoBoundingBoxQ":
     fld, box = _geo_field(body)
     tl_lat, tl_lon = _parse_geo_point(box["top_left"])
@@ -359,6 +420,7 @@ def _parse_function_score(b: dict) -> A.FunctionScore:
         functions=fns,
         score_mode=str(b.get("score_mode", "multiply")).lower(),
         boost_mode=str(b.get("boost_mode", "multiply")).lower(),
+        min_score=(float(b["min_score"]) if "min_score" in b else None),
         boost=float(b.get("boost", 1.0)),
     )
 
@@ -533,6 +595,31 @@ _PARSERS = {
     "range": _parse_range,
     "geo_distance": lambda b: _parse_geo_distance(b),
     "geo_bounding_box": lambda b: _parse_geo_bbox(b),
+    "geo_polygon": lambda b: _parse_geo_polygon(b),
+    "geo_shape": lambda b: _parse_geo_shape(b),
+    # reference: ScriptScoreQueryBuilder — the script's value REPLACES
+    # the query score (`_score` is available inside the script);
+    # optional min_score drops hits below the cutoff
+    "script_score": lambda b: A.FunctionScore(
+        query=parse(b["query"]),
+        functions=[{
+            "kind": "script_score",
+            "params": {"source": str(
+                b["script"]["source"] if isinstance(b["script"], dict)
+                else b["script"]
+            )},
+            "weight": 1.0, "filter": None,
+        }],
+        score_mode="multiply", boost_mode="replace",
+        min_score=(float(b["min_score"]) if "min_score" in b else None),
+        boost=float(b.get("boost", 1.0)),
+    ),
+    # reference: FieldMaskingSpanQueryBuilder — re-labels the inner
+    # span's field for cross-field span composition. This engine has a
+    # single indexed text field, so the mask is the identity; parse and
+    # delegate to the inner span (documented divergence).
+    "field_masking_span": lambda b: _parse_span(b["query"]),
+    "span_field_masking": lambda b: _parse_span(b["query"]),
     "exists": lambda b: A.Exists(field_name=b["field"]),
     "ids": lambda b: A.Ids(values=[int(v) for v in b["values"]]),
     "match_all": lambda b: A.MatchAll(boost=float((b or {}).get("boost", 1.0))),

@@ -1602,7 +1602,8 @@ class SearchEngine:
         if isinstance(node, A.DisMax):
             return self._dismax(node)
         if isinstance(node, (A.TermQ, A.TermsQ, A.RangeQ, A.Exists,
-                             A.GeoDistanceQ, A.GeoBoundingBoxQ)):
+                             A.GeoDistanceQ, A.GeoBoundingBoxQ,
+                             A.GeoPolygonQ)):
             return self._meta_filter(node).select(
                 "docId", F.lit(float(node.boost)).alias("score")
             )
@@ -2045,7 +2046,12 @@ class SearchEngine:
             s = F.least(F.col("score"), fv)
         else:
             s = F.col("score") * fv
-        return j.select("docId", (s * F.lit(float(node.boost))).alias("score"))
+        out = j.select("docId", (s * F.lit(float(node.boost))).alias("score"))
+        if node.min_score is not None:
+            # reference: FunctionScoreQuery.MinScoreScorer / script_score
+            # min_score — hits scoring below the cutoff do not match
+            out = out.where(F.col("score") >= F.lit(float(node.min_score)))
+        return out
 
     def _boosting(self, node: A.Boosting) -> DataFrame:
         """boosting query: positive matches demoted by negative_boost when
@@ -2529,6 +2535,29 @@ class SearchEngine:
                 F.col(f"{f}.lon").cast("double"),
                 node.lat, node.lon,
             ) <= F.lit(float(node.distance_m))
+        elif isinstance(node, A.GeoPolygonQ):
+            # reference: GeoPolygonQueryBuilder — even-odd ray casting.
+            # The polygon is a query-time literal, so every edge unrolls
+            # to one branch-free crossing test and the whole membership
+            # check is a single codegen expression (XOR-fold of edge
+            # crossings); no UDF, nothing leaves the JVM.
+            f = node.field_name
+            plat = F.col(f"{f}.lat").cast("double")
+            plon = F.col(f"{f}.lon").cast("double")
+            pts = node.points
+            inside = F.lit(False)
+            for i in range(len(pts)):
+                (lat_i, lon_i) = pts[i]
+                (lat_j, lon_j) = pts[i - 1]
+                if lat_i == lat_j:
+                    continue  # horizontal edge never crosses the ray
+                crosses = (
+                    ((F.lit(lat_i) > plat) != (F.lit(lat_j) > plat))
+                    & (plon < (F.lit(lon_j - lon_i) * (plat - F.lit(lat_i))
+                               / F.lit(lat_j - lat_i) + F.lit(lon_i)))
+                )
+                inside = inside != crosses
+            cond = plat.isNotNull() & plon.isNotNull() & inside
         elif isinstance(node, A.GeoBoundingBoxQ):
             f = node.field_name
             lat = F.col(f"{f}.lat").cast("double")

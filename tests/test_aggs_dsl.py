@@ -447,3 +447,58 @@ def test_composite_date_histogram_source(orders, ddb):
         FROM orders GROUP BY m HAVING m > '{after}' ORDER BY m LIMIT 4
     """).fetchall()
     assert [(g[0], g[1]) for g in got2] == want2
+
+
+def test_pipeline_extended_stats_bucket(orders, ddb):
+    """extended_stats_bucket: population variance/std over the sibling
+    buckets plus sigma bounds (reference:
+    ExtendedStatsBucketPipelineAggregator)."""
+    got = rows(compile_aggs(orders, {
+        "m": {"date_histogram": {"field": "o_orderdate",
+                                 "calendar_interval": "month"}},
+        "es": {"extended_stats_bucket": {"buckets_path": "doc_count",
+                                         "sigma": 2.0}},
+    }))
+    want = ddb.execute("""
+        WITH b AS (SELECT date_trunc('month', o_orderdate) AS m,
+                          count(*) AS c
+                   FROM orders GROUP BY m)
+        SELECT m, c,
+               avg(c) OVER (), sum(c) OVER (), min(c) OVER (),
+               max(c) OVER (), count(c) OVER (),
+               var_pop(c) OVER (), stddev_pop(c) OVER (),
+               avg(c) OVER () + 2.0 * stddev_pop(c) OVER (),
+               avg(c) OVER () - 2.0 * stddev_pop(c) OVER ()
+        FROM b ORDER BY m
+    """).fetchall()
+    assert len(got) == len(want) and len(got) > 2
+    for g, w in zip(got, want):
+        for i in range(1, 11):
+            assert abs(float(g[i]) - float(w[i])) < 1e-6, (i, g, w)
+
+
+def test_pipeline_percentiles_bucket(orders, ddb):
+    """percentiles_bucket: linear-interpolated percentiles over the
+    sibling buckets (reference: PercentilesBucketPipelineAggregator)."""
+    got = compile_aggs(orders, {
+        "m": {"date_histogram": {"field": "o_orderdate",
+                                 "calendar_interval": "month"}},
+        "pct": {"percentiles_bucket": {"buckets_path": "doc_count",
+                                       "percents": [25.0, 50.0, 99.0]}},
+    })
+    assert {"pct_p25", "pct_p50", "pct_p99"} <= set(got.columns)
+    got = rows(got)
+    want = ddb.execute("""
+        WITH b AS (SELECT date_trunc('month', o_orderdate) AS m,
+                          count(*) AS c
+                   FROM orders GROUP BY m)
+        SELECT m, c,
+               quantile_cont(c, 0.25) OVER (),
+               quantile_cont(c, 0.50) OVER (),
+               quantile_cont(c, 0.99) OVER ()
+        FROM b ORDER BY m
+    """).fetchall()
+    assert len(got) == len(want) and len(got) > 2
+    for g, w in zip(got, want):
+        for i in range(1, 5):
+            assert abs(float(g[i]) - float(w[i])) < 1e-6, (i, g, w)

@@ -325,3 +325,155 @@ def test_geo_bbox_dateline_wrap(spark, tmp_path):
            .select("docId", "location").collect()}
     want = {d for d, lon in pts.items() if lon >= 170.0 or lon <= -170.0}
     assert got == want
+
+
+@pytest.fixture()
+def geo_eng(spark, tmp_path):
+    """Corpus with a deterministic hash-derived location column."""
+    corpus = spark.createDataFrame(generate_corpus(200, seed=11))
+    out = str(tmp_path / "geopix")
+    build_index(spark, corpus, out, n_segments=2, shuffle_partitions=4)
+    geo = corpus.withColumn(
+        "location",
+        F.struct(
+            ((F.xxhash64("path", F.lit(1)) % 1600) / 10.0 - 80.0).alias("lat"),
+            ((F.xxhash64("path") % 3600) / 10.0 - 180.0).alias("lon"),
+        ),
+    )
+    eng = SearchEngine(spark, out, corpus=geo)
+    pts = {int(r["docId"]): (float(r["location"]["lat"]),
+                             float(r["location"]["lon"]))
+           for r in geo.withColumn(
+               "docId", F.xxhash64("repo", "path", "commit")
+           ).select("docId", "location").collect()}
+    return eng, pts
+
+
+def _py_in_polygon(lat, lon, poly):
+    """Independent even-odd ray casting oracle (plain Python)."""
+    inside = False
+    for i in range(len(poly)):
+        lat_i, lon_i = poly[i]
+        lat_j, lon_j = poly[i - 1]
+        if lat_i == lat_j:
+            continue
+        if ((lat_i > lat) != (lat_j > lat)) and (
+            lon < (lon_j - lon_i) * (lat - lat_i) / (lat_j - lat_i) + lon_i
+        ):
+            inside = not inside
+    return inside
+
+
+POLY = [(0.0, -60.0), (55.0, -10.0), (10.0, 70.0), (-45.0, 20.0),
+        (-20.0, -50.0)]
+
+
+def test_geo_polygon_matches_ray_casting_oracle(geo_eng):
+    eng, pts = geo_eng
+    got = {int(r["docId"]) for r in eng.search({
+        "geo_polygon": {"location": {
+            "points": [{"lat": la, "lon": lo} for la, lo in POLY]}},
+    }, k=10000).collect()}
+    want = {d for d, (la, lo) in pts.items() if _py_in_polygon(la, lo, POLY)}
+    assert got == want and 0 < len(want) < len(pts)
+
+
+def test_geo_polygon_accepts_closed_ring_and_geojson_order(geo_eng):
+    eng, _ = geo_eng
+    ring = [[lo, la] for la, lo in POLY] + [[POLY[0][1], POLY[0][0]]]
+    a = {int(r["docId"]) for r in eng.search({
+        "geo_polygon": {"location": {"points": ring}}}, k=10000).collect()}
+    b = {int(r["docId"]) for r in eng.search({
+        "geo_polygon": {"location": {
+            "points": [{"lat": la, "lon": lo} for la, lo in POLY]}},
+    }, k=10000).collect()}
+    assert a == b
+
+
+def test_geo_shape_envelope_equals_bbox(geo_eng):
+    eng, pts = geo_eng
+    got = {int(r["docId"]) for r in eng.search({
+        "geo_shape": {"location": {
+            "shape": {"type": "envelope",
+                      "coordinates": [[-30.0, 40.0], [60.0, -25.0]]},
+            "relation": "intersects"}},
+    }, k=10000).collect()}
+    want = {d for d, (la, lo) in pts.items()
+            if -25.0 <= la <= 40.0 and -30.0 <= lo <= 60.0}
+    assert got == want and want
+
+
+def test_geo_shape_polygon_and_disjoint_partition_corpus(geo_eng):
+    eng, pts = geo_eng
+    ring = [[lo, la] for la, lo in POLY] + [[POLY[0][1], POLY[0][0]]]
+    inside = {int(r["docId"]) for r in eng.search({
+        "geo_shape": {"location": {
+            "shape": {"type": "polygon", "coordinates": [ring]},
+            "relation": "within"}},
+    }, k=10000).collect()}
+    outside = {int(r["docId"]) for r in eng.search({
+        "geo_shape": {"location": {
+            "shape": {"type": "polygon", "coordinates": [ring]},
+            "relation": "disjoint"}},
+    }, k=10000).collect()}
+    assert inside and outside
+    assert inside | outside == set(pts) and not (inside & outside)
+
+
+def test_geo_shape_circle_equals_geo_distance(geo_eng):
+    eng, _ = geo_eng
+    a = {int(r["docId"]) for r in eng.search({
+        "geo_shape": {"location": {
+            "shape": {"type": "circle", "coordinates": [10.0, 20.0],
+                      "radius": "3000km"}}}}, k=10000).collect()}
+    b = {int(r["docId"]) for r in eng.search({
+        "geo_distance": {"distance": "3000km",
+                         "location": {"lat": 20.0, "lon": 10.0}},
+    }, k=10000).collect()}
+    assert a == b and a
+
+
+def test_script_score_query_replaces_score(eng):
+    """Top-level script_score query (reference ScriptScoreQueryBuilder):
+    the script value REPLACES the BM25 score; `_score` is available."""
+    got = eng.search({
+        "script_score": {
+            "query": Q,
+            "script": {"source": "0.5 * _score + length(content) / 1000.0"},
+        },
+    }, k=20).collect()
+    base = {int(r["docId"]): float(r["score"])
+            for r in eng.search(Q, k=10000).collect()}
+    nchars = {int(r["docId"]): int(r["n"])
+              for r in eng.corpus.select(
+                  "docId", F.length("content").alias("n")).collect()}
+    assert got
+    for r in got:
+        d = int(r["docId"])
+        want = 0.5 * base[d] + nchars[d] / 1000.0
+        assert abs(float(r["score"]) - want) < 1e-9
+
+
+def test_script_score_min_score_filters(eng):
+    full = eng.search({
+        "script_score": {"query": Q, "script": {"source": "_score"}},
+    }, k=10000).collect()
+    scores = sorted((float(r["score"]) for r in full), reverse=True)
+    cut = scores[len(scores) // 2]
+    kept = eng.search({
+        "script_score": {"query": Q, "script": {"source": "_score"},
+                         "min_score": cut},
+    }, k=10000).collect()
+    assert kept and all(float(r["score"]) >= cut for r in kept)
+    assert len(kept) == sum(1 for s in scores if s >= cut)
+
+
+def test_field_masking_span_delegates_to_inner(eng):
+    inner = {"span_near": {"clauses": [
+        {"span_term": {"content": "def"}},
+        {"span_term": {"content": "return"}},
+    ], "slop": 8, "in_order": False}}
+    a = rows(eng.search({"field_masking_span": {
+        "query": inner, "field": "content"}}, k=50))
+    b = rows(eng.search(inner, k=50))
+    assert a == b and a
