@@ -395,16 +395,19 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
         lat_bits = bits // 2
         lat = F.col(f"{fld}.lat").cast("double")
         lon = F.col(f"{fld}.lon").cast("double")
-        xi = F.least(
+        # clamp both sides (same defense as geotile above): negative
+        # cell indices from un-normalized coords would sign-extend
+        # through shiftright and land in a garbage all-ones cell
+        xi = F.greatest(F.lit(0).cast("long"), F.least(
             F.floor((lon + F.lit(180.0)) / F.lit(360.0)
                     * F.lit(float(1 << lon_bits))).cast("long"),
             F.lit((1 << lon_bits) - 1),
-        )
-        yi = F.least(
+        ))
+        yi = F.greatest(F.lit(0).cast("long"), F.least(
             F.floor((lat + F.lit(90.0)) / F.lit(180.0)
                     * F.lit(float(1 << lat_bits))).cast("long"),
             F.lit((1 << lat_bits) - 1),
-        )
+        ))
         # interleaved value: MSB (bit index bits-1) is lon's top bit
         inter = None
         for i in range(bits):
@@ -1035,20 +1038,23 @@ def _apply_pipeline(out: DataFrame, name: str, kind: str, body: dict,
             .withColumn(f"{name}_lower", avg - F.lit(sigma) * sd)
         )
     if kind == "percentiles_bucket":
-        # reference: pipeline/PercentilesBucketPipelineAggregator — the
-        # requested percentiles over the sibling buckets' values, linear
-        # interpolation over the sorted values (Spark's exact
-        # `percentile` agg uses the same definition)
+        # reference: pipeline/PercentilesBucketPipelineAggregator.java:94
+        # — nearest-rank, NOT interpolated: sort the sibling buckets'
+        # values and select data[round(p/100 * (n-1))] (Java Math.round
+        # = floor(x + 0.5)). collect_list skips nulls == gap_policy skip.
         percents = body.get("percents", [1.0, 5.0, 25.0, 50.0, 75.0,
                                          95.0, 99.0])
         whole = Window.orderBy(F.lit(1)).rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
+        srt = F.array_sort(F.collect_list(F.col(path)).over(whole))
+        n = F.size(srt)
         for p in percents:
             col = f"{name}_p{format(float(p), 'g').replace('.', '_')}"
+            idx = F.floor(F.lit(float(p) / 100.0) * (n - F.lit(1)).cast("double")
+                          + F.lit(0.5)).cast("int")
             out = out.withColumn(
-                col,
-                F.expr(f"percentile({path}, {float(p) / 100.0!r})").over(whole),
+                col, F.element_at(srt, idx + F.lit(1)).cast("double")
             )
         return out
     if kind == "bucket_script":

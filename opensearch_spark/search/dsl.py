@@ -195,8 +195,21 @@ def _parse_geo_shape(body: dict) -> "A.AnyNode":
     fld, spec = _geo_field(body)
     shape = spec["shape"]
     relation = str(spec.get("relation", "intersects")).lower()
+    boost = float(body.get("boost", 1.0))
     stype = str(shape["type"]).lower()
     coords = shape.get("coordinates")
+
+    def _ring(raw) -> list:
+        # GeoJSON ring: [lon, lat] pairs, closing vertex dropped; same
+        # >=3-distinct-vertex contract as _parse_geo_polygon.
+        ring = [(float(p[1]), float(p[0])) for p in raw]
+        if len(ring) > 1 and ring[0] == ring[-1]:
+            ring = ring[:-1]
+        if len(ring) < 3:
+            raise ValueError("geo_shape polygon ring needs at least 3 "
+                             "distinct points")
+        return ring
+
     if stype == "envelope":
         # GeoJSON envelope: [[minLon, maxLat], [maxLon, minLat]]
         (l, t), (r, b) = coords
@@ -205,10 +218,15 @@ def _parse_geo_shape(body: dict) -> "A.AnyNode":
             bottom=float(b), right=float(r),
         )
     elif stype == "polygon":
-        ring = [(float(p[1]), float(p[0])) for p in coords[0]]
-        if len(ring) > 1 and ring[0] == ring[-1]:
-            ring = ring[:-1]
-        node = A.GeoPolygonQ(field_name=fld, points=ring)
+        # coords[0] = outer ring, coords[1:] = holes (GeoJSON). A point
+        # is in the shape iff inside the outer ring and in no hole.
+        node = A.GeoPolygonQ(field_name=fld, points=_ring(coords[0]))
+        if len(coords) > 1:
+            node = A.Bool(
+                must=[node],
+                must_not=[A.GeoPolygonQ(field_name=fld, points=_ring(h))
+                          for h in coords[1:]],
+            )
     elif stype == "circle":
         lon, lat = coords
         node = A.GeoDistanceQ(
@@ -224,8 +242,16 @@ def _parse_geo_shape(body: dict) -> "A.AnyNode":
         )
     else:
         raise ValueError(f"unsupported geo_shape type: {stype}")
+    node.boost = boost
     if relation == "disjoint":
-        return A.Bool(must=[A.MatchAll()], must_not=[node])
+        # reference GeoShapeQueryBuilder: disjoint only matches docs
+        # that HAVE an indexed geo value — docs missing the field never
+        # match, so the negation is anchored on field existence.
+        return A.Bool(
+            must=[A.Exists(field_name=f"{fld}.lat"),
+                  A.Exists(field_name=f"{fld}.lon")],
+            must_not=[node], boost=boost,
+        )
     if relation in ("intersects", "within"):
         return node
     raise ValueError(f"unsupported geo_shape relation: {relation}")
@@ -317,6 +343,11 @@ def _parse_span(dsl: dict) -> A.AnyNode:
     if kind == "span_multi":
         return A.SpanMulti(match=parse(body["match"]),
                            boost=float(body.get("boost", 1.0)))
+    if kind in ("field_masking_span", "span_field_masking"):
+        # reference: FieldMaskingSpanQueryBuilder — valid anywhere a
+        # span clause is (its primary use is inside span_near); single
+        # indexed text field makes the mask the identity here.
+        return _parse_span(body["query"])
     raise ValueError(f"unsupported span query: {kind}")
 
 

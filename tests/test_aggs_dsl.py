@@ -478,8 +478,9 @@ def test_pipeline_extended_stats_bucket(orders, ddb):
 
 
 def test_pipeline_percentiles_bucket(orders, ddb):
-    """percentiles_bucket: linear-interpolated percentiles over the
-    sibling buckets (reference: PercentilesBucketPipelineAggregator)."""
+    """percentiles_bucket: nearest-rank selection over the sorted
+    sibling-bucket values — data[round(p/100*(n-1))], NOT interpolated
+    (reference: PercentilesBucketPipelineAggregator.java:94)."""
     got = compile_aggs(orders, {
         "m": {"date_histogram": {"field": "o_orderdate",
                                  "calendar_interval": "month"}},
@@ -488,17 +489,37 @@ def test_pipeline_percentiles_bucket(orders, ddb):
     })
     assert {"pct_p25", "pct_p50", "pct_p99"} <= set(got.columns)
     got = rows(got)
-    want = ddb.execute("""
-        WITH b AS (SELECT date_trunc('month', o_orderdate) AS m,
-                          count(*) AS c
-                   FROM orders GROUP BY m)
-        SELECT m, c,
-               quantile_cont(c, 0.25) OVER (),
-               quantile_cont(c, 0.50) OVER (),
-               quantile_cont(c, 0.99) OVER ()
-        FROM b ORDER BY m
-    """).fetchall()
-    assert len(got) == len(want) and len(got) > 2
-    for g, w in zip(got, want):
-        for i in range(1, 5):
-            assert abs(float(g[i]) - float(w[i])) < 1e-6, (i, g, w)
+    counts = sorted(r[1] for r in ddb.execute("""
+        SELECT date_trunc('month', o_orderdate) AS m, count(*) AS c
+        FROM orders GROUP BY m
+    """).fetchall())
+    n = len(counts)
+
+    def rank(p):
+        return float(counts[int((p / 100.0) * (n - 1) + 0.5)])
+
+    assert n > 2 and len(got) == n
+    for g in got:
+        # every value must be an ACTUAL bucket count (nearest-rank)
+        for i, p in zip(range(2, 5), (25.0, 50.0, 99.0)):
+            assert float(g[i]) == rank(p), (i, g)
+            assert float(g[i]) in {float(c) for c in counts}
+
+
+def test_geohash_grid_clamps_unnormalized_coords(spark):
+    """Out-of-range coordinates (lon < -180 / lat < -90) clamp to the
+    edge cell instead of sign-extending into a garbage all-'z' cell
+    (same two-sided clamp as geotile_grid)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(0, -90.0, -180.0), (1, -90.5, -180.5), (2, 91.0, 181.0)],
+        "id long, lat double, lon double",
+    ).withColumn("location", F.struct("lat", "lon"))
+    got = {r["key_g"]: r["doc_count"] for r in compile_aggs(ev, {
+        "g": {"geohash_grid": {"field": "location", "precision": 1}}
+    }).collect()}
+    # rows 0 and 1 must land in the SAME (SW-corner) cell: geohash '0'
+    assert got.get("0") == 2
+    # the NE out-of-range point clamps to the NE corner cell 'z'
+    assert got.get("z") == 1

@@ -477,3 +477,75 @@ def test_field_masking_span_delegates_to_inner(eng):
         "query": inner, "field": "content"}}, k=50))
     b = rows(eng.search(inner, k=50))
     assert a == b and a
+
+
+def test_field_masking_span_nested_inside_span_near(eng):
+    """The mask's primary use is INSIDE span_near clauses (reference
+    FieldMaskingSpanQueryBuilder); nesting must parse, not raise."""
+    masked = {"span_near": {"clauses": [
+        {"span_term": {"content": "def"}},
+        {"field_masking_span": {
+            "query": {"span_term": {"content": "return"}},
+            "field": "content"}},
+    ], "slop": 8, "in_order": False}}
+    plain = {"span_near": {"clauses": [
+        {"span_term": {"content": "def"}},
+        {"span_term": {"content": "return"}},
+    ], "slop": 8, "in_order": False}}
+    a = rows(eng.search(masked, k=50))
+    b = rows(eng.search(plain, k=50))
+    assert a == b and a
+
+
+HOLE = [(-30.0, -40.0), (40.0, -10.0), (-30.0, 40.0)]  # overlaps POLY
+
+
+def test_geo_shape_polygon_with_hole(geo_eng):
+    """GeoJSON interior rings are holes: points inside a hole do NOT
+    match (outer ring minus every hole)."""
+    eng, pts = geo_eng
+    outer = [[lo, la] for la, lo in POLY] + [[POLY[0][1], POLY[0][0]]]
+    hole = [[lo, la] for la, lo in HOLE] + [[HOLE[0][1], HOLE[0][0]]]
+    got = {int(r["docId"]) for r in eng.search({
+        "geo_shape": {"location": {
+            "shape": {"type": "polygon", "coordinates": [outer, hole]},
+            "relation": "within"}},
+    }, k=10000).collect()}
+    want = {d for d, (la, lo) in pts.items()
+            if _py_in_polygon(la, lo, POLY)
+            and not _py_in_polygon(la, lo, HOLE)}
+    in_hole = {d for d, (la, lo) in pts.items()
+               if _py_in_polygon(la, lo, HOLE)}
+    assert got == want and want and in_hole  # hole is non-trivial
+    assert not (got & in_hole)
+
+
+def test_geo_shape_degenerate_ring_raises(geo_eng):
+    eng, _ = geo_eng
+    with pytest.raises(ValueError, match="3 distinct"):
+        eng.search({"geo_shape": {"location": {
+            "shape": {"type": "polygon",
+                      "coordinates": [[[0.0, 0.0], [10.0, 10.0],
+                                       [0.0, 0.0]]]}}}}, k=10)
+
+
+def test_geo_shape_disjoint_requires_field_and_boost_parses():
+    """disjoint anchors on field existence (reference GeoShapeQueryBuilder
+    never matches docs without an indexed value) and query-level boost
+    propagates like the sibling geo parsers."""
+    from opensearch_spark.search import ast as A
+    from opensearch_spark.search.dsl import parse
+
+    node = parse({"geo_shape": {"location": {
+        "shape": {"type": "envelope",
+                  "coordinates": [[-30.0, 40.0], [60.0, -25.0]]},
+        "relation": "disjoint"}, "boost": 3.0}})
+    assert isinstance(node, A.Bool)
+    assert [type(m) for m in node.must] == [A.Exists, A.Exists]
+    assert {m.field_name for m in node.must} == {"location.lat",
+                                                "location.lon"}
+    assert len(node.must_not) == 1 and node.boost == 3.0
+    inner = parse({"geo_shape": {"location": {
+        "shape": {"type": "circle", "coordinates": [10.0, 20.0],
+                  "radius": "5km"}}, "boost": 2.5}})
+    assert inner.boost == 2.5
