@@ -69,18 +69,20 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     ``sequence(1, 0)`` is DESCENDING in Spark ([1, 0]), which would feed
     ``slice(words, 0, n)`` and abort the whole job with
     INVALID_PARAMETER_VALUE.START."""
-    return (
-        df.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"CASE WHEN size(split(text,' ')) < {n} THEN array()"
-                    f" ELSE transform(sequence(1, size(split(text,' ')) - {n - 1}),"
-                    f" i -> array_join(slice(split(text,' '), i, {n}), ' ')) END"
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
+    # per-doc dedup happens MAP-SIDE (array_distinct before the explode):
+    # doc_id is unique per input row, so this equals a global
+    # (doc_id, shingle) distinct without the Exchange a .distinct()
+    # would add — one shuffle saved for every downstream consumer.
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(text,' ')) < {n} THEN array()"
+                f" ELSE array_distinct("
+                f"  transform(sequence(1, size(split(text,' ')) - {n - 1}),"
+                f"  i -> array_join(slice(split(text,' '), i, {n}), ' '))) END"
+            )
+        ).alias("shingle"),
     )
 
 
@@ -313,3 +315,35 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
             _minhash_pairs_of(d_hot, key_cols=("source",)).select("a", "b", "jaccard")
         )
     return out
+
+
+DUP_NGRAM_N = 5
+DUP_NGRAM_MIN_DOCS = 2
+DUP_NGRAM_TOP = 100
+
+
+def dup_ngram_inventory(spark: SparkSession, sf_dir: str,
+                        n: int = DUP_NGRAM_N,
+                        min_docs: int = DUP_NGRAM_MIN_DOCS,
+                        top: int = DUP_NGRAM_TOP) -> DataFrame:
+    """Corpus-level boilerplate inventory (the discovery step behind
+    substring-level dedup, Lee et al. 2021 "Deduplicating Training
+    Data"): the word ``n``-grams that appear in at least ``min_docs``
+    DISTINCT documents of the near-dup corpus, ranked by document
+    frequency.
+
+    Plan: one shingle explode (already distinct per doc) + one
+    map-side-combining groupBy + TakeOrderedAndProject — a single
+    shuffle keyed on the shingle. At 100 TB hot boilerplate shingles
+    are exactly the skewed keys AQE's partial aggregation absorbs
+    (each mapper emits one row per (shingle) regardless of its local
+    count). Deterministic tie-break: doc_count desc, shingle asc."""
+    d = near_dup_corpus(_docs(spark, sf_dir).select("doc_id", "text"))
+    return (
+        _shingles(d, n=n)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("doc_count"))
+        .where(F.col("doc_count") >= min_docs)
+        .orderBy(F.desc("doc_count"), F.asc("shingle"))
+        .limit(top)
+    )

@@ -379,4 +379,128 @@ ORACLES: dict[str, str] = {
                sha256(text) AS payload_sha
         FROM documents
     """,
+    # Gopher-style repetition signals (textstats.repetition_signals):
+    # n-gram totals/distincts via positional self-joins, top-word
+    # multiplicity via unnest+group, all per-doc.
+    "t_repetition": """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS words
+          FROM documents
+        ),
+        tokp AS (
+          SELECT doc_id, unnest(words) AS term,
+                 generate_subscripts(words, 1) AS pos
+          FROM w
+        ),
+        topw AS (
+          SELECT doc_id, max(c) AS top FROM (
+            SELECT doc_id, term, count(*) AS c FROM tokp GROUP BY doc_id, term
+          ) GROUP BY doc_id
+        ),
+        g2 AS (
+          SELECT a.doc_id, count(*) AS total,
+                 count(DISTINCT a.term || ' ' || b.term) AS dist
+          FROM tokp a JOIN tokp b
+            ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          GROUP BY a.doc_id
+        ),
+        g3 AS (
+          SELECT a.doc_id, count(*) AS total,
+                 count(DISTINCT a.term || ' ' || b.term || ' ' || c.term) AS dist
+          FROM tokp a
+          JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+          GROUP BY a.doc_id
+        )
+        SELECT w.doc_id, len(words) AS n_tokens,
+               round(len(list_distinct(words))
+                     / greatest(len(words), 1), 4) AS distinct_word_frac,
+               round(coalesce(topw.top, 0)
+                     / greatest(len(words), 1), 4) AS top_word_frac,
+               round(coalesce(1.0 - g2.dist * 1.0 / g2.total, 0.0), 4)
+                 AS dup_2gram_frac,
+               round(coalesce(1.0 - g3.dist * 1.0 / g3.total, 0.0), 4)
+                 AS dup_3gram_frac
+        FROM w
+        LEFT JOIN topw USING (doc_id)
+        LEFT JOIN g2 USING (doc_id)
+        LEFT JOIN g3 USING (doc_id)
+    """,
+    # PII scrub (textstats.pii_scrub_demo): same synthetic prefix, same
+    # patterns (Java regex == RE2 for these), 'g' flag = Spark's
+    # replace-all default.
+    "t_pii_redact": r"""
+        WITH s AS (
+          SELECT doc_id,
+                 'contact user' || CAST(doc_id AS VARCHAR) || '@' || source
+                 || '.net tel 555-0' || CAST(doc_id % 100 AS VARCHAR)
+                 || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 '
+                 || text AS synth
+          FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(synth,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(synth,
+                 '\b555-0[0-9]{1,3}\b')) AS n_phones,
+               len(regexp_extract_all(synth,
+                 '\b10\.0\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+               md5(regexp_replace(regexp_replace(regexp_replace(synth,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g'),
+                 '\b555-0[0-9]{1,3}\b', '[PHONE]', 'g'),
+                 '\b10\.0\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'))
+                 AS redacted_md5
+        FROM s
+    """,
+    # boilerplate inventory (dedup.dup_ngram_inventory): 5-gram doc
+    # frequencies over the near-dup corpus, deterministic ordering.
+    "d_dup_ngrams": f"""
+        WITH {_ND},
+        w AS (SELECT doc_id, string_split(text, ' ') AS words FROM nd),
+        tokp AS (
+          SELECT doc_id, unnest(words) AS term,
+                 generate_subscripts(words, 1) AS pos
+          FROM w
+        ),
+        sh AS (
+          SELECT DISTINCT a.doc_id,
+                 a.term || ' ' || b.term || ' ' || c.term || ' ' ||
+                 d.term || ' ' || e.term AS shingle
+          FROM tokp a
+          JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+          JOIN tokp d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+          JOIN tokp e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4
+        )
+        SELECT shingle, count(*) AS doc_count
+        FROM sh GROUP BY shingle HAVING count(*) >= 2
+        ORDER BY doc_count DESC, shingle ASC LIMIT 100
+    """,
 }
+
+
+def _domain_mix_sql() -> str:
+    """Mirror of sampling.domain_mix: md5-hex uniform thresholds, the
+    same DOMAIN_MIX literals."""
+    from opensearch_spark.pipelines.sampling import (
+        DOMAIN_MIX, DOMAIN_MIX_SEED, frac_hex_threshold,
+    )
+
+    cases = " OR ".join(
+        f"(source = '{s}' AND u8 < '{frac_hex_threshold(f)}')"
+        for s, f in sorted(DOMAIN_MIX.items())
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id, source,
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':{DOMAIN_MIX_SEED}'),
+                        1, 8) AS u8
+          FROM documents
+        )
+        SELECT doc_id, source, u8 FROM s WHERE {cases}
+    """
+
+
+ORACLES["p_domain_mix"] = _domain_mix_sql()

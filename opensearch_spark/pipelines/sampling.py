@@ -1,0 +1,69 @@
+"""Deterministic stratified sampling for training-data mixture control.
+
+Large-scale pretraining pipelines re-weight domains (upsample books,
+downsample boilerplate web) before tokenization. The operator here is a
+DETERMINISTIC per-row Bernoulli keyed on a stable hash of the row id, so
+- the sample is reproducible across runs / cluster sizes / partitionings
+  (no RNG state, no ``sample()`` seed-per-partition nondeterminism),
+- membership is decidable row-locally: one scan, zero shuffles, and the
+  filter pushes all the way into the parquet scan of any downstream job.
+
+Mechanics: the first 8 hex chars of ``md5(id ':' seed)`` are compared
+lexicographically against ``printf('%08x', frac * 2^32)``. Lowercase hex
+sorts like the number it encodes, so the string comparison IS the
+uniform-[0,1) threshold test — and md5 gives the identical stream in
+Spark, DuckDB, and Python (the cross-engine invariant the oracles rely
+on throughout this repo).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# certification mixture over the 20 uniform testdata sources: keep all
+# of src0-4, half of src5-9, a quarter of src10-14, a tenth of src15-19
+DOMAIN_MIX = {
+    **{f"src{i}": 1.0 for i in range(5)},
+    **{f"src{i}": 0.5 for i in range(5, 10)},
+    **{f"src{i}": 0.25 for i in range(10, 15)},
+    **{f"src{i}": 0.1 for i in range(15, 20)},
+}
+DOMAIN_MIX_SEED = 42
+
+
+def frac_hex_threshold(frac: float) -> str:
+    """8-hex-digit threshold t with P[substr(md5,1,8) < t] == frac."""
+    return format(min(int(frac * (1 << 32)), (1 << 32) - 1), "08x")
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      id_col: str = "doc_id", strata_col: str = "source",
+                      seed: int = DOMAIN_MIX_SEED) -> DataFrame:
+    """Keep each row of stratum ``s`` with probability ``fractions[s]``
+    (strata absent from the dict are dropped), deterministically in the
+    row id. Thresholds are query-time literals folded into one codegen
+    comparison per stratum — no join, no shuffle, no Python."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"),
+                         F.lit(":"), F.lit(str(seed))))
+    u = F.substring(key, 1, 8)
+    cond = F.lit(False)
+    for s, frac in sorted(fractions.items()):
+        cond = cond | ((F.col(strata_col) == s)
+                       & (u < F.lit(frac_hex_threshold(frac))))
+    return df.where(cond)
+
+
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification entry: the DOMAIN_MIX mixture over documents;
+    returns the selected (doc_id, source) pairs plus per-row u8 hash so
+    the oracle check pins the exact membership rule, not just counts."""
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return stratified_sample(d, DOMAIN_MIX).select(
+        "doc_id", "source",
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(f":{DOMAIN_MIX_SEED}"))), 1, 8
+        ).alias("u8"),
+    )

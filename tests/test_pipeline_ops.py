@@ -1,0 +1,117 @@
+"""Behavioral tests for the training-data pipeline operators added in
+round 3: repetition signals, PII redaction, stratified domain mixing,
+and the duplicated-n-gram inventory. The oracle-parity replica covers
+the registered queries; these tests pin the operator semantics on
+crafted inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark.pipelines.sampling import (
+    DOMAIN_MIX_SEED, frac_hex_threshold, stratified_sample,
+)
+from opensearch_spark.pipelines.textstats import pii_redact
+
+
+def test_pii_redact_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.org and d@e.io end"),
+            (2, "call 555-012 or 555-0999 now"),
+            (3, "host 10.0.3.77 peer 10.0.255.1"),
+            (4, "clean text with no pii at all"),
+            (5, "x 555-01234 y"),  # 4 digits after 555-0: no \b match
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ips"]) == (2, 0, 0)
+    assert got[1]["redacted"] == "mail [EMAIL] and [EMAIL] end"
+    assert got[2]["n_phones"] == 2
+    assert got[2]["redacted"] == "call [PHONE] or [PHONE] now"
+    assert got[3]["n_ips"] == 2
+    assert got[3]["redacted"] == "host [IP] peer [IP]"
+    assert got[4]["redacted"] == "clean text with no pii at all"
+    assert got[4]["n_emails"] == got[4]["n_phones"] == got[4]["n_ips"] == 0
+    assert got[5]["n_phones"] == 0  # word boundary: 555-01234 is not NANP
+
+
+def test_repetition_signals_on_crafted_docs(spark, tmp_path, monkeypatch):
+    import opensearch_spark.pipelines.textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one word repeated 4x
+            (2, "a b c d"),          # all distinct
+            (3, "a b a b a b"),      # period-2: every 2-gram a repeat
+            (4, "solo"),             # 1 token: no n-grams
+            (5, ""),                 # empty
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(ts, "_docs", lambda spark, sf_dir: df)
+    got = {r["doc_id"]: r for r in
+           ts.repetition_signals(spark, "ignored").collect()}
+    r1 = got[1]
+    assert r1["n_tokens"] == 4 and r1["distinct_word_frac"] == 0.25
+    assert r1["top_word_frac"] == 1.0
+    # 2-grams of doc1: ['a a','a a','a a'] -> 1 distinct of 3
+    assert r1["dup_2gram_frac"] == round(1 - 1 / 3, 4)
+    r2 = got[2]
+    assert r2["distinct_word_frac"] == 1.0 and r2["top_word_frac"] == 0.25
+    assert r2["dup_2gram_frac"] == 0.0 and r2["dup_3gram_frac"] == 0.0
+    r3 = got[3]
+    # 2-grams: ab ba ab ba ab -> 2 distinct of 5
+    assert r3["dup_2gram_frac"] == round(1 - 2 / 5, 4)
+    # 3-grams: aba bab aba bab -> 2 distinct of 4
+    assert r3["dup_3gram_frac"] == round(1 - 2 / 4, 4)
+    r4, r5 = got[4], got[5]
+    assert r4["dup_2gram_frac"] == 0.0 and r4["top_word_frac"] == 1.0
+    assert r5["n_tokens"] == 0 and r5["top_word_frac"] == 0.0
+
+
+def test_stratified_sample_deterministic_and_unbiased(spark):
+    rows = [(i, f"s{i % 2}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    frac = {"s0": 1.0, "s1": 0.25}
+    a = {r["doc_id"] for r in stratified_sample(df, frac).collect()}
+    b = {r["doc_id"] for r in stratified_sample(df, frac).collect()}
+    assert a == b  # deterministic, not RNG-based
+    n0 = sum(1 for d in a if d % 2 == 0)
+    n1 = len(a) - n0
+    assert n0 == 2000  # frac 1.0 keeps everything
+    assert abs(n1 - 500) < 120  # ~Binomial(2000, .25), generous bound
+    # dropping a stratum from the dict removes it entirely
+    only0 = stratified_sample(df, {"s0": 1.0})
+    assert only0.where(F.col("source") == "s1").count() == 0
+    # different seed -> different (but still deterministic) sample
+    c = {r["doc_id"] for r in
+         stratified_sample(df, frac, seed=DOMAIN_MIX_SEED + 1).collect()}
+    assert c != a
+
+
+def test_frac_hex_threshold_bounds():
+    assert frac_hex_threshold(0.0) == "00000000"
+    assert frac_hex_threshold(1.0) == "ffffffff"
+    assert frac_hex_threshold(0.5) == "80000000"
+    assert len(frac_hex_threshold(0.1)) == 8
+
+
+def test_dup_ngram_inventory_finds_planted_boilerplate(spark, monkeypatch):
+    import opensearch_spark.pipelines.dedup as dd
+
+    boiler = "this is common boilerplate footer"
+    rows = [(i, f"unique{i} words number{i} " + boiler) for i in range(10)]
+    rows += [(100 + i, f"tail{i} only text here none") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(dd, "_docs", lambda spark, sf_dir: df)
+    got = dd.dup_ngram_inventory(spark, "ignored", n=5, min_docs=5).collect()
+    top = got[0]
+    assert top["shingle"] == boiler
+    # 10 planted + truncated copies that still carry the full 5-gram: the
+    # truncation keeps 3/4 of 9 words = 6 words, dropping the footer, so
+    # exactly the 10 originals count
+    assert top["doc_count"] == 10
+    # ordering contract: doc_count desc, shingle asc
+    counts = [r["doc_count"] for r in got]
+    assert counts == sorted(counts, reverse=True)
