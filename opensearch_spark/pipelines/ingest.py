@@ -171,4 +171,56 @@ def _apply_one(df: DataFrame, kind: str, cfg: dict) -> DataFrame:
                            ("QUERY", "query"), ("PROTOCOL", "scheme")):
             df = df.withColumn(f"{base}_{name}", F.parse_url(c, F.lit(part)))
         return df
+    if kind == "remove_by_pattern":
+        # reference: RemoveByPatternProcessor — drop every column whose
+        # name matches a field_pattern ('*' wildcards, like the
+        # reference's Regex.simpleMatch)
+        import fnmatch
+
+        pats = cfg["field_pattern"]
+        pats = pats if isinstance(pats, list) else [pats]
+        drop = [col for col in df.columns
+                if any(fnmatch.fnmatchcase(col, p) for p in pats)]
+        return df.drop(*drop)
+    if kind == "community_id":
+        # reference: CommunityIdProcessor — Community ID v1 flow hash:
+        # '1:' + base64(sha1(seed·saddr·daddr·proto·0·sport·dport))
+        # with the (addr, port) endpoint pair canonically ordered.
+        # IPv4 + port-carrying transports (tcp/udp/sctp) as pure
+        # Catalyst byte-building (hex strings -> unhex -> sha1);
+        # verified against the reference's test vectors.
+        sip = F.col(cfg.get("source_ip_field", "source_ip"))
+        dip = F.col(cfg.get("dest_ip_field", "dest_ip"))
+        sport = F.col(cfg.get("source_port_field", "source_port")).cast("int")
+        dport = F.col(cfg.get("dest_port_field", "dest_port")).cast("int")
+        seed = int(cfg.get("seed", 0))
+        proto_map = {"tcp": 6, "udp": 17, "sctp": 132}
+        tf = cfg.get("transport_field", "transport")
+        proto = F.lower(F.col(tf).cast("string"))
+        proto_num = F.coalesce(
+            *[F.when(proto == name, F.lit(num))
+              for name, num in proto_map.items()],
+            F.col(tf).cast("int"),
+        )
+
+        def ip_hex(ip):
+            o = F.split(ip, r"\.")
+            return F.format_string(
+                "%02x%02x%02x%02x",
+                *[F.element_at(o, i + 1).cast("int") for i in range(4)],
+            )
+
+        sh, dh = ip_hex(sip), ip_hex(dip)
+        swap = (sh > dh) | ((sh == dh) & (sport > dport))
+        a_ip, a_p = F.when(swap, dh).otherwise(sh), F.when(swap, dport).otherwise(sport)
+        b_ip, b_p = F.when(swap, sh).otherwise(dh), F.when(swap, sport).otherwise(dport)
+        payload = F.concat(
+            F.lit(format(seed, "04x")), a_ip, b_ip,
+            F.format_string("%02x", proto_num), F.lit("00"),
+            F.format_string("%04x", a_p), F.format_string("%04x", b_p),
+        )
+        return df.withColumn(
+            cfg.get("target_field", "community_id"),
+            F.concat(F.lit("1:"), F.base64(F.unhex(F.sha1(F.unhex(payload))))),
+        )
     raise ValueError(f"unknown ingest processor: {kind}")

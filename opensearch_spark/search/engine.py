@@ -1099,11 +1099,24 @@ class SearchEngine:
             last = rows[-1]
             after = (float(last["score"]), int(last["docId"]))
 
-    def analyze(self, text: str) -> list:
+    def analyze(self, text: str, tokenizer: str | dict | None = None,
+                filters: list | None = None,
+                char_filters: list | None = None) -> list:
         """`_analyze` endpoint (reference: RestAnalyzeAction /
         TransportAnalyzeAction): run THIS index's analyzer over a string
-        and return tokens with positions + character offsets."""
+        and return tokens with positions + character offsets. Passing
+        ``tokenizer`` / ``filters`` / ``char_filters`` runs a CUSTOM
+        chain instead (the analysis-common surface: stop/stemmer/
+        shingle/ngram/synonym/... — see analysis/filters.py)."""
         import re as _re
+
+        if tokenizer is not None or filters or char_filters:
+            from opensearch_spark.analysis.filters import analyze_chain
+
+            return analyze_chain(
+                text or "", tokenizer=tokenizer or "standard",
+                filters=filters or (), char_filters=char_filters or (),
+            )
 
         from opensearch_spark.analysis.analyzer import (
             WHITESPACE_PATTERN, tokenize_offsets,

@@ -111,3 +111,37 @@ def test_round2_processors(spark):
     assert out["_index"] == "logs-2024-03"
     assert out["flag"] == "on"
     assert out["a"]["b"] == "v"
+
+
+def test_remove_by_pattern(spark):
+    from opensearch_spark.pipelines.ingest import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "a", "b", "c")], "id long, tmp_x string, tmp_y string, keep string")
+    out = apply_pipeline(df, [
+        {"remove_by_pattern": {"field_pattern": "tmp_*"}}])
+    assert out.columns == ["id", "keep"]
+
+
+def test_community_id_reference_vectors(spark):
+    """Community ID v1 against the reference CommunityIdProcessorTests
+    vectors (modules/ingest-common/.../CommunityIdProcessorTests.java:834)."""
+    from opensearch_spark.pipelines.ingest import apply_pipeline
+
+    df = spark.createDataFrame(
+        [
+            ("66.35.250.204", 80, "128.232.110.120", 34855, "tcp"),
+            ("8.8.8.8", 53, "192.168.1.52", 54585, "udp"),
+            ("192.168.170.8", 7, "192.168.170.56", 7, "sctp"),
+            # reversed direction must give the SAME flow id (canonical order)
+            ("128.232.110.120", 34855, "66.35.250.204", 80, "tcp"),
+        ],
+        "source_ip string, source_port int, dest_ip string, dest_port int, "
+        "transport string",
+    )
+    got = [r["community_id"]
+           for r in apply_pipeline(df, [{"community_id": {}}]).collect()]
+    assert got[0] == "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
+    assert got[1] == "1:d/FP5EW3wiY1vCndhwleRRKHowQ="
+    assert got[2] == "1:MP2EtRCAUIZvTw6MxJHLV7N7JDs="
+    assert got[3] == got[0]
