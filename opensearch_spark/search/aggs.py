@@ -811,11 +811,26 @@ def _metric_exprs(name: str, kind: str, body: dict) -> List[Column]:
         wf = F.col(body["weight"]["field"])
         return [(F.sum(vf * wf) / F.sum(wf)).alias(name)]
     if kind == "median_absolute_deviation":
-        # two-pass approximation folded into one agg via percentile of
-        # |x - median| is not expressible in one pass; approximate with
-        # percentile_approx of deviations from the overall median is
-        # done by caller; here: exact-ish via 50th pct
-        return [F.percentile_approx(c, 0.5, 10000).alias(f"{name}_median")]
+        # reference: metrics/MedianAbsoluteDeviationAggregator.java:48
+        # — median(|x - median(x)|). The reference approximates both
+        # medians with a per-bucket TDigest; here EXACT, with the
+        # even-count median as the midpoint average (the documented
+        # deterministic variant, mirrored in the DuckDB oracle).
+        # State = the bucket's sorted value array — the same
+        # per-bucket-state cost model as the reference's digest;
+        # identical collect_list subtrees dedupe into ONE aggregate
+        # buffer under Catalyst.
+        fld = body["field"]
+        arr = f"array_sort(collect_list(CAST({fld} AS DOUBLE)))"
+
+        def med(a: str) -> str:
+            n = f"size({a})"
+            lo = f"try_element_at({a}, CAST(floor(({n}+1)/2) AS INT))"
+            hi = f"try_element_at({a}, CAST(floor({n}/2) AS INT)+1)"
+            return f"(({lo} + {hi}) / 2.0)"
+
+        dev = f"array_sort(transform({arr}, v -> abs(v - {med(arr)})))"
+        return [F.expr(med(dev)).alias(name)]
     if kind == "geo_bounds":
         # reference: metrics/GeoBoundsAggregator.java — bounding box of
         # the points (wrap_longitude=false semantics: plain min/max)
@@ -886,9 +901,15 @@ def _apply_pipeline(out: DataFrame, name: str, kind: str, body: dict,
         lag = int(body.get("lag", 1))
         return out.withColumn(name, F.col(path) - F.lag(F.col(path), lag).over(order))
     if kind == "moving_fn":
+        # reference: MovFnPipelineAggregator.java:136 — the window is
+        # [i - window + shift, i + shift) over the bucket series, so the
+        # DEFAULT (shift=0) EXCLUDES the current bucket; shift=window
+        # would be a fully trailing lookahead. An empty window yields
+        # null (the reference's NaN).
         window = int(body.get("window", 5))
+        shift = int(body.get("shift", 0))
         script = body.get("script", "MovingFunctions.unweightedAvg(values)")
-        w = order.rowsBetween(-(window - 1), 0)
+        w = order.rowsBetween(shift - window, shift - 1)
         if "max" in script:
             e = F.max(F.col(path)).over(w)
         elif "min" in script:

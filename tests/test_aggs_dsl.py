@@ -523,3 +523,43 @@ def test_geohash_grid_clamps_unnormalized_coords(spark):
     assert got.get("0") == 2
     # the NE out-of-range point clamps to the NE corner cell 'z'
     assert got.get("z") == 1
+
+
+def test_moving_fn_shift_semantics(spark):
+    """moving_fn window = [i-window+shift, i+shift) — the reference
+    default shift=0 EXCLUDES the current bucket
+    (MovFnPipelineAggregator.java:136); the first bucket's window is
+    empty -> null (the reference's NaN)."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 50)], "k int, v int")
+    body = {"m": {"histogram": {"field": "k", "interval": 1}},
+            "mx": {"moving_fn": {"buckets_path": "doc_count", "window": 2,
+                                 "script": "MovingFunctions.max(values)"}}}
+    # one row per k, doc_count = 1 each; use v via a sum metric instead
+    body = {"m": {"histogram": {"field": "k", "interval": 1},
+                  "aggs": {"s": {"sum": {"field": "v"}}}},
+            "mx": {"moving_fn": {"buckets_path": "s", "window": 2,
+                                 "script": "MovingFunctions.max(values)"}}}
+    got = {float(r["key_m"]): r["mx"] for r in compile_aggs(df, body).collect()}
+    assert got[1.0] is None                  # empty window before bucket 1
+    assert got[2.0] == 10.0                  # [10]
+    assert got[3.0] == 30.0                  # [10, 30]
+    assert got[4.0] == 30.0                  # [30, 20]
+    # shift=1 includes the current bucket
+    body["mx"]["moving_fn"]["shift"] = 1
+    got = {float(r["key_m"]): r["mx"] for r in compile_aggs(df, body).collect()}
+    assert got[1.0] == 10.0 and got[4.0] == 50.0
+
+
+def test_median_absolute_deviation_exact(spark):
+    """MAD = median(|x - median(x)|), midpoint-average median on even
+    counts (documented exact variant of the reference's TDigest
+    approximation, MedianAbsoluteDeviationAggregator.java:48)."""
+    import numpy as np
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 100.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = compile_aggs(df, {
+        "mad": {"median_absolute_deviation": {"field": "x"}}}).collect()[0]
+    m = np.median(vals)
+    assert got["mad"] == float(np.median(np.abs(np.array(vals) - m)))
