@@ -489,6 +489,7 @@ def _domain_mix_sql() -> str:
     )
 
     cases = " OR ".join(
+        f"(source = '{s}')" if f >= 1.0 else
         f"(source = '{s}' AND u8 < '{frac_hex_threshold(f)}')"
         for s, f in sorted(DOMAIN_MIX.items())
     )

@@ -50,8 +50,14 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     u = F.substring(key, 1, 8)
     cond = F.lit(False)
     for s, frac in sorted(fractions.items()):
-        cond = cond | ((F.col(strata_col) == s)
-                       & (u < F.lit(frac_hex_threshold(frac))))
+        keep = F.col(strata_col) == s
+        if frac < 1.0:
+            # frac >= 1.0 keeps the whole stratum unconditionally — a
+            # hex threshold of 'ffffffff' would silently drop rows whose
+            # hash prefix is exactly 'ffffffff' (1 in 2^32: invisible in
+            # tests, ~25 rows per 100 B docs)
+            keep = keep & (u < F.lit(frac_hex_threshold(frac)))
+        cond = cond | keep
     return df.where(cond)
 
 
