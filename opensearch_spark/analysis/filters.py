@@ -39,7 +39,10 @@ def _tok(token: str, position: int, start: int, end: int) -> Token:
 # matching the reference's corrected-offset behavior only for 1:1 edits)
 
 def char_filter_html_strip(text: str) -> str:
-    return re.sub(r"<[^>]*>", "", text)
+    # reference HTMLStripCharFilter: removes tags AND decodes entities
+    import html
+
+    return html.unescape(re.sub(r"<[^>]*>", "", text))
 
 
 def char_filter_pattern_replace(pattern: str, replacement: str):
@@ -52,16 +55,20 @@ def char_filter_pattern_replace(pattern: str, replacement: str):
 
 
 def char_filter_mapping(mappings: List[str]):
-    """mappings like ["ph => f", ":) => happy"]."""
-    pairs = []
+    """mappings like ["ph => f", ":) => happy"]. Single longest-match
+    pass over the ORIGINAL input (reference MappingCharFilter): one
+    rule's output is never re-rewritten by another rule."""
+    table = {}
     for m in mappings:
         src, _, dst = m.partition("=>")
-        pairs.append((src.strip(), dst.strip()))
+        table[src.strip()] = dst.strip()
+    if not table:
+        return lambda text: text
+    rx = re.compile("|".join(
+        re.escape(s) for s in sorted(table, key=len, reverse=True)))
 
     def f(text: str) -> str:
-        for src, dst in pairs:
-            text = text.replace(src, dst)
-        return text
+        return rx.sub(lambda m: table[m.group(0)], text)
 
     return f
 
@@ -315,9 +322,13 @@ def make_filter(spec) -> Callable[[List[Token]], List[Token]]:
     if t == "stop":
         words = spec.get("stopwords", "_english_")
         sw = ENGLISH_STOP if words == "_english_" else set(words)
-        # reference StopFilter: positions INCREMENT across removed tokens
-        # (posInc gaps); we keep original position numbers, same effect
-        return lambda ts: [x for x in ts if str(x["token"]).lower() not in sw]
+        # reference StopFilter: CASE-SENSITIVE unless ignore_case=true
+        # (StopTokenFilterFactory); positions INCREMENT across removed
+        # tokens (posInc gaps) — we keep original numbers, same effect
+        if bool(spec.get("ignore_case", False)):
+            return lambda ts: [x for x in ts
+                               if str(x["token"]).lower() not in sw]
+        return lambda ts: [x for x in ts if str(x["token"]) not in sw]
     if t in ("stemmer", "porter_stem"):
         lang = spec.get("language", spec.get("name", "english"))
         if lang not in ("english", "porter", "_english_"):

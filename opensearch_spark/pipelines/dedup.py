@@ -43,7 +43,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def near_dup_corpus(docs: DataFrame) -> DataFrame:
-    """documents ∪ truncated copies (first 3/4 of the words, doc_id+1e6)."""
+    """documents ∪ truncated copies (first 3/4 of the words, doc_id+1e6).
+
+    Base docs with doc_id >= SHIFT_ID are excluded: they would collide
+    with a shifted copy's id, and doc_id uniqueness is load-bearing for
+    every consumer since _shingles dedups map-side per row (same guard
+    as textstats.contamination)."""
+    docs = docs.where(F.col("doc_id") < SHIFT_ID)
     trunc = docs.select(
         (F.col("doc_id") + SHIFT_ID).alias("doc_id"),
         F.expr(

@@ -173,14 +173,18 @@ def _apply_one(df: DataFrame, kind: str, cfg: dict) -> DataFrame:
         return df
     if kind == "remove_by_pattern":
         # reference: RemoveByPatternProcessor — drop every column whose
-        # name matches a field_pattern ('*' wildcards, like the
-        # reference's Regex.simpleMatch)
-        import fnmatch
+        # name matches a field_pattern. Regex.simpleMatch treats ONLY
+        # '*' as a wildcard ('?' and '[' are literal characters), so
+        # fnmatch would over-match; translate '*' -> '.*' ourselves.
+        import re as _re
 
         pats = cfg["field_pattern"]
         pats = pats if isinstance(pats, list) else [pats]
+        rxs = [_re.compile(".*".join(_re.escape(part)
+                                     for part in p.split("*")) + r"\Z")
+               for p in pats]
         drop = [col for col in df.columns
-                if any(fnmatch.fnmatchcase(col, p) for p in pats)]
+                if any(rx.match(col) for rx in rxs)]
         return df.drop(*drop)
     if kind == "community_id":
         # reference: CommunityIdProcessor — Community ID v1 flow hash:

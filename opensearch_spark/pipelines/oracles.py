@@ -14,13 +14,13 @@ from opensearch_spark.pipelines.similarity import N_PLANES
 # near-dup corpus: documents ∪ truncated copies (matches dedup.near_dup_corpus)
 _ND = f"""
 nd AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE doc_id < {SHIFT_ID}
   UNION ALL
   SELECT doc_id + {SHIFT_ID},
          array_to_string(
            list_slice(string_split(text, ' '), 1,
                       greatest(1, (len(string_split(text, ' ')) * 3) // 4)), ' ')
-  FROM documents
+  FROM documents WHERE doc_id < {SHIFT_ID}
 )
 """.strip()
 

@@ -38,6 +38,15 @@ def frac_hex_threshold(frac: float) -> str:
     return format(min(int(frac * (1 << 32)), (1 << 32) - 1), "08x")
 
 
+def u8_expr(id_col: str, seed: int):
+    """The uniform-[0,1) key: first 8 hex chars of md5(id ':' seed).
+    The ONE definition of the membership hash — stratified_sample tests
+    it and domain_mix reports it, so they cannot desynchronize."""
+    return F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"),
+                       F.lit(":"), F.lit(str(seed)))), 1, 8)
+
+
 def stratified_sample(df: DataFrame, fractions: dict[str, float],
                       id_col: str = "doc_id", strata_col: str = "source",
                       seed: int = DOMAIN_MIX_SEED) -> DataFrame:
@@ -45,9 +54,7 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     (strata absent from the dict are dropped), deterministically in the
     row id. Thresholds are query-time literals folded into one codegen
     comparison per stratum — no join, no shuffle, no Python."""
-    key = F.md5(F.concat(F.col(id_col).cast("string"),
-                         F.lit(":"), F.lit(str(seed))))
-    u = F.substring(key, 1, 8)
+    u = u8_expr(id_col, seed)
     cond = F.lit(False)
     for s, frac in sorted(fractions.items()):
         keep = F.col(strata_col) == s
@@ -68,8 +75,5 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return stratified_sample(d, DOMAIN_MIX).select(
         "doc_id", "source",
-        F.substring(
-            F.md5(F.concat(F.col("doc_id").cast("string"),
-                           F.lit(f":{DOMAIN_MIX_SEED}"))), 1, 8
-        ).alias("u8"),
+        u8_expr("doc_id", DOMAIN_MIX_SEED).alias("u8"),
     )

@@ -830,7 +830,11 @@ def _metric_exprs(name: str, kind: str, body: dict) -> List[Column]:
             return f"(({lo} + {hi}) / 2.0)"
 
         dev = f"array_sort(transform({arr}, v -> abs(v - {med(arr)})))"
-        return [F.expr(med(dev)).alias(name)]
+        # all-null bucket -> empty array; med() would index position 0
+        # (INVALID_INDEX_OF_ZERO) — emit null like every other metric
+        return [F.expr(
+            f"IF(size({arr}) = 0, CAST(NULL AS DOUBLE), {med(dev)})"
+        ).alias(name)]
     if kind == "geo_bounds":
         # reference: metrics/GeoBoundsAggregator.java — bounding box of
         # the points (wrap_longitude=false semantics: plain min/max)

@@ -532,10 +532,7 @@ def test_moving_fn_shift_semantics(spark):
     empty -> null (the reference's NaN)."""
     df = spark.createDataFrame(
         [(1, 10), (2, 30), (3, 20), (4, 50)], "k int, v int")
-    body = {"m": {"histogram": {"field": "k", "interval": 1}},
-            "mx": {"moving_fn": {"buckets_path": "doc_count", "window": 2,
-                                 "script": "MovingFunctions.max(values)"}}}
-    # one row per k, doc_count = 1 each; use v via a sum metric instead
+    # one row per k, doc_count = 1 each; track v via a sum metric
     body = {"m": {"histogram": {"field": "k", "interval": 1},
                   "aggs": {"s": {"sum": {"field": "v"}}}},
             "mx": {"moving_fn": {"buckets_path": "s", "window": 2,
@@ -563,3 +560,13 @@ def test_median_absolute_deviation_exact(spark):
         "mad": {"median_absolute_deviation": {"field": "x"}}}).collect()[0]
     m = np.median(vals)
     assert got["mad"] == float(np.median(np.abs(np.array(vals) - m)))
+
+
+def test_mad_all_null_bucket_yields_null(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None)], "g string, x double")
+    got = {r["key_l"]: r["mad"] for r in compile_aggs(df, {
+        "l": {"terms": {"field": "g", "size": 10}},
+        "mad": {"median_absolute_deviation": {"field": "x"}}}).collect()}
+    assert got["a"] == 1.0
+    assert got["b"] is None

@@ -119,3 +119,32 @@ def test_engine_analyze_accepts_custom_chain(spark, tmp_path):
     assert [t["token"] for t in custom] == ["run", "dog"]
     with pytest.raises(ValueError):
         eng.analyze("x", filters=[{"type": "nope"}])
+
+
+def test_stop_filter_case_sensitive_by_default():
+    # reference StopTokenFilterFactory: ignore_case defaults to FALSE
+    got = analyze_chain("The THE the", tokenizer="whitespace",
+                        filters=[{"type": "stop"}])
+    assert toks(got) == ["The", "THE"]
+    ic = analyze_chain("The THE the", tokenizer="whitespace",
+                       filters=[{"type": "stop", "ignore_case": True}])
+    assert toks(ic) == []
+
+
+def test_mapping_char_filter_single_pass():
+    # reference MappingCharFilter: one rule's output is never re-mapped
+    got = analyze_chain("a b", tokenizer="whitespace",
+                        char_filters=[{"type": "mapping",
+                                       "mappings": ["a => b", "b => c"]}])
+    assert toks(got) == ["b", "c"]
+    # longest source wins at the same offset
+    lng = analyze_chain("abc", tokenizer="whitespace",
+                        char_filters=[{"type": "mapping",
+                                       "mappings": ["a => x", "ab => y"]}])
+    assert toks(lng) == ["yc"]
+
+
+def test_html_strip_decodes_entities():
+    got = analyze_chain("a &amp; b", tokenizer="whitespace",
+                        char_filters=["html_strip"])
+    assert toks(got) == ["a", "&", "b"]

@@ -145,3 +145,16 @@ def test_community_id_reference_vectors(spark):
     assert got[1] == "1:d/FP5EW3wiY1vCndhwleRRKHowQ="
     assert got[2] == "1:MP2EtRCAUIZvTw6MxJHLV7N7JDs="
     assert got[3] == got[0]
+
+
+def test_remove_by_pattern_star_only_wildcard(spark):
+    """Regex.simpleMatch semantics: ONLY '*' is special — '?' and '['
+    are literal characters, unlike fnmatch."""
+    from opensearch_spark.pipelines.ingest import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "a", "b", "c")], "id long, foo string, `f?o` string, `t[1]` string")
+    out = apply_pipeline(df, [{"remove_by_pattern": {"field_pattern": "f?o"}}])
+    assert out.columns == ["id", "foo", "t[1]"]   # literal 'f?o' dropped only
+    out2 = apply_pipeline(df, [{"remove_by_pattern": {"field_pattern": "t[1]"}}])
+    assert out2.columns == ["id", "foo", "f?o"]
