@@ -227,4 +227,20 @@ def _apply_one(df: DataFrame, kind: str, cfg: dict) -> DataFrame:
             cfg.get("target_field", "community_id"),
             F.concat(F.lit("1:"), F.base64(F.unhex(F.sha1(F.unhex(payload))))),
         )
+    if kind == "user_agent":
+        from opensearch_spark.pipelines.enrich import user_agent
+
+        return user_agent(
+            df, cfg["field"],
+            target_field=cfg.get("target_field", "user_agent"),
+            properties=cfg.get("properties"),
+        )
+    if kind == "geoip":
+        from opensearch_spark.pipelines.enrich import geoip
+
+        return geoip(
+            df, cfg["field"], cfg["database"],
+            target_field=cfg.get("target_field", "geoip"),
+            properties=cfg.get("properties"),
+        )
     raise ValueError(f"unknown ingest processor: {kind}")

@@ -74,6 +74,24 @@ class SearchPipeline:
                     out.withColumn("_rn", F.row_number().over(w))
                     .where(F.col("_rn") == 1).drop("_rn")
                 )
+            elif kind == "split":
+                # reference: SplitResponseProcessor — split a string hit
+                # field into an array. Java split(sep, 0) drops TRAILING
+                # empty strings only; strip trailing separator matches
+                # first to reproduce that exactly
+                sep = spec["separator"]
+                tgt = spec.get("target_field", spec["field"])
+                src = F.col(spec["field"])
+                if bool(spec.get("preserve_trailing", False)):
+                    out = out.withColumn(tgt, F.split(src, sep, -1))
+                else:
+                    stripped = F.regexp_replace(src, f"(?:{sep})+$", "")
+                    arr = F.split(stripped, sep, -1)
+                    out = out.withColumn(
+                        tgt,
+                        F.when(stripped == "",
+                               F.array().cast("array<string>"))
+                        .otherwise(arr))
             elif kind == "field_filter":
                 keep = spec.get("include")
                 if keep:
