@@ -478,6 +478,44 @@ ORACLES: dict[str, str] = {
         FROM sh GROUP BY shingle HAVING count(*) >= 2
         ORDER BY doc_count DESC, shingle ASC LIMIT 100
     """,
+    # CCNet-style line dedup (dedup.line_dedup_demo): 10-word chunks as
+    # lines; a line is boilerplate when it appears in >= 2 distinct docs
+    # of the near-dup corpus. cleaned_md5 hashes the survivors joined by
+    # newline in original order ('' when everything was removed —
+    # mirrors Spark concat_ws over an empty array).
+    "d_line_dedup": f"""
+        WITH {_ND},
+        w AS (SELECT doc_id, string_split(text, ' ') AS words FROM nd),
+        ll AS (
+          SELECT doc_id,
+                 CASE WHEN len(words) = 0 THEN []
+                 ELSE list_transform(
+                   generate_series(0, CAST(ceil(len(words) / 10.0) AS INT) - 1),
+                   i -> array_to_string(
+                          list_slice(words, i * 10 + 1, i * 10 + 10), ' '))
+                 END AS lines
+          FROM w
+        ),
+        l AS (
+          SELECT doc_id, unnest(lines) AS line,
+                 generate_subscripts(lines, 1) AS pos
+          FROM ll
+        ),
+        st AS (
+          SELECT line, count(DISTINCT doc_id) AS ndocs FROM l GROUP BY line
+        ),
+        j AS (
+          SELECT l.doc_id, l.pos, l.line, st.ndocs >= 2 AS dup
+          FROM l JOIN st USING (line)
+        )
+        SELECT doc_id, count(*) AS n_lines,
+               CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removed,
+               md5(coalesce(
+                 string_agg(CASE WHEN NOT dup THEN line END, chr(10)
+                            ORDER BY pos), '')) AS cleaned_md5
+        FROM j GROUP BY doc_id
+    """,
 }
 
 

@@ -115,3 +115,36 @@ def test_dup_ngram_inventory_finds_planted_boilerplate(spark, monkeypatch):
     # ordering contract: doc_count desc, shingle asc
     counts = [r["doc_count"] for r in got]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_line_dedup_removes_cross_doc_lines(spark):
+    """CCNet-style line dedup: lines in >= 2 distinct docs are dropped,
+    survivors keep original order; repeats WITHIN one doc are kept."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from opensearch_spark.pipelines.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, ["cookie banner", "real content one", "cookie banner"]),
+            (2, ["cookie banner", "real content two"]),
+            (3, ["only unique here"]),
+        ],
+        "doc_id long, lines array<string>",
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in line_dedup(df, min_dup_docs=2).collect()}
+    assert got[1]["n_lines"] == 3 and got[1]["n_removed"] == 2
+    assert got[1]["cleaned_md5"] == hashlib.md5(
+        b"real content one").hexdigest()
+    assert got[2]["n_removed"] == 1
+    assert got[3]["n_removed"] == 0
+    assert got[3]["cleaned_md5"] == hashlib.md5(
+        b"only unique here").hexdigest()
+    # all-removed doc hashes the empty string
+    both = spark.createDataFrame(
+        [(1, ["x"]), (2, ["x"])], "doc_id long, lines array<string>")
+    g2 = {r["doc_id"]: r["cleaned_md5"]
+          for r in line_dedup(both, min_dup_docs=2).collect()}
+    assert g2[1] == hashlib.md5(b"").hexdigest()
