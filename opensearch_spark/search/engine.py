@@ -479,6 +479,7 @@ class SearchEngine:
         # None = not loaded yet; False = vocabulary too large, fall back
         # to per-term pushdown scans.
         self._term_df_map: Dict[str, int] | None | bool = None
+        self._field_stats_cache: dict | None = None
         import threading as _threading
 
         self._msearch_plans: Dict[tuple, DataFrame] = {}
@@ -1135,6 +1136,116 @@ class SearchEngine:
             {"token": tok, "position": i, "start_offset": s, "end_offset": e}
             for i, (tok, s, e) in enumerate(tokenize_offsets(text))
         ]
+
+    def termvectors(self, doc_id: int, term_statistics: bool = False,
+                    field_statistics: bool = True) -> dict:
+        """`_termvectors` (reference: TermVectorsService.java:73): per-doc
+        term frequencies with positions + character offsets. Like the
+        reference when vectors aren't stored in the index, the document's
+        source text is RE-ANALYZED on demand (a single-doc GET + driver
+        tokenize — the same cost model as the reference's single-shard
+        request). ``term_statistics`` adds df/ttf from the index term
+        dictionary; ``field_statistics`` adds the field's aggregate
+        stats (doc_count, sum_doc_freq, sum_ttf)."""
+        if self.corpus is None:
+            raise ValueError("termvectors needs an attached corpus")
+        rows = self.corpus.where(F.col("docId") == int(doc_id)).select(
+            self.text_field
+        ).collect()
+        if not rows:
+            return {"found": False, "_id": int(doc_id)}
+        toks = self.analyze(rows[0][0] or "")
+        terms: Dict[str, dict] = {}
+        for t in toks:
+            e = terms.setdefault(t["token"], {"term_freq": 0, "tokens": []})
+            e["term_freq"] += 1
+            e["tokens"].append({
+                "position": t["position"],
+                "start_offset": t["start_offset"],
+                "end_offset": t["end_offset"],
+            })
+        out = {"found": True, "_id": int(doc_id),
+               "terms": dict(sorted(terms.items()))}
+        if term_statistics and terms:
+            stats = (
+                self.termstats.where(F.col("term").isin(list(terms)))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+                .collect()
+            )
+            for r in stats:
+                terms[r["term"]]["doc_freq"] = int(r["df"])
+                terms[r["term"]]["ttf"] = int(r["ttf"])
+        if field_statistics:
+            out["field_statistics"] = self._field_statistics()
+        return out
+
+    def _field_statistics(self) -> dict:
+        """Aggregate term-dictionary stats for the indexed field, cached
+        per engine generation (one scan, reused by every termvectors
+        call)."""
+        if getattr(self, "_field_stats_cache", None) is None:
+            r = self.termstats.agg(
+                F.sum("df").alias("sdf"), F.sum("ttf").alias("sttf")
+            ).collect()[0]
+            self._field_stats_cache = {
+                "doc_count": int(self.doc_count),
+                "sum_doc_freq": int(r["sdf"] or 0),
+                "sum_ttf": int(r["sttf"] or 0),
+            }
+        return self._field_stats_cache
+
+    def mtermvectors(self, doc_ids: Sequence[int],
+                     term_statistics: bool = False,
+                     field_statistics: bool = True) -> list:
+        """`_mtermvectors` (reference: RestMultiTermVectorsAction): the
+        batch form — ONE corpus pushdown fetch for all ids and ONE term
+        dictionary scan shared across docs, instead of a job per doc."""
+        if self.corpus is None:
+            raise ValueError("mtermvectors needs an attached corpus")
+        ids = [int(i) for i in doc_ids]
+        rows = self.corpus.where(F.col("docId").isin(ids)).select(
+            "docId", self.text_field
+        ).collect()
+        texts = {int(r["docId"]): r[1] for r in rows}
+        docs = []
+        all_terms: set = set()
+        for i in ids:
+            if i not in texts:
+                docs.append({"found": False, "_id": i})
+                continue
+            # inline re-analysis (avoid a per-doc corpus job)
+            toks = self.analyze(texts[i] or "")
+            terms: Dict[str, dict] = {}
+            for t in toks:
+                e = terms.setdefault(t["token"], {"term_freq": 0, "tokens": []})
+                e["term_freq"] += 1
+                e["tokens"].append({
+                    "position": t["position"],
+                    "start_offset": t["start_offset"],
+                    "end_offset": t["end_offset"],
+                })
+            all_terms |= set(terms)
+            docs.append({"found": True, "_id": i,
+                         "terms": dict(sorted(terms.items()))})
+        if term_statistics and all_terms:
+            stats = {
+                r["term"]: (int(r["df"]), int(r["ttf"]))
+                for r in self.termstats.where(F.col("term").isin(list(all_terms)))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+                .collect()
+            }
+            for d in docs:
+                for term, e in d.get("terms", {}).items():
+                    if term in stats:
+                        e["doc_freq"], e["ttf"] = stats[term]
+        if field_statistics:
+            fs = self._field_statistics()
+            for d in docs:
+                if d.get("found"):
+                    d["field_statistics"] = fs
+        return docs
 
     def validate_query(self, query: dict) -> dict:
         """`_validate/query` (reference: RestValidateQueryAction):

@@ -549,3 +549,30 @@ def test_geo_shape_disjoint_requires_field_and_boost_parses():
         "shape": {"type": "circle", "coordinates": [10.0, 20.0],
                   "radius": "5km"}}, "boost": 2.5}})
     assert inner.boost == 2.5
+
+
+def test_termvectors_and_mtermvectors(eng):
+    """_termvectors re-analyzes the stored source (reference:
+    TermVectorsService.java:73 when vectors aren't indexed) — tf,
+    positions, offsets per term, df/ttf from the term dictionary."""
+    from pyspark.sql import functions as F
+    row = (eng.corpus.select("docId", eng.text_field)
+           .where(F.length(F.col(eng.text_field)) > 20)
+           .orderBy("docId").limit(1).collect()[0])
+    did, text = int(row[0]), row[1]
+    tv = eng.termvectors(did, term_statistics=True)
+    assert tv["found"] and tv["_id"] == did
+    toks = eng.analyze(text or "")
+    assert sum(e["term_freq"] for e in tv["terms"].values()) == len(toks)
+    some = toks[0]
+    e = tv["terms"][some["token"]]
+    assert some["position"] in [t["position"] for t in e["tokens"]]
+    assert all("doc_freq" in v and v["doc_freq"] >= 1
+               for v in tv["terms"].values())
+    fs = tv["field_statistics"]
+    assert fs["doc_count"] == eng.doc_count
+    assert fs["sum_ttf"] >= fs["sum_doc_freq"] > 0
+    assert eng.termvectors(10_000_000)["found"] is False
+    mtv = eng.mtermvectors([did, 10_000_000], term_statistics=True)
+    assert mtv[0]["terms"] == tv["terms"]
+    assert mtv[1]["found"] is False
