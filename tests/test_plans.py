@@ -204,3 +204,28 @@ def test_repeated_idf_lookup_runs_no_job(engine):
         assert dfs.get("return", 0) > 0
     finally:
         engine.termstats = saved
+
+
+def test_geoip_is_broadcast_equi_join(spark):
+    """geoip lookup must compile to a BroadcastHashJoin on the /16
+    prefix — never a BroadcastNestedLoopJoin range join."""
+    from opensearch_spark.pipelines.enrich import geoip
+
+    db = spark.createDataFrame(
+        [("10.0.0.0", "10.0.255.255", "US")],
+        "ip_from string, ip_to string, country string")
+    docs = spark.createDataFrame([(1, "10.0.1.2")], "id long, ip string")
+    p = executed_str(geoip(docs, "ip", db))
+    assert "BroadcastHashJoin" in p, p
+    assert "NestedLoop" not in p, p
+
+
+def test_line_dedup_has_partial_aggregation(spark):
+    """The per-line doc-count groupBy must partial-aggregate map-side
+    (hot boilerplate lines are the skewed keys)."""
+    from opensearch_spark.pipelines.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a"])], "doc_id long, lines array<string>")
+    p = executed_str(line_dedup(df))
+    assert "partial_count(distinct" in p or "partial_count" in p, p
