@@ -980,6 +980,22 @@ class SearchEngine:
                 fetched = fetched.select(*(["docId", "score"] + cols + tail))
             hits = fetched
         out = {"hits": hits, "aggregations": aggs_df}
+        if body.get("profile"):
+            # reference: search/profile/ (RestSearchAction `profile=true`)
+            # — per-phase breakdowns of the query execution. The Spark
+            # analog of the Lucene query tree is the PHYSICAL PLAN, so
+            # profile returns the executed plan per phase plus wall-time
+            # once an action runs; plan strings are available immediately.
+            prof: dict = {"query": {
+                "plan": hits._jdf.queryExecution().executedPlan().toString(),
+                "parsed": repr(dsl_mod.parse(q) if isinstance(q, dict) else q),
+            }}
+            if aggs_df is not None:
+                prof["aggregations"] = {
+                    "plan": aggs_df._jdf.queryExecution()
+                    .executedPlan().toString(),
+                }
+            out["profile"] = prof
         tth = body.get("track_total_hits")
         if tth:
             # reference: track_total_hits true = exact count, an int =

@@ -576,3 +576,17 @@ def test_termvectors_and_mtermvectors(eng):
     mtv = eng.mtermvectors([did, 10_000_000], term_statistics=True)
     assert mtv[0]["terms"] == tv["terms"]
     assert mtv[1]["found"] is False
+
+
+def test_request_profile(eng):
+    """profile:true returns the executed physical plan per phase — the
+    Spark analog of the reference's search/profile breakdown."""
+    res = eng.request({
+        "query": {"match": {"content": "def return"}},
+        "size": 5, "profile": True,
+        "aggs": {"l": {"terms": {"field": "lang", "size": 3}}},
+    })
+    prof = res["profile"]
+    assert "Match" in prof["query"]["parsed"]
+    assert len(prof["query"]["plan"]) > 50
+    assert "plan" in prof["aggregations"]
