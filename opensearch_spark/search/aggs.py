@@ -105,6 +105,7 @@ def compile_aggs(df: DataFrame, aggs: Dict[str, dict]) -> DataFrame:
     order_specs: List[Tuple[str, dict]] = []
     post_filters: List[Column] = []
     limit_spec: Optional[Tuple[str, str, int]] = None  # (col, dir, n)
+    fill_spec: Optional[Tuple[str, dict]] = None       # (key_col, spec)
     for name, kind, body in chain:
         frame, kcol, post = _bucket_key(frame, name, kind, body, key_cols)
         if kcol is not None:
@@ -115,6 +116,8 @@ def compile_aggs(df: DataFrame, aggs: Dict[str, dict]) -> DataFrame:
                 limit_spec = post["limit"]
             if "min_doc_count" in post:
                 order_specs.append((kcol, post))
+            if "fill" in post:
+                fill_spec = (kcol, post["fill"])
 
     exprs = [F.count(F.lit(1)).alias("doc_count")]
     for name, kind, body in metrics:
@@ -128,6 +131,30 @@ def compile_aggs(df: DataFrame, aggs: Dict[str, dict]) -> DataFrame:
     for f in post_filters:
         if f is not None:
             out = out.where(f)
+    if fill_spec is not None and len(key_cols) == 1:
+        # min_doc_count=0 (reference: histogram/date_histogram empty
+        # buckets between the min and max observed keys): generate the
+        # full key range — a one-row bounds agg exploded into keys —
+        # and left-join the real buckets in; metric columns stay null,
+        # doc_count becomes 0 (same as the reference's empty buckets).
+        kc, spec = fill_spec
+        bounds = out.agg(F.min(kc).alias("_lo"), F.max(kc).alias("_hi"))
+        if spec["type"] == "numeric":
+            iv = float(spec["interval"])
+            keys = bounds.select(F.explode(F.sequence(
+                F.round(F.col("_lo") / iv).cast("long"),
+                F.round(F.col("_hi") / iv).cast("long"),
+            )).alias("_i")).select(
+                (F.col("_i") * F.lit(iv)).alias(kc))
+        else:
+            step = F.expr(f"INTERVAL 1 {spec['unit']}")
+            keys = bounds.select(
+                F.explode(F.sequence("_lo", "_hi", step)).alias(kc))
+        out = (
+            keys.join(out, kc, "left")
+            .withColumn("doc_count",
+                        F.coalesce(F.col("doc_count"), F.lit(0)))
+        )
     if limit_spec is not None:
         col, direction, n = limit_spec
         oc = F.desc(col) if direction == "desc" else F.asc(col)
@@ -185,7 +212,13 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
     post: Dict[str, Any] = {}
     if kind == "terms":
         fld = body["field"]
-        df = df.withColumn(kcol, F.col(fld)).where(F.col(kcol).isNotNull())
+        if "missing" in body:
+            # reference: terms agg `missing` — null values bucket under
+            # the given substitute instead of being dropped
+            df = df.withColumn(
+                kcol, F.coalesce(F.col(fld), F.lit(body["missing"])))
+        else:
+            df = df.withColumn(kcol, F.col(fld)).where(F.col(kcol).isNotNull())
         size = int(body.get("size", 10))
         order = body.get("order", {"_count": "desc"})
         ((okey, odir),) = order.items() if isinstance(order, dict) else (("_count", "desc"),)
@@ -212,8 +245,10 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
         df = df.where(F.col(fld).isNotNull()).withColumn(
             kcol, F.floor(F.col(fld) / F.lit(interval)) * F.lit(interval)
         )
-        if int(body.get("min_doc_count", 1)) > 0:
-            pass  # empty buckets never materialize in groupBy anyway
+        if int(body.get("min_doc_count", 1)) == 0:
+            # reference: min_doc_count=0 MATERIALIZES empty buckets
+            # between the min and max observed keys
+            post["fill"] = {"type": "numeric", "interval": interval}
     elif kind == "date_histogram":
         fld = body["field"]
         iv = body.get("calendar_interval") or body.get("fixed_interval") or "1d"
@@ -223,6 +258,8 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
         df = df.where(F.col(fld).isNotNull()).withColumn(
             kcol, F.date_trunc(unit, F.col(fld))
         )
+        if int(body.get("min_doc_count", 1)) == 0:
+            post["fill"] = {"type": "date", "unit": unit}
     elif kind in ("range", "date_range"):
         # reference: RangeAggregator — buckets are INDEPENDENT; a doc in
         # overlapping ranges counts in each. Non-overlapping specs keep

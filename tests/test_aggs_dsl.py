@@ -570,3 +570,39 @@ def test_mad_all_null_bucket_yields_null(spark):
         "mad": {"median_absolute_deviation": {"field": "x"}}}).collect()}
     assert got["a"] == 1.0
     assert got["b"] is None
+
+
+def test_terms_missing_param(spark):
+    """terms `missing`: nulls bucket under the substitute value instead
+    of being dropped."""
+    df = spark.createDataFrame(
+        [("en",), ("en",), (None,), ("de",)], "lang string")
+    got = {r["key_l"]: r["doc_count"] for r in compile_aggs(df, {
+        "l": {"terms": {"field": "lang", "size": 10,
+                        "missing": "unknown"}}}).collect()}
+    assert got == {"en": 2, "unknown": 1, "de": 1}
+
+
+def test_histogram_min_doc_count_zero_fills_gaps(spark):
+    df = spark.createDataFrame([(0.0,), (3.0,), (3.5,)], "v double")
+    got = [(float(r["key_h"]), r["doc_count"]) for r in compile_aggs(df, {
+        "h": {"histogram": {"field": "v", "interval": 1,
+                            "min_doc_count": 0}}}).collect()]
+    assert got == [(0.0, 1), (1.0, 0), (2.0, 0), (3.0, 2)]
+    # default min_doc_count=1: no empty buckets
+    dflt = compile_aggs(df, {
+        "h": {"histogram": {"field": "v", "interval": 1}}}).count()
+    assert dflt == 2
+
+
+def test_date_histogram_min_doc_count_zero_fills_months(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2020, 1, 5),), (dt.datetime(2020, 4, 9),)],
+        "ts timestamp")
+    got = [(r["key_m"].month, r["doc_count"]) for r in compile_aggs(df, {
+        "m": {"date_histogram": {"field": "ts",
+                                 "calendar_interval": "month",
+                                 "min_doc_count": 0}}}).collect()]
+    assert got == [(1, 1), (2, 0), (3, 0), (4, 1)]
