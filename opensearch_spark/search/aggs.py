@@ -139,17 +139,33 @@ def compile_aggs(df: DataFrame, aggs: Dict[str, dict]) -> DataFrame:
         # doc_count becomes 0 (same as the reference's empty buckets).
         kc, spec = fill_spec
         bounds = out.agg(F.min(kc).alias("_lo"), F.max(kc).alias("_hi"))
+        eb = spec.get("bounds") or {}
         if spec["type"] == "numeric":
             iv = float(spec["interval"])
+            off = float(spec.get("offset", 0.0))
+            lo, hi = F.col("_lo"), F.col("_hi")
+            if "min" in eb:
+                bmin = (float(eb["min"]) - off) // iv * iv + off  # bucketed
+                lo = F.least(lo, F.lit(bmin))
+            if "max" in eb:
+                bmax = (float(eb["max"]) - off) // iv * iv + off
+                hi = F.greatest(hi, F.lit(bmax))
             keys = bounds.select(F.explode(F.sequence(
-                F.round(F.col("_lo") / iv).cast("long"),
-                F.round(F.col("_hi") / iv).cast("long"),
+                F.round((lo - F.lit(off)) / iv).cast("long"),
+                F.round((hi - F.lit(off)) / iv).cast("long"),
             )).alias("_i")).select(
-                (F.col("_i") * F.lit(iv)).alias(kc))
+                (F.col("_i") * F.lit(iv) + F.lit(off)).alias(kc))
         else:
             step = F.expr(f"INTERVAL 1 {spec['unit']}")
+            lo, hi = F.col("_lo"), F.col("_hi")
+            if "min" in eb:
+                lo = F.least(lo, F.date_trunc(
+                    spec["unit"], F.lit(eb["min"]).cast("timestamp")))
+            if "max" in eb:
+                hi = F.greatest(hi, F.date_trunc(
+                    spec["unit"], F.lit(eb["max"]).cast("timestamp")))
             keys = bounds.select(
-                F.explode(F.sequence("_lo", "_hi", step)).alias(kc))
+                F.explode(F.sequence(lo, hi, step)).alias(kc))
         out = (
             keys.join(out, kc, "left")
             .withColumn("doc_count",
@@ -242,13 +258,21 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
         post["filter"] = F.col("doc_count") <= post["max_doc_count"]
     elif kind == "histogram":
         fld, interval = body["field"], float(body["interval"])
+        offset = float(body.get("offset", 0.0))
+        # reference: HistogramAggregationBuilder offset — bucket
+        # boundaries shift by offset: key = floor((v-o)/i)*i + o
         df = df.where(F.col(fld).isNotNull()).withColumn(
-            kcol, F.floor(F.col(fld) / F.lit(interval)) * F.lit(interval)
+            kcol,
+            F.floor((F.col(fld) - F.lit(offset)) / F.lit(interval))
+            * F.lit(interval) + F.lit(offset),
         )
         if int(body.get("min_doc_count", 1)) == 0:
             # reference: min_doc_count=0 MATERIALIZES empty buckets
-            # between the min and max observed keys
-            post["fill"] = {"type": "numeric", "interval": interval}
+            # between the min and max observed keys; extended_bounds
+            # widens that range unconditionally
+            post["fill"] = {"type": "numeric", "interval": interval,
+                            "offset": offset,
+                            "bounds": body.get("extended_bounds")}
     elif kind == "date_histogram":
         fld = body["field"]
         iv = body.get("calendar_interval") or body.get("fixed_interval") or "1d"
@@ -259,7 +283,8 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
             kcol, F.date_trunc(unit, F.col(fld))
         )
         if int(body.get("min_doc_count", 1)) == 0:
-            post["fill"] = {"type": "date", "unit": unit}
+            post["fill"] = {"type": "date", "unit": unit,
+                            "bounds": body.get("extended_bounds")}
     elif kind in ("range", "date_range"):
         # reference: RangeAggregator — buckets are INDEPENDENT; a doc in
         # overlapping ranges counts in each. Non-overlapping specs keep

@@ -606,3 +606,35 @@ def test_date_histogram_min_doc_count_zero_fills_months(spark):
                                  "calendar_interval": "month",
                                  "min_doc_count": 0}}}).collect()]
     assert got == [(1, 1), (2, 0), (3, 0), (4, 1)]
+
+
+def test_histogram_offset_and_extended_bounds(spark):
+    """offset shifts bucket boundaries (key = floor((v-o)/i)*i + o);
+    extended_bounds widens the min_doc_count=0 fill range beyond the
+    observed keys."""
+    df = spark.createDataFrame([(5.5,), (7.2,)], "v double")
+    got = [(float(r["key_h"]), r["doc_count"]) for r in compile_aggs(df, {
+        "h": {"histogram": {"field": "v", "interval": 2, "offset": 0.5}}
+    }).collect()]
+    assert got == [(4.5, 1), (6.5, 1)]
+    ext = [(float(r["key_h"]), r["doc_count"]) for r in compile_aggs(df, {
+        "h": {"histogram": {"field": "v", "interval": 2, "offset": 0.5,
+                            "min_doc_count": 0,
+                            "extended_bounds": {"min": 1.0, "max": 11.0}}}
+    }).collect()]
+    assert ext == [(0.5, 0), (2.5, 0), (4.5, 1), (6.5, 1), (8.5, 0), (10.5, 0)]
+
+
+def test_date_histogram_extended_bounds(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame([(dt.datetime(2020, 3, 5),)], "ts timestamp")
+    got = [(r["key_m"].year, r["key_m"].month, r["doc_count"])
+           for r in compile_aggs(df, {
+               "m": {"date_histogram": {
+                   "field": "ts", "calendar_interval": "month",
+                   "min_doc_count": 0,
+                   "extended_bounds": {"min": "2020-01-15",
+                                       "max": "2020-05-01"}}}}).collect()]
+    assert got == [(2020, 1, 0), (2020, 2, 0), (2020, 3, 1),
+                   (2020, 4, 0), (2020, 5, 0)]
