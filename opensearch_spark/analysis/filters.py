@@ -61,7 +61,12 @@ def char_filter_mapping(mappings: List[str]):
     table = {}
     for m in mappings:
         src, _, dst = m.partition("=>")
-        table[src.strip()] = dst.strip()
+        src = src.strip()
+        if not src:
+            # reference MappingCharFilter rejects empty keys; an empty
+            # regex alternative would match at EVERY position
+            raise ValueError(f"mapping rule with empty source: {m!r}")
+        table[src] = dst.strip()
     if not table:
         return lambda text: text
     rx = re.compile("|".join(
@@ -326,8 +331,9 @@ def make_filter(spec) -> Callable[[List[Token]], List[Token]]:
         # (StopTokenFilterFactory); positions INCREMENT across removed
         # tokens (posInc gaps) — we keep original numbers, same effect
         if bool(spec.get("ignore_case", False)):
+            swl = {w.lower() for w in sw}
             return lambda ts: [x for x in ts
-                               if str(x["token"]).lower() not in sw]
+                               if str(x["token"]).lower() not in swl]
         return lambda ts: [x for x in ts if str(x["token"]) not in sw]
     if t in ("stemmer", "porter_stem"):
         lang = spec.get("language", spec.get("name", "english"))

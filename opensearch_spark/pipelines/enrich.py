@@ -83,6 +83,14 @@ def user_agent_cols(c: Column) -> dict[str, Column]:
         if verpat:
             os_major = F.when(
                 hit, F.regexp_extract(c, verpat, 1)).otherwise(os_major)
+    # Windows NT kernel versions -> marketing names (uap-core os
+    # replacement rules: NT 6.1 is "Windows 7", not "Windows 6")
+    nt = F.regexp_extract(c, r"Windows NT (\d+\.\d+)", 1)
+    win = (F.when(nt == "10.0", "10").when(nt == "6.3", "8.1")
+           .when(nt == "6.2", "8").when(nt == "6.1", "7")
+           .when(nt == "6.0", "Vista").when(nt == "5.1", "XP")
+           .otherwise(nt))
+    os_major = F.when(os_name == "Windows", win).otherwise(os_major)
     device = (
         F.when(c.rlike(r"iPad|Tablet"), "Tablet")
         .when(c.rlike(r"Mobi|iPhone|Android.*Mobile"), "Mobile")

@@ -131,15 +131,30 @@ def compile_aggs(df: DataFrame, aggs: Dict[str, dict]) -> DataFrame:
     for f in post_filters:
         if f is not None:
             out = out.where(f)
-    if fill_spec is not None and len(key_cols) == 1:
+    if fill_spec is not None:
         # min_doc_count=0 (reference: histogram/date_histogram empty
         # buckets between the min and max observed keys): generate the
-        # full key range — a one-row bounds agg exploded into keys —
-        # and left-join the real buckets in; metric columns stay null,
+        # full key range — a bounds agg exploded into keys — and
+        # left-join the real buckets in; metric columns stay null,
         # doc_count becomes 0 (same as the reference's empty buckets).
+        # With parent buckets (the filled agg must be INNERMOST) the
+        # bounds and fill run PER PARENT, like the reference.
         kc, spec = fill_spec
-        bounds = out.agg(F.min(kc).alias("_lo"), F.max(kc).alias("_hi"))
+        if kc != key_cols[-1]:
+            raise ValueError(
+                "min_doc_count=0 fill is only supported on the innermost "
+                "bucket agg (an empty parent bucket has no children)")
+        parents = key_cols[:-1]
+        gb = out.groupBy(*parents) if parents else out.groupBy()
+        bounds = gb.agg(F.min(kc).alias("_lo"), F.max(kc).alias("_hi"))
         eb = spec.get("bounds") or {}
+
+        def _ts_lit(v):
+            # reference accepts ISO strings AND epoch millis
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return F.timestamp_millis(F.lit(int(v)))
+            return F.lit(str(v)).cast("timestamp")
+
         if spec["type"] == "numeric":
             iv = float(spec["interval"])
             off = float(spec.get("offset", 0.0))
@@ -150,24 +165,22 @@ def compile_aggs(df: DataFrame, aggs: Dict[str, dict]) -> DataFrame:
             if "max" in eb:
                 bmax = (float(eb["max"]) - off) // iv * iv + off
                 hi = F.greatest(hi, F.lit(bmax))
-            keys = bounds.select(F.explode(F.sequence(
+            keys = bounds.select(*parents, F.explode(F.sequence(
                 F.round((lo - F.lit(off)) / iv).cast("long"),
                 F.round((hi - F.lit(off)) / iv).cast("long"),
             )).alias("_i")).select(
-                (F.col("_i") * F.lit(iv) + F.lit(off)).alias(kc))
+                *parents, (F.col("_i") * F.lit(iv) + F.lit(off)).alias(kc))
         else:
             step = F.expr(f"INTERVAL 1 {spec['unit']}")
             lo, hi = F.col("_lo"), F.col("_hi")
             if "min" in eb:
-                lo = F.least(lo, F.date_trunc(
-                    spec["unit"], F.lit(eb["min"]).cast("timestamp")))
+                lo = F.least(lo, F.date_trunc(spec["unit"], _ts_lit(eb["min"])))
             if "max" in eb:
-                hi = F.greatest(hi, F.date_trunc(
-                    spec["unit"], F.lit(eb["max"]).cast("timestamp")))
+                hi = F.greatest(hi, F.date_trunc(spec["unit"], _ts_lit(eb["max"])))
             keys = bounds.select(
-                F.explode(F.sequence(lo, hi, step)).alias(kc))
+                *parents, F.explode(F.sequence(lo, hi, step)).alias(kc))
         out = (
-            keys.join(out, kc, "left")
+            keys.join(out, [*parents, kc], "left")
             .withColumn("doc_count",
                         F.coalesce(F.col("doc_count"), F.lit(0)))
         )
@@ -266,13 +279,16 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
             F.floor((F.col(fld) - F.lit(offset)) / F.lit(interval))
             * F.lit(interval) + F.lit(offset),
         )
-        if int(body.get("min_doc_count", 1)) == 0:
+        mdc = int(body.get("min_doc_count", 1))
+        if mdc == 0:
             # reference: min_doc_count=0 MATERIALIZES empty buckets
             # between the min and max observed keys; extended_bounds
             # widens that range unconditionally
             post["fill"] = {"type": "numeric", "interval": interval,
                             "offset": offset,
                             "bounds": body.get("extended_bounds")}
+        elif mdc > 1:
+            post["min_doc_count"] = mdc
     elif kind == "date_histogram":
         fld = body["field"]
         iv = body.get("calendar_interval") or body.get("fixed_interval") or "1d"
@@ -282,9 +298,12 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
         df = df.where(F.col(fld).isNotNull()).withColumn(
             kcol, F.date_trunc(unit, F.col(fld))
         )
-        if int(body.get("min_doc_count", 1)) == 0:
+        mdc = int(body.get("min_doc_count", 1))
+        if mdc == 0:
             post["fill"] = {"type": "date", "unit": unit,
                             "bounds": body.get("extended_bounds")}
+        elif mdc > 1:
+            post["min_doc_count"] = mdc
     elif kind in ("range", "date_range"):
         # reference: RangeAggregator — buckets are INDEPENDENT; a doc in
         # overlapping ranges counts in each. Non-overlapping specs keep

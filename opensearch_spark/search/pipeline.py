@@ -89,8 +89,11 @@ class SearchPipeline:
                     arr = F.split(stripped, sep, -1)
                     out = out.withColumn(
                         tgt,
-                        F.when(stripped == "",
-                               F.array().cast("array<string>"))
+                        # Java "".split(sep, 0) == [""]; all-separator
+                        # input strips to "" and yields []
+                        F.when(src == "", F.array(F.lit("")))
+                        .when(stripped == "",
+                              F.array().cast("array<string>"))
                         .otherwise(arr))
             elif kind == "field_filter":
                 keep = spec.get("include")

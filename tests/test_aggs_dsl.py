@@ -638,3 +638,47 @@ def test_date_histogram_extended_bounds(spark):
                                        "max": "2020-05-01"}}}}).collect()]
     assert got == [(2020, 1, 0), (2020, 2, 0), (2020, 3, 1),
                    (2020, 4, 0), (2020, 5, 0)]
+
+
+def test_histogram_min_doc_count_threshold(spark):
+    df = spark.createDataFrame([(0.1,), (0.2,), (1.5,)], "v double")
+    got = [(float(r["key_h"]), r["doc_count"]) for r in compile_aggs(df, {
+        "h": {"histogram": {"field": "v", "interval": 1,
+                            "min_doc_count": 2}}}).collect()]
+    assert got == [(0.0, 2)]
+
+
+def test_nested_histogram_fill_per_parent(spark):
+    """min_doc_count=0 on the INNERMOST bucket fills per parent bucket;
+    a histogram mid-chain raises instead of silently skipping."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 2.0), ("b", 5.0)], "g string, v double")
+    got = [(r["key_l"], float(r["key_h"]), r["doc_count"])
+           for r in compile_aggs(df, {
+               "l": {"terms": {"field": "g", "size": 10},
+                     "aggs": {"h": {"histogram": {
+                         "field": "v", "interval": 1,
+                         "min_doc_count": 0}}}},
+           }).orderBy("key_l", "key_h").collect()]
+    assert got == [("a", 0.0, 1), ("a", 1.0, 0), ("a", 2.0, 1),
+                   ("b", 5.0, 1)]
+    with _pytest.raises(ValueError):
+        compile_aggs(df, {
+            "h": {"histogram": {"field": "v", "interval": 1,
+                                "min_doc_count": 0},
+                  "aggs": {"l": {"terms": {"field": "g"}}}}})
+
+
+def test_date_histogram_extended_bounds_epoch_millis(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame([(dt.datetime(2020, 3, 5),)], "ts timestamp")
+    ms = int(dt.datetime(2020, 5, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    got = compile_aggs(df, {
+        "m": {"date_histogram": {"field": "ts",
+                                 "calendar_interval": "month",
+                                 "min_doc_count": 0,
+                                 "extended_bounds": {"max": ms}}}}).count()
+    assert got == 3  # Mar, Apr, May

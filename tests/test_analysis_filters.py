@@ -148,3 +148,16 @@ def test_html_strip_decodes_entities():
     got = analyze_chain("a &amp; b", tokenizer="whitespace",
                         char_filters=["html_strip"])
     assert toks(got) == ["a", "&", "b"]
+
+
+def test_stop_ignore_case_lowercases_stopwords():
+    got = analyze_chain("foo Bar", tokenizer="whitespace",
+                        filters=[{"type": "stop", "stopwords": ["FOO"],
+                                  "ignore_case": True}])
+    assert toks(got) == ["Bar"]
+
+
+def test_mapping_rejects_empty_source():
+    with pytest.raises(ValueError):
+        analyze_chain("abc", char_filters=[{"type": "mapping",
+                                            "mappings": ["=> x"]}])

@@ -118,3 +118,28 @@ def test_split_response_processor(spark):
     got2 = {r["docId"]: r["tag_list"]
             for r in keep.process_response(hits).collect()}
     assert got2[1] == ["a", "b", "", "c", "", ""]
+
+
+def test_user_agent_windows_marketing_names(spark):
+    df = spark.createDataFrame(
+        [("w7", "Mozilla/5.0 (Windows NT 6.1; WOW64) AppleWebKit/537.36 "
+                "(KHTML, like Gecko) Chrome/49.0.2623.112 Safari/537.36"),
+         ("w81", "Mozilla/5.0 (Windows NT 6.3; Win64; x64) Gecko/20100101 "
+                 "Firefox/60.0")],
+        "key string, agent string")
+    got = {r["key"]: r.asDict()
+           for r in apply_pipeline(df, [{"user_agent": {"field": "agent"}}]).collect()}
+    assert got["w7"]["user_agent_os"] == "Windows 7"
+    assert got["w81"]["user_agent_os"] == "Windows 8.1"
+
+
+def test_split_empty_string_field(spark):
+    from opensearch_spark.search.pipeline import SearchPipeline
+
+    hits = spark.createDataFrame(
+        [(1, 1.0, "")], "docId long, score double, tags string")
+    p = SearchPipeline(response_processors=[
+        {"split": {"field": "tags", "separator": ",",
+                   "target_field": "tag_list"}}])
+    got = p.process_response(hits).collect()[0]["tag_list"]
+    assert got == [""]   # Java "".split(",", 0) == [""]

@@ -228,4 +228,4 @@ def test_line_dedup_has_partial_aggregation(spark):
     df = spark.createDataFrame(
         [(1, ["a", "b"]), (2, ["a"])], "doc_id long, lines array<string>")
     p = executed_str(line_dedup(df))
-    assert "partial_count(distinct" in p or "partial_count" in p, p
+    assert "partial_count(distinct" in p, p
