@@ -80,10 +80,18 @@ _PIPELINE_KINDS = {
 }
 
 
-def compile_aggs(df: DataFrame, aggs: Dict[str, dict]) -> DataFrame:
+def compile_aggs(df: DataFrame, aggs: Dict[str, dict],
+                 star_tree: Optional[Dict[str, object]] = None) -> DataFrame:
     """Compile an `aggs` tree over ``df``. One bucket chain (nested
     bucket aggs) is supported, with any number of metric/pipeline
-    siblings at each level."""
+    siblings at each level.
+
+    ``star_tree`` = {"dir", "dims", "metrics"} (a cube built by
+    index/startree.build_star_tree): when given and the request is a
+    covered single-terms groupBy with sum/min/max/avg metrics, the agg
+    is answered FROM the pre-aggregated cube — one gid-partition scan,
+    no touch of the fact table (the reference's automatic star-tree
+    query resolution, compositeindex/datacube/startree/)."""
     if len(aggs) == 1:
         ((only_name, only_spec),) = aggs.items()
         kinds = [k for k in only_spec if k not in ("aggs", "aggregations")]
@@ -92,6 +100,18 @@ def compile_aggs(df: DataFrame, aggs: Dict[str, dict]) -> DataFrame:
         if kinds == ["scripted_metric"]:
             return _scripted_metric(df, only_name, only_spec["scripted_metric"])
     chain, metrics, pipelines = _split_levels(aggs)
+    routed = _try_star_tree_route(df, star_tree, chain, metrics)
+    if routed is not None:
+        out, key_cols, limit_spec = routed
+        if limit_spec is not None:
+            col, direction, n = limit_spec
+            oc = F.desc(col) if direction == "desc" else F.asc(col)
+            out = out.orderBy(oc, *[F.asc(c) for c in key_cols]).limit(n)
+        else:
+            out = out.orderBy(*[F.asc(c) for c in key_cols])
+        for name, kind, body in pipelines:
+            out = _apply_pipeline(out, name, kind, body, key_cols)
+        return out
     if not chain:
         # metrics-only: single global row
         exprs = [F.count(F.lit(1)).alias("doc_count")]
@@ -198,6 +218,54 @@ def compile_aggs(df: DataFrame, aggs: Dict[str, dict]) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+
+_ST_METRIC_KINDS = {"sum", "min", "max", "avg"}
+
+
+def _try_star_tree_route(df, star_tree, chain, metrics):
+    """When the request is a covered single-terms groupBy with
+    sum/min/max/avg metrics, answer from the star-tree cube. Returns
+    (bucket_frame, key_cols, limit_spec) or None (fall through to the
+    fact-table plan)."""
+    if not star_tree or len(chain) != 1:
+        return None
+    name, kind, body = chain[0]
+    if kind != "terms" or "missing" in body:
+        return None
+    fld = body["field"]
+    wanted = []
+    mspecs = []
+    for mname, mkind, mbody in metrics:
+        if mkind not in _ST_METRIC_KINDS:
+            return None
+        wanted.append(f"{mkind}_{mbody['field']}")
+        mspecs.append((mname, mkind, mbody["field"]))
+    from opensearch_spark.index.startree import star_tree_agg, star_tree_covers
+
+    dims = list(star_tree["dims"])
+    st_metrics = list(star_tree["metrics"])
+    if not star_tree_covers(dims, st_metrics, [fld], wanted):
+        return None
+    out_metrics = {"doc_count": "doc_count"}
+    for mname, mkind, mcol in mspecs:
+        out_metrics[mname] = f"{mkind}_{mcol}"
+    spark = df.sparkSession
+    out = star_tree_agg(spark, str(star_tree["dir"]), dims,
+                        group_by=[fld], metrics=out_metrics)
+    kcol = f"key_{name}"
+    out = out.where(F.col(fld).isNotNull()).withColumnRenamed(fld, kcol)
+    # column order must match the fact-table plan: keys, doc_count, metrics
+    out = out.select(kcol, "doc_count",
+                     *[mname for mname, _k, _c in mspecs])
+    order = body.get("order", {"_count": "desc"})
+    ((okey, odir),) = order.items() if isinstance(order, dict) else (("_count", "desc"),)
+    ocol = "doc_count" if okey == "_count" else (kcol if okey == "_key" else okey)
+    limit_spec = (ocol, odir, int(body.get("size", 10)))
+    mdc = int(body.get("min_doc_count", 1))
+    if mdc > 1:
+        out = out.where(F.col("doc_count") >= mdc)
+    return out, [kcol], limit_spec
+
 
 def _split_levels(aggs: Dict[str, dict]):
     """Walk the tree: collect the single bucket chain + metrics and

@@ -84,3 +84,35 @@ def test_gid_and_covers():
     assert star_tree_covers(["d1", "d2"], ["v"], ["d1"], ["sum_v", "doc_count"])
     assert not star_tree_covers(["d1"], ["v"], ["d2"], ["sum_v"])
     assert not star_tree_covers(["d1"], ["v"], ["d1"], ["sum_w"])
+
+
+def test_compile_aggs_auto_routes_to_star_tree(spark, tmp_path):
+    """A covered terms+metrics agg served FROM the cube: same result as
+    the fact-table plan, and the physical plan scans only the tree
+    (one gid partition), never the fact table."""
+    from pyspark.sql import functions as F
+    from opensearch_spark.index.startree import build_star_tree
+    from opensearch_spark.search.aggs import compile_aggs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tree = str(tmp_path / "tree")
+    build_star_tree(docs, dims=["lang", "source"],
+                    metrics=["n_chars"], out_dir=tree)
+    body = {"l": {"terms": {"field": "lang", "size": 10},
+                  "aggs": {"avg_len": {"avg": {"field": "n_chars"}},
+                           "total": {"sum": {"field": "n_chars"}}}}}
+    st = {"dir": tree, "dims": ["lang", "source"], "metrics": ["n_chars"]}
+    plain = compile_aggs(docs, body).withColumn(
+        "avg_len", F.round("avg_len", 6)).collect()
+    routed = compile_aggs(docs, body, star_tree=st).withColumn(
+        "avg_len", F.round("avg_len", 6)).collect()
+    assert sorted(map(tuple, routed)) == sorted(map(tuple, plain))
+    plan = compile_aggs(docs, body, star_tree=st)
+    p = plan._jdf.queryExecution().executedPlan().toString()
+    assert "tree" in p and "documents.parquet" not in p, p
+    # uncovered (metric not in the tree) falls through to the fact table
+    body2 = {"l": {"terms": {"field": "lang"},
+                   "aggs": {"c": {"cardinality": {"field": "source",
+                                                  "exact": True}}}}}
+    p2 = compile_aggs(docs, body2, star_tree=st)
+    assert "documents.parquet" in p2._jdf.queryExecution().executedPlan().toString()
