@@ -459,6 +459,14 @@ def _bucket_key(df: DataFrame, name: str, kind: str, body: dict,
         )
         conds = []
         for r in body["ranges"]:
+            if "mask" in r:
+                # reference: CIDR mask form — [network, broadcast]
+                net = ipaddress.IPv4Network(r["mask"], strict=False)
+                label = r.get("key") or r["mask"]
+                cond = ((ipnum >= int(net.network_address))
+                        & (ipnum <= int(net.broadcast_address)))
+                conds.append((label, cond))
+                continue
             frm, to = r.get("from"), r.get("to")
             label = r.get("key") or f"{frm or '*'}-{to or '*'}"
             cond = F.lit(True)
@@ -835,6 +843,19 @@ def _significant_text(df: DataFrame, name: str, body: dict) -> DataFrame:
     elif heuristic == "percentage":
         # heuristic/PercentageScore.java
         score = F.col("doc_count") / F.col("_bg_count")
+    elif heuristic == "gnd":
+        # heuristic/GND.java:95 (backgroundIsSuperset): fx=bg term docs,
+        # fy=fg size, fxy=fg term docs, N=bg size;
+        # exp(-(max(ln fx, ln fy) - ln fxy) / (ln N - min(ln fx, ln fy)))
+        fx = F.col("_bg_count").cast("double")
+        fy = F.col("_n_fg").cast("double")
+        fxy = F.col("doc_count").cast("double")
+        n_all = F.col("_n_bg").cast("double")
+        raw = (F.greatest(F.log(fx), F.log(fy)) - F.log(fxy)) / (
+            F.log(n_all) - F.least(F.log(fx), F.log(fy)))
+        score = (F.when(fxy == 0, F.lit(0.0))
+                 .when((fx == fy) & (fx == fxy), F.lit(1.0))
+                 .otherwise(F.exp(-raw)))
     else:  # jlh
         score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
     return (
@@ -920,9 +941,19 @@ def _metric_exprs(name: str, kind: str, body: dict) -> List[Column]:
         return [F.count(c).alias(name)]
     if kind == "cardinality":
         # reference: HyperLogLog++ (CardinalityAggregator.java:87);
-        # Spark's approx_count_distinct is HLL++ too
+        # Spark's approx_count_distinct is HLL++ too.
+        # precision_threshold maps to the register count the reference
+        # would pick (m = next pow2 >= 4*threshold, clamped 2^4..2^18)
+        # expressed as Spark's rsd = 1.04/sqrt(m).
         if body.get("exact"):
             return [F.countDistinct(c).alias(name)]
+        thr = body.get("precision_threshold")
+        if thr:
+            import math
+
+            p = min(18, max(4, math.ceil(math.log2(max(int(thr), 1) * 4))))
+            rsd = 1.04 / math.sqrt(2 ** p)
+            return [F.approx_count_distinct(c, rsd).alias(name)]
         return [F.approx_count_distinct(c).alias(name)]
     if kind == "stats":
         return [

@@ -682,3 +682,61 @@ def test_date_histogram_extended_bounds_epoch_millis(spark):
                                  "min_doc_count": 0,
                                  "extended_bounds": {"max": ms}}}}).count()
     assert got == 3  # Mar, Apr, May
+
+
+def test_ip_range_cidr_mask(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.5",), ("10.0.0.130",), ("10.0.1.7",)], "ip string")
+    got = {r["key_r"]: r["doc_count"] for r in compile_aggs(df, {
+        "r": {"ip_range": {"field": "ip", "ranges": [
+            {"mask": "10.0.0.0/25"},     # .0 - .127
+            {"mask": "10.0.0.128/25"},   # .128 - .255
+            {"from": "10.0.1.0"},
+        ]}}}).collect()}
+    assert got["10.0.0.0/25"] == 1
+    assert got["10.0.0.128/25"] == 1
+    assert got["10.0.1.0-*"] == 1
+
+
+def test_significant_terms_gnd_heuristic(docs, ddb):
+    """GND (heuristic/GND.java:95): exp-inverted normalized distance;
+    mirror the formula in SQL over the same fg/bg token counts."""
+    got = {r["key_sig"]: round(float(r["score"]), 6)
+           for r in compile_aggs(docs, {
+               "sig": {"significant_text": {
+                   "field": "text", "foreground": "lang = 'en'",
+                   "size": 10, "min_doc_count": 3,
+                   "heuristic": "gnd"}}}).collect()}
+    want = {r[0]: round(r[1], 6) for r in ddb.execute("""
+        WITH tok AS (
+          SELECT doc_id, lang = 'en' AS fg,
+                 unnest(list_distinct(regexp_extract_all(lower(text),
+                        '[a-z0-9_]+'))) AS term
+          FROM documents
+        ),
+        c AS (
+          SELECT term, count(*) AS bg,
+                 sum(CASE WHEN fg THEN 1 ELSE 0 END) AS fgc
+          FROM tok GROUP BY term
+        ),
+        t AS (SELECT count(*) AS n_bg,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_fg
+              FROM documents)
+        SELECT term,
+               CASE WHEN fgc = 0 THEN 0.0
+                    WHEN bg = n_fg AND bg = fgc THEN 1.0
+                    ELSE exp(-(greatest(ln(bg*1.0), ln(n_fg*1.0)) - ln(fgc*1.0))
+                             / (ln(n_bg*1.0) - least(ln(bg*1.0), ln(n_fg*1.0))))
+               END AS score
+        FROM c CROSS JOIN t
+        WHERE fgc >= 3 AND fgc * 1.0 / n_fg > bg * 1.0 / n_bg
+        ORDER BY score DESC, term LIMIT 10
+    """).fetchall()}
+    assert got == want
+
+
+def test_cardinality_precision_threshold(docs):
+    got = compile_aggs(docs, {
+        "c": {"cardinality": {"field": "lang",
+                              "precision_threshold": 3000}}}).collect()[0]
+    assert got["c"] == 5  # high precision -> exact on tiny cardinality
