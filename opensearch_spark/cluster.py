@@ -33,6 +33,8 @@ class Cluster:
         self.spark = spark
         self.engines: Dict[str, object] = {}
         self.aliases: Dict[str, List[str]] = {}
+        self.templates: Dict[str, dict] = {}
+        self.data_streams: Dict[str, List[str]] = {}
 
     # ---- index / alias management ------------------------------------
 
@@ -47,6 +49,7 @@ class Cluster:
         from opensearch_spark.index.build import build_index
         from opensearch_spark.search.engine import SearchEngine
 
+        build_kw = {**self._template_defaults(name), **build_kw}
         eng_kw = {
             k: build_kw.get(k)
             for k in ("text_field", "doc_id_col")
@@ -91,7 +94,10 @@ class Cluster:
                 out.append(n)
 
         for p in parts:
-            if p in self.aliases:
+            if p in self.data_streams:
+                for n in self.data_streams[p]:
+                    add(n)
+            elif p in self.aliases:
                 for n in self.aliases[p]:
                     add(n)
             elif any(ch in p for ch in "*?"):
@@ -160,6 +166,110 @@ class Cluster:
                     found[did] = {"_index": n, "_id": did, "found": True,
                                   "_source": r.asDict()}
         return [found.get(d, {"_id": d, "found": False}) for d in ids]
+
+    # ---- index templates ---------------------------------------------
+
+    def put_index_template(self, name: str, body: dict) -> None:
+        """Composable index template (reference: RestPutComposableIndex
+        TemplateAction / MetadataIndexTemplateService): ``body`` =
+        {"index_patterns": [...], "priority": int, "template": {build /
+        engine kwargs applied as DEFAULTS at create_index time}}."""
+        if not body.get("index_patterns"):
+            raise ValueError("index template needs index_patterns")
+        self.templates[name] = {
+            "index_patterns": list(body["index_patterns"]),
+            "priority": int(body.get("priority", 0)),
+            "template": dict(body.get("template") or {}),
+        }
+
+    def delete_index_template(self, name: str) -> None:
+        self.templates.pop(name, None)
+
+    def _template_defaults(self, index_name: str) -> dict:
+        """Highest-priority matching template wins (the reference's
+        composable-template resolution order)."""
+        best, best_prio = {}, None
+        for t in self.templates.values():
+            if any(fnmatch.fnmatch(index_name, p)
+                   for p in t["index_patterns"]):
+                if best_prio is None or t["priority"] > best_prio:
+                    best, best_prio = t["template"], t["priority"]
+        return dict(best)
+
+    # ---- data streams -------------------------------------------------
+
+    def create_data_stream(self, name: str) -> None:
+        """Data stream (reference: RestCreateDataStreamAction /
+        cluster/metadata/DataStream.java): an append-only series of
+        generation-numbered backing indexes; writes land in the LATEST
+        generation, reads fan out over all of them."""
+        if name in self.engines or name in self.aliases:
+            raise ValueError(f"name {name!r} already in use")
+        if name in self.data_streams:
+            raise ValueError(f"data stream {name!r} already exists")
+        self.data_streams[name] = []
+
+    def data_stream_write(self, name: str, corpus: DataFrame,
+                          index_dir: str, **build_kw) -> object:
+        """Append one batch: rolls the stream over to a new backing
+        index ``.ds-<name>-NNNNNN`` built from ``corpus`` (batch-
+        oriented rollover — each generation is one immutable build,
+        the Spark-native write model). Template defaults apply."""
+        if name not in self.data_streams:
+            raise ValueError(f"no such data stream: {name!r}")
+        gen = len(self.data_streams[name]) + 1
+        backing = f".ds-{name}-{gen:06d}"
+        kw = {**self._template_defaults(backing), **build_kw}
+        eng = self.create_index(backing, corpus, index_dir, **kw)
+        self.data_streams[name].append(backing)
+        return eng
+
+    def delete_data_stream(self, name: str) -> None:
+        for backing in self.data_streams.pop(name, []):
+            self.engines.pop(backing, None)
+
+    def data_streams_stats(self, name: str) -> dict:
+        backing = self.data_streams[name]
+        return {
+            "generations": len(backing),
+            "backing_indices": list(backing),
+            "write_index": backing[-1] if backing else None,
+            "doc_count": sum(self.engines[b].doc_count for b in backing),
+        }
+
+    # ---- resize (shrink / clone) --------------------------------------
+
+    def shrink_index(self, source: str, target: str, target_dir: str,
+                     target_segments: int = 1) -> object:
+        """`_shrink` (reference: RestResizeHandler / TransportResize
+        Action): same docs, fewer shards — here the segment-merge
+        machinery (compact_index) rewrites the source index into
+        ``target_segments`` segments at ``target_dir``."""
+        import shutil as _shutil
+
+        from opensearch_spark.index.incremental import compact_index
+        from opensearch_spark.search.engine import SearchEngine
+
+        src = self.engines[source]
+        _shutil.copytree(src.paths.root, target_dir)
+        compact_index(self.spark, target_dir,
+                      target_segments=target_segments)
+        eng = SearchEngine(self.spark, target_dir, corpus=src.corpus,
+                           text_field=src.text_field)
+        self.register(target, eng)
+        return eng
+
+    def clone_index(self, source: str, target: str) -> object:
+        """`_clone`: register a second engine over the SAME immutable
+        index files (the reference hard-links segment files; parquet
+        index tables are immutable here, so sharing is free)."""
+        from opensearch_spark.search.engine import SearchEngine
+
+        src = self.engines[source]
+        eng = SearchEngine(self.spark, src.paths.root, corpus=src.corpus,
+                           text_field=src.text_field)
+        self.register(target, eng)
+        return eng
 
     def field_caps(self, target) -> Dict[str, dict]:
         """`_field_caps` (reference: action/fieldcaps/

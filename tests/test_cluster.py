@@ -153,3 +153,60 @@ def test_geo_query_options_and_units(cluster):
         "location": {"top_left": [2.0, 1.0],
                      "bottom_right": "0.5,3.0"}}})
     assert (b.top, b.left, b.bottom, b.right) == (1.0, 2.0, 0.5, 3.0)
+
+
+def test_data_streams_and_templates(spark, tmp_path):
+    """Data streams (cluster/metadata/DataStream.java): writes roll into
+    generation-numbered backing indexes, reads fan out over all;
+    composable index templates supply build defaults by pattern."""
+    from opensearch_spark.testing.corpus import generate_corpus
+
+    c = Cluster(spark)
+    c.put_index_template("ds-template", {
+        "index_patterns": [".ds-events-*"], "priority": 10,
+        "template": {"n_segments": 2, "shuffle_partitions": 4}})
+    c.create_data_stream("events")
+    b1 = spark.createDataFrame(generate_corpus(80, seed=60))
+    b2 = spark.createDataFrame(generate_corpus(80, seed=61))
+    c.data_stream_write("events", b1, str(tmp_path / "g1"))
+    c.data_stream_write("events", b2, str(tmp_path / "g2"))
+    st = c.data_streams_stats("events")
+    assert st["generations"] == 2
+    assert st["write_index"] == ".ds-events-000002"
+    # a couple of generated docs are empty and never indexed
+    assert st["doc_count"] == sum(
+        c.engines[b].doc_count for b in st["backing_indices"])
+    assert 150 <= st["doc_count"] <= 160
+    # reads resolve to every generation
+    assert c.resolve("events") == [".ds-events-000001", ".ds-events-000002"]
+    hits = c.search("events", {"match": {"content": "def return"}}, k=5)
+    assert hits.count() == 5
+    # template default applied (2 segments -> seg ids 0..1)
+    eng = c.engines[".ds-events-000001"]
+    assert eng.postings.select("seg").distinct().count() <= 2
+    c.delete_data_stream("events")
+    assert "events" not in c.data_streams
+    with pytest.raises(ValueError):
+        c.resolve("events")
+
+
+def test_shrink_and_clone(spark, tmp_path):
+    from opensearch_spark.testing.corpus import generate_corpus
+
+    c = Cluster(spark)
+    corpus = spark.createDataFrame(generate_corpus(100, seed=62))
+    c.create_index("src", corpus, str(tmp_path / "src"),
+                   n_segments=4, shuffle_partitions=4)
+    q = {"match": {"content": "def return"}}
+    want = [(int(r["docId"]), round(float(r["score"]), 6))
+            for r in c.engines["src"].search(q, k=10).collect()]
+    shr = c.shrink_index("src", "small", str(tmp_path / "small"),
+                         target_segments=1)
+    assert shr.postings.select("seg").distinct().count() == 1
+    got = [(int(r["docId"]), round(float(r["score"]), 6))
+           for r in shr.search(q, k=10).collect()]
+    assert got == want    # same docs, same scores, fewer segments
+    cl = c.clone_index("src", "copy")
+    got2 = [(int(r["docId"]), round(float(r["score"]), 6))
+            for r in cl.search(q, k=10).collect()]
+    assert got2 == want
