@@ -460,6 +460,8 @@ class SearchEngine:
         self.avgdl = float(self.globals["avgdl"])
         self.doc_count = int(self.globals["field_doc_count"])
         self.text_field = text_field
+        self.id_cols = tuple(id_cols)
+        self.doc_id_col = doc_id_col
         self.corpus: DataFrame | None = None
         if corpus is not None:
             if doc_id_col is None:
@@ -1262,6 +1264,56 @@ class SearchEngine:
                 if d.get("found"):
                     d["field_statistics"] = fs
         return docs
+
+    def get(self, doc_id: int) -> dict:
+        """Single-document GET (reference: RestGetAction /
+        TransportGetAction — realtime read from the live corpus): one
+        pushdown-filtered scan."""
+        if self.corpus is None:
+            raise ValueError("get needs an attached corpus")
+        rows = self.corpus.where(F.col("docId") == int(doc_id)).collect()
+        if not rows:
+            return {"_id": int(doc_id), "found": False}
+        src = rows[0].asDict()
+        src.pop("docId", None)
+        return {"_id": int(doc_id), "found": True, "_source": src}
+
+    def get_source(self, doc_id: int) -> dict | None:
+        """`_source` GET (reference: RestGetSourceAction): the bare
+        source document, or None when missing."""
+        g = self.get(doc_id)
+        return g["_source"] if g["found"] else None
+
+    def update(self, doc_id: int, doc: dict | None = None,
+               script=None) -> dict:
+        """Single-document `_update` (reference: RestUpdateAction /
+        UpdateHelper): partial-doc merge or a script callable
+        ``fn(source_dict) -> source_dict``, written through the
+        versioned upsert path (tombstone old docId -> compact -> add).
+        Readers opened BEFORE the update keep serving the old
+        generation; re-open the engine to see the new one."""
+        g = self.get(doc_id)
+        if not g["found"]:
+            raise ValueError(f"document {doc_id} not found")
+        src = dict(g["_source"])
+        if doc:
+            src.update(doc)
+        if script is not None:
+            src = script(src)
+        from opensearch_spark.index.incremental import upsert_batch
+
+        row = dict(src)
+        if self.doc_id_col is not None:
+            row[self.doc_id_col] = int(doc_id)
+        # doc_id_col=None: docId re-derives from the id_cols already in
+        # the source (xxhash64), same recipe as the original build
+        batch = self.spark.createDataFrame([row])
+        upsert_batch(
+            self.spark, batch, self.paths.root,
+            text_col=self.text_field,
+            id_cols=self.id_cols, doc_id_col=self.doc_id_col,
+        )
+        return {"_id": int(doc_id), "result": "updated", "_source": src}
 
     def validate_query(self, query: dict) -> dict:
         """`_validate/query` (reference: RestValidateQueryAction):

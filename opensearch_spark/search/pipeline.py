@@ -115,3 +115,42 @@ class SearchPipeline:
         if "_oversampled_from" in body2:
             out["hits"] = out["hits"].limit(int(body2["_oversampled_from"]))
         return out
+
+
+class PipelineRegistry:
+    """Named search pipelines (reference: RestPutSearchPipelineAction /
+    SearchPipelineService): put/get/delete by id, plus a DEFAULT
+    pipeline applied when a search names none
+    (index.search.default_pipeline)."""
+
+    def __init__(self):
+        self._pipelines: Dict[str, SearchPipeline] = {}
+        self.default: str | None = None
+
+    def put(self, pipeline_id: str, body: dict) -> None:
+        self._pipelines[pipeline_id] = SearchPipeline(
+            request_processors=body.get("request_processors"),
+            response_processors=body.get("response_processors"),
+        )
+
+    def get(self, pipeline_id: str) -> SearchPipeline:
+        if pipeline_id not in self._pipelines:
+            raise ValueError(f"no such search pipeline: {pipeline_id!r}")
+        return self._pipelines[pipeline_id]
+
+    def delete(self, pipeline_id: str) -> None:
+        self._pipelines.pop(pipeline_id, None)
+        if self.default == pipeline_id:
+            self.default = None
+
+    def ids(self) -> List[str]:
+        return sorted(self._pipelines)
+
+    def run(self, engine, body: dict,
+            pipeline: str | None = None) -> Dict[str, Any]:
+        """`_search?search_pipeline=<id>`; falls back to the default
+        pipeline, then to a bare request."""
+        pid = pipeline or self.default
+        if pid is None:
+            return engine.request(body)
+        return self.get(pid).run(engine, body)

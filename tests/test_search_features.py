@@ -590,3 +590,55 @@ def test_request_profile(eng):
     assert "Match" in prof["query"]["parsed"]
     assert len(prof["query"]["plan"]) > 50
     assert "plan" in prof["aggregations"]
+
+
+def test_pipeline_registry(eng):
+    from opensearch_spark.search.pipeline import PipelineRegistry
+
+    reg = PipelineRegistry()
+    reg.put("strict", {"request_processors": [
+        {"filter_query": {"query": {"exists": {"field": "lang"}}}}]})
+    assert reg.ids() == ["strict"]
+    out = reg.run(eng, {"query": {"match": {"content": "def return"}},
+                        "size": 5}, pipeline="strict")
+    assert out["hits"].count() == 5
+    reg.default = "strict"
+    out2 = reg.run(eng, {"query": {"match": {"content": "def return"}},
+                         "size": 5})
+    assert out2["hits"].count() == 5
+    reg.delete("strict")
+    assert reg.default is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        reg.get("strict")
+
+
+def test_single_doc_get_and_update(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from opensearch_spark.index.build import build_index
+    from opensearch_spark.testing.corpus import generate_corpus
+
+    pdf = generate_corpus(60, seed=77)
+    corpus = spark.createDataFrame(pdf).withColumn(
+        "doc_id", F.monotonically_increasing_id())
+    out = str(tmp_path / "ix")
+    build_index(spark, corpus, out, n_segments=2, shuffle_partitions=4,
+                doc_id_col="doc_id")
+    eng = SearchEngine(spark, out, corpus=corpus, doc_id_col="doc_id")
+    row = corpus.where(F.length("content") > 20).limit(1).collect()[0]
+    did = int(row["doc_id"])
+    g = eng.get(did)
+    assert g["found"] and g["_source"]["content"] == row["content"]
+    assert eng.get_source(did)["content"] == row["content"]
+    assert eng.get(99_999_999)["found"] is False
+    # partial-doc merge update, visible to a re-opened engine
+    res = eng.update(did, doc={"content": "updated text zzqx"})
+    assert res["result"] == "updated"
+    corpus2 = corpus.withColumn(
+        "content",
+        F.when(F.col("doc_id") == did, "updated text zzqx")
+        .otherwise(F.col("content")))
+    eng2 = SearchEngine(spark, out, corpus=corpus2, doc_id_col="doc_id")
+    hits = [int(r["docId"]) for r in
+            eng2.search({"match": {"content": "zzqx"}}, k=5).collect()]
+    assert hits == [did]
