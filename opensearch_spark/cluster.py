@@ -41,6 +41,9 @@ class Cluster:
     def register(self, name: str, engine) -> None:
         if name in self.aliases:
             raise ValueError(f"index name {name!r} collides with an alias")
+        if name in self.data_streams:
+            raise ValueError(
+                f"index name {name!r} collides with a data stream")
         self.engines[name] = engine
 
     def create_index(self, name: str, corpus: DataFrame, index_dir: str,
@@ -64,6 +67,9 @@ class Cluster:
         return eng
 
     def put_alias(self, alias: str, *index_names: str) -> None:
+        if alias in self.data_streams:
+            raise ValueError(
+                f"alias {alias!r} collides with a data stream")
         if alias in self.engines:
             # the reference forbids alias/index name collisions
             # (MetadataCreateIndexService validation) — an alias equal to
@@ -106,6 +112,12 @@ class Cluster:
                 )
                 for n in matched:
                     add(n)
+                # the reference's resolver expands wildcards over data
+                # streams to their backing indices too
+                for ds in sorted(self.data_streams):
+                    if fnmatch.fnmatch(ds, p):
+                        for n in self.data_streams[ds]:
+                            add(n)
             elif p in self.engines:
                 add(p)
             else:
@@ -219,8 +231,8 @@ class Cluster:
             raise ValueError(f"no such data stream: {name!r}")
         gen = len(self.data_streams[name]) + 1
         backing = f".ds-{name}-{gen:06d}"
-        kw = {**self._template_defaults(backing), **build_kw}
-        eng = self.create_index(backing, corpus, index_dir, **kw)
+        # create_index resolves template defaults for the backing name
+        eng = self.create_index(backing, corpus, index_dir, **build_kw)
         self.data_streams[name].append(backing)
         return eng
 
@@ -254,8 +266,12 @@ class Cluster:
         _shutil.copytree(src.paths.root, target_dir)
         compact_index(self.spark, target_dir,
                       target_segments=target_segments)
+        # src.corpus already carries the derived docId column, so the
+        # new engine binds to it directly (doc_id_col='docId') — the
+        # source's id scheme (id_cols hash or explicit column) is
+        # preserved no matter how it was built
         eng = SearchEngine(self.spark, target_dir, corpus=src.corpus,
-                           text_field=src.text_field)
+                           text_field=src.text_field, doc_id_col="docId")
         self.register(target, eng)
         return eng
 
@@ -267,7 +283,7 @@ class Cluster:
 
         src = self.engines[source]
         eng = SearchEngine(self.spark, src.paths.root, corpus=src.corpus,
-                           text_field=src.text_field)
+                           text_field=src.text_field, doc_id_col="docId")
         self.register(target, eng)
         return eng
 

@@ -46,6 +46,9 @@ def build_star_tree(df: DataFrame, dims: Sequence[str],
         aggs.append(F.sum(m).alias(f"sum_{m}"))
         aggs.append(F.min(m).alias(f"min_{m}"))
         aggs.append(F.max(m).alias(f"max_{m}"))
+        # non-null value count per metric: avg must divide by THIS, not
+        # doc_count, or null metric rows deflate the served average
+        aggs.append(F.count(F.col(m)).alias(f"cnt_{m}"))
     cube = df.cube(*[F.col(d) for d in dims]).agg(
         F.grouping_id().alias("gid"), *aggs
     )
@@ -90,7 +93,7 @@ def star_tree_agg(spark: SparkSession, tree_dir: str, dims: Sequence[str],
             cols.append(F.col("doc_count").alias(out_name))
         elif src.startswith("avg_"):
             m = src[4:]
-            cols.append((F.col(f"sum_{m}") / F.col("doc_count")).alias(out_name))
+            cols.append((F.col(f"sum_{m}") / F.col(f"cnt_{m}")).alias(out_name))
         else:
             cols.append(F.col(src).alias(out_name))
     return df.select(*cols)

@@ -91,7 +91,12 @@ def compile_aggs(df: DataFrame, aggs: Dict[str, dict],
     covered single-terms groupBy with sum/min/max/avg metrics, the agg
     is answered FROM the pre-aggregated cube — one gid-partition scan,
     no touch of the fact table (the reference's automatic star-tree
-    query resolution, compositeindex/datacube/startree/)."""
+    query resolution, compositeindex/datacube/startree/).
+    PRECONDITION: ``df`` must be the SAME unfiltered fact table the
+    tree was built from — a filtered frame would be silently answered
+    with whole-corpus numbers; don't pass star_tree for filtered
+    scopes (the reference's resolution likewise only fires for
+    unfiltered match_all scopes)."""
     if len(aggs) == 1:
         ((only_name, only_spec),) = aggs.items()
         kinds = [k for k in only_spec if k not in ("aggs", "aggregations")]

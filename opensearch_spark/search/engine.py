@@ -1295,19 +1295,33 @@ class SearchEngine:
         g = self.get(doc_id)
         if not g["found"]:
             raise ValueError(f"document {doc_id} not found")
-        src = dict(g["_source"])
+        orig = dict(g["_source"])
+        src = dict(orig)
         if doc:
             src.update(doc)
         if script is not None:
             src = script(src)
+        if self.doc_id_col is None:
+            # docId derives from id_cols (xxhash64): changing an id
+            # field would re-key the doc and leave the old version live
+            # — the reference likewise forbids changing _id via _update
+            changed = [c for c in self.id_cols if src.get(c) != orig.get(c)]
+            if changed:
+                raise ValueError(
+                    f"_update cannot change id fields {changed}")
+        from pyspark.sql.types import StructType
+
         from opensearch_spark.index.incremental import upsert_batch
 
         row = dict(src)
         if self.doc_id_col is not None:
             row[self.doc_id_col] = int(doc_id)
-        # doc_id_col=None: docId re-derives from the id_cols already in
-        # the source (xxhash64), same recipe as the original build
-        batch = self.spark.createDataFrame([row])
+        # explicit corpus schema (minus the derived docId): schema-less
+        # inference crashes on null fields and can drift on int widths
+        schema = StructType(
+            [f for f in self.corpus.schema.fields if f.name != "docId"])
+        batch = self.spark.createDataFrame(
+            [tuple(row.get(f.name) for f in schema.fields)], schema)
         upsert_batch(
             self.spark, batch, self.paths.root,
             text_col=self.text_field,

@@ -210,3 +210,35 @@ def test_shrink_and_clone(spark, tmp_path):
     got2 = [(int(r["docId"]), round(float(r["score"]), 6))
             for r in cl.search(q, k=10).collect()]
     assert got2 == want
+
+
+def test_data_stream_collisions_and_wildcards(spark, tmp_path):
+    from opensearch_spark.testing.corpus import generate_corpus
+
+    c = Cluster(spark)
+    c.create_data_stream("events")
+    b = spark.createDataFrame(generate_corpus(40, seed=63))
+    c.data_stream_write("events", b, str(tmp_path / "g1"),
+                        n_segments=2, shuffle_partitions=4)
+    # name collisions are rejected in BOTH directions
+    with pytest.raises(ValueError):
+        c.create_index("events", b, str(tmp_path / "clash"))
+    with pytest.raises(ValueError):
+        c.put_alias("events", ".ds-events-000001")
+    # wildcards expand over data streams to their backing indices
+    assert c.resolve("event*") == [".ds-events-000001"]
+
+
+def test_clone_preserves_doc_id_scheme(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from opensearch_spark.testing.corpus import generate_corpus
+
+    c = Cluster(spark)
+    corpus = spark.createDataFrame(generate_corpus(50, seed=64)).withColumn(
+        "doc_id", F.monotonically_increasing_id())
+    c.create_index("src", corpus, str(tmp_path / "src"),
+                   n_segments=2, shuffle_partitions=4, doc_id_col="doc_id")
+    cl = c.clone_index("src", "copy")
+    did = int(corpus.limit(1).collect()[0]["doc_id"])
+    # the clone resolves documents by the SAME id scheme as the source
+    assert cl.get(did)["found"] is True

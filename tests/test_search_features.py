@@ -642,3 +642,25 @@ def test_single_doc_get_and_update(spark, tmp_path):
     hits = [int(r["docId"]) for r in
             eng2.search({"match": {"content": "zzqx"}}, k=5).collect()]
     assert hits == [did]
+
+
+def test_update_null_field_and_id_change_guard(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from opensearch_spark.index.build import build_index
+    from opensearch_spark.testing.corpus import generate_corpus
+
+    corpus = spark.createDataFrame(generate_corpus(40, seed=78)).withColumn(
+        "lang", F.when(F.col("path").contains("a"), F.col("lang")))
+    out = str(tmp_path / "ix")
+    build_index(spark, corpus, out, n_segments=2, shuffle_partitions=4)
+    eng = SearchEngine(spark, out, corpus=corpus)
+    row = eng.corpus.where(F.col("lang").isNull()) \
+                    .where(F.length("content") > 10).limit(1).collect()
+    if row:  # a doc with a NULL field updates fine (explicit schema)
+        did = int(row[0]["docId"])
+        res = eng.update(did, doc={"content": "patched body qqzz"})
+        assert res["result"] == "updated"
+    # changing an id-derived field is rejected (would re-key the doc)
+    any_doc = int(eng.corpus.limit(1).collect()[0]["docId"])
+    with pytest.raises(ValueError):
+        eng.update(any_doc, doc={"path": "somewhere/else"})

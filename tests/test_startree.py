@@ -116,3 +116,20 @@ def test_compile_aggs_auto_routes_to_star_tree(spark, tmp_path):
                                                   "exact": True}}}}}
     p2 = compile_aggs(docs, body2, star_tree=st)
     assert "documents.parquet" in p2._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_tree_avg_ignores_null_metric_rows(spark, tmp_path):
+    """avg served from the cube must divide by the non-null value count,
+    matching F.avg on the fact table."""
+    from opensearch_spark.index.startree import build_star_tree, star_tree_agg
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", None), ("a", 20.0), ("b", 4.0)],
+        "g string, v double")
+    tree = str(tmp_path / "t")
+    build_star_tree(df, dims=["g"], metrics=["v"], out_dir=tree)
+    got = {r["g"]: r["m"] for r in star_tree_agg(
+        spark, tree, ["g"], group_by=["g"],
+        metrics={"m": "avg_v"}).collect()}
+    assert got["a"] == 15.0   # (10+20)/2, NOT /3
+    assert got["b"] == 4.0
