@@ -31,9 +31,10 @@ def _qlit(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def base_ctes() -> str:
+def base_ctes(table: str = TABLE) -> str:
     """Shared CTEs: tok (doc_id, term, pos), dl, dlq (quantized), gl
-    (docCount N + avgdl), tf, dfreq."""
+    (docCount N + avgdl), tf, dfreq. ``table`` may name a prior CTE
+    (e.g. a filtered corpus for reindex oracles)."""
     rx = _qlit(duckdb_token_regex())
     bps = quantize_breakpoints(1 << 20)
     qvals = ", ".join(f"({v})" for v in bps)
@@ -42,7 +43,7 @@ tok AS (
   SELECT {ID} AS doc_id,
          unnest(regexp_extract_all(lower({TEXT}), {rx})) AS term,
          generate_subscripts(regexp_extract_all(lower({TEXT}), {rx}), 1) - 1 AS pos
-  FROM {TABLE}
+  FROM {table}
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
 qz(q_val) AS (VALUES {qvals}),
