@@ -668,26 +668,78 @@ def random_uniform_sql(seed: str, id_expr: str = "doc_id") -> str:
 
 
 def sloppy_phrase_sql(query: str, slop: int) -> str:
-    """2-term sloppy phrase oracle — the engine's documented semantics
-    (bm25.sloppy_phrase_freq_in_segment): per second-term occurrence,
-    w = min |p2 - p1 - 1| (<= slop), sloppy_freq = sum 1/(1+w); scored
-    as a pseudo-term with idf = sum of constituent idfs."""
+    """2-term sloppy phrase oracle — exact Lucene sloppy_freq, the same
+    item/closed-form reduction the engine vectorizes
+    (bm25._sloppy_2term_boundary, property-tested against the greedy
+    SloppyPhraseMatcher walk in tests/test_wand.py):
+
+    - merge both terms' phrase-offset-adjusted positions per doc;
+      collapse a TIE (both terms at one adjusted position = an exact
+      occurrence) into one item — a tie always emits matchLength 0 and
+      flips the active label;
+    - a single-term item emits iff its label differs from the previous
+      item's exit label, with matchLength = gap to that item;
+    - exit label closed form: lbl(last single) XOR parity(#ties since),
+      0-initialised (Lucene's queue breaks the initial tie by offset).
+
+    Weights 1/(1+matchLength) are accumulated as the exact integer
+    numerator lcm(1..slop+1)//(1+w) and divided once — bitwise
+    identical to the engine, no float association-order risk. Scored as
+    a pseudo-term with idf = sum of constituent idfs."""
+    from math import lcm
+
     terms = tokenize(query)
     assert len(terms) == 2, "oracle covers 2-term sloppy phrases"
     t1, t2 = terms
+    L = lcm(*range(1, slop + 2))
     idf_terms = " + ".join(
         f"(SELECT ln(1 + (gl.n - df + 0.5) / (df + 0.5)) FROM dfreq WHERE term = {_qlit(t)})"
         for t in terms
     )
     return f"""WITH {base_ctes()},
-pairs AS (
-  SELECT p2.doc_id, p2.pos, min(abs(p2.pos - p1.pos - 1)) AS w
-  FROM tok p2
-  JOIN tok p1 ON p1.doc_id = p2.doc_id AND p1.term = {_qlit(t1)}
-  WHERE p2.term = {_qlit(t2)} AND abs(p2.pos - p1.pos - 1) <= {slop}
-  GROUP BY p2.doc_id, p2.pos
+adj AS (
+  SELECT doc_id, pos AS apos, 0 AS lbl FROM tok WHERE term = {_qlit(t1)}
+  UNION ALL
+  SELECT doc_id, pos - 1 AS apos, 1 AS lbl FROM tok WHERE term = {_qlit(t2)}
 ),
-pf AS (SELECT doc_id, sum(1.0 / (1 + w)) AS pf FROM pairs GROUP BY doc_id)
+items AS (
+  SELECT doc_id, apos, count(*) = 2 AS is_tie, min(lbl) AS slbl
+  FROM adj GROUP BY doc_id, apos
+),
+st AS (
+  SELECT doc_id, apos, is_tie, slbl,
+         sum(CASE WHEN is_tie THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY apos
+                 ROWS UNBOUNDED PRECEDING) AS cum_ties
+  FROM items
+),
+st2 AS (
+  SELECT doc_id, apos, is_tie, slbl, cum_ties,
+         last_value(CASE WHEN NOT is_tie THEN slbl END IGNORE NULLS)
+           OVER w AS last_lbl,
+         last_value(CASE WHEN NOT is_tie THEN cum_ties END IGNORE NULLS)
+           OVER w AS cum_anchor,
+         lag(apos) OVER w AS papos
+  FROM st
+  WINDOW w AS (PARTITION BY doc_id ORDER BY apos ROWS UNBOUNDED PRECEDING)
+),
+st3 AS (
+  SELECT doc_id, apos, is_tie, slbl, papos,
+         lag((coalesce(last_lbl, 0) + cum_ties - coalesce(cum_anchor, 0)) % 2)
+           OVER (PARTITION BY doc_id ORDER BY apos) AS exit_before
+  FROM st2
+),
+pf AS (
+  SELECT doc_id,
+         CAST(sum(CASE
+           WHEN is_tie THEN {L}
+           WHEN papos IS NOT NULL AND slbl <> exit_before
+                AND apos - papos <= {slop} THEN {L} // (1 + (apos - papos))
+           ELSE 0 END) AS DOUBLE) / {L} AS pf
+  FROM st3
+  GROUP BY doc_id
+  HAVING pf > 0
+)
 SELECT pf.doc_id AS doc_id,
        round(({idf_terms}) * {K1 + 1.0!r}
              * pf.pf / (pf.pf + {K1!r} * (1 - {B!r} + {B!r} * q.dlq / gl.avgdl)), 4) AS score

@@ -186,74 +186,238 @@ def phrase_freq_in_segment(
 def sloppy_phrase_freq_in_segment(
     decoded: Dict[str, tuple], phrase_terms: Sequence[str], slop: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Sloppy (slop > 0) phrase matching within one segment.
+    """Sloppy (slop > 0) phrase matching within one segment — exact
+    Lucene semantics for distinct-term phrases.
 
-    Semantics (documented, deterministic variant of Lucene's sloppy
-    phrase — ``MatchPhraseQueryBuilder`` slop):
-    - 2 terms: a doc matches iff occurrences (p1, p2) exist with
-      adjusted width w = |p2 - p1 - 1| <= slop (this IS Lucene's match
-      condition including the transposition cost: "b a" matches
-      "a b"~2, not "a b"~1). sloppy_freq = sum over p2 of
-      1 / (1 + min_w(p2)) — each second-term occurrence contributes its
-      best window's sloppy weight (Lucene instead accumulates a greedy
-      enumeration; weights differ on repeated overlaps, ranks agree on
-      non-pathological text).
-    - k > 2 terms: IN-ORDER chains only (p1 < ... < pk, total gap
-      <= slop, via the vectorized chain-dp in spans.py);
-      sloppy_freq = sum over chain endpoints of 1 / (1 + gap).
+    sloppy_freq follows Lucene's greedy SloppyPhraseMatcher walk (the
+    reference reaches it via ``createPhraseQuery(field, text,
+    phraseSlop)``, index/search/MatchQuery.java:329-331): each phrase
+    term is a cursor over its ADJUSTED positions (position - phrase
+    offset); the walk repeatedly advances the minimum cursor, shrinking
+    the current window, and whenever the advanced cursor overtakes the
+    next-lowest one (or exhausts) the window emits a match iff
+    matchLength = end - min <= slop, contributing 1 / (1 + matchLength)
+    to the phrase frequency. ``_lucene_sloppy_walk`` is that walk; for
+    2-term phrases it reduces to the tie-aware item/boundary form in
+    ``_sloppy_2term_boundary`` (property-tested against the walk in
+    tests/test_wand.py), which vectorizes across docs.
+
+    Phrases with REPEATED terms keep the in-order chain-dp variant
+    (``_sloppy_chain_variant``) — Lucene's repeat-group bookkeeping is
+    intentionally out of scope (documented variant). Accumulation is
+    exact: each emitted weight 1/(1+matchLength) is summed as the
+    integer numerator lcm(1..slop+1)/(1+matchLength) and divided once
+    at the end, so the result is association-order-free and bitwise
+    reproducible by the SQL oracle (float64 fallback past slop 41;
+    Lucene itself accumulates float32 — same walk, same weights).
 
     Returns (docIds, sloppy_freq float64, dl_q) for matching docs.
     """
-    from opensearch_spark.search import spans as S
-
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64),
+             np.empty(0, np.float64))
     for t in phrase_terms:
         if t not in decoded:
-            return (np.empty(0, np.int64), np.empty(0, np.float64),
-                    np.empty(0, np.float64))
+            return empty
+    if len(set(phrase_terms)) < len(phrase_terms):
+        return _sloppy_chain_variant(decoded, phrase_terms, slop)
+
+    # candidate docs: present in all phrase terms (Lucene conjunction)
+    cand = None
+    for t in phrase_terms:
+        d = decoded[t][0]
+        cand = d if cand is None else cand[np.isin(cand, d, assume_unique=True)]
+        if cand.size == 0:
+            return empty
+
+    # expand each term's positions over the candidates, adjusted by the
+    # phrase offset so an exact phrase has equal adjusted positions
+    doc_parts, pos_parts, lbl_parts = [], [], []
+    dl_for_cand = None
+    for off, t in enumerate(phrase_terms):
+        docs, tfs, dl_q, pos = decoded[t]
+        sel = np.searchsorted(docs, cand)
+        starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        lens = tfs[sel]
+        idx = np.repeat(starts[sel], lens) + _ragged_arange(lens)
+        doc_parts.append(np.repeat(np.arange(cand.size, dtype=np.int64), lens))
+        pos_parts.append(pos[idx].astype(np.int64) - off)
+        lbl_parts.append(np.full(int(lens.sum()), off, dtype=np.int64))
+        if dl_for_cand is None:
+            dl_for_cand = dl_q[sel]
+
+    doc_all = np.concatenate(doc_parts)
+    pos_all = np.concatenate(pos_parts)
+    lbl_all = np.concatenate(lbl_parts)
+    # (doc, adjusted pos, phrase offset) — the offset tiebreak mirrors
+    # Lucene's PhrasePositions priority-queue ordering
+    order = np.lexsort((lbl_all, pos_all, doc_all))
+    doc_s, pos_s, lbl_s = doc_all[order], pos_all[order], lbl_all[order]
+    L = _slop_lcm(slop)
+    freq = np.zeros(cand.size, dtype=np.float64)
+    if len(phrase_terms) == 2:
+        freq = _sloppy_2term_boundary(doc_s, pos_s, lbl_s, slop, cand.size)
+    else:
+        k = len(phrase_terms)
+        cuts = np.flatnonzero(np.diff(doc_s)) + 1
+        doc_ids = doc_s[np.concatenate(([0], cuts))]
+        for dord, pg, lg in zip(doc_ids, np.split(pos_s, cuts),
+                                np.split(lbl_s, cuts)):
+            pls = [pg[lg == i] for i in range(k)]
+            freq[dord] = _lucene_sloppy_walk(pls, slop)
+
+    hit_ord = np.flatnonzero(freq > 0)
+    return cand[hit_ord], freq[hit_ord], dl_for_cand[hit_ord]
+
+
+def _sloppy_2term_boundary(
+    doc_s: np.ndarray, pos_s: np.ndarray, lbl_s: np.ndarray,
+    slop: int, n_docs: int,
+) -> np.ndarray:
+    """Vectorized 2-term Lucene sloppy walk over (doc, adjusted pos,
+    label) triples sorted by (doc, pos, lbl).
+
+    Reduction (property-tested against ``_lucene_sloppy_walk`` in
+    tests/test_wand.py): collapse each TIE — both terms at the same
+    adjusted position, i.e. an exact-phrase occurrence — into one item.
+    In the walk, a tied element joins the currently-advancing run, so a
+    tie always emits one matchLength-0 match and flips the active
+    label. A single item emits iff its label differs from the active
+    ("exit") label of the previous item, with matchLength = gap to that
+    item. The exit label has the closed form
+        exit(i) = lbl(last single <= i)  XOR  parity(#ties since it)
+    (0-init when no single precedes in the doc — Lucene's queue breaks
+    the initial tie by phrase offset). This keeps the hot path free of
+    per-doc Python loops.
+    """
+    freq = np.zeros(n_docs, dtype=np.float64)
+    n = doc_s.size
+    if n == 0:
+        return freq
+    same_doc = doc_s[1:] == doc_s[:-1]
+    tie_second = np.zeros(n, dtype=bool)
+    tie_second[1:] = same_doc & (pos_s[1:] == pos_s[:-1])
+    keep = ~tie_second
+    is_tie = np.zeros(n, dtype=bool)
+    is_tie[:-1] = tie_second[1:]
+    doc_i = doc_s[keep]
+    pos_i = pos_s[keep]
+    lbl_i = lbl_s[keep]
+    tie_i = is_tie[keep]
+    m = doc_i.size
+    idxs = np.arange(m, dtype=np.int64)
+    doc_first = np.ones(m, dtype=bool)
+    doc_first[1:] = doc_i[1:] != doc_i[:-1]
+
+    cum_ties = np.cumsum(tie_i.astype(np.int64))
+    # forward-filled index of the last SINGLE item, clamped per doc
+    anchor = np.maximum.accumulate(np.where(~tie_i, idxs, -1))
+    doc_start = np.maximum.accumulate(np.where(doc_first, idxs, -1))
+    valid = anchor >= doc_start
+    anc = np.clip(anchor, 0, m - 1)
+    cum_before_doc = cum_ties[doc_start] - tie_i[doc_start].astype(np.int64)
+    last_lbl = np.where(valid, lbl_i[anc], 0)
+    cum_anchor = np.where(valid, cum_ties[anc], cum_before_doc)
+    exit_after = last_lbl ^ ((cum_ties - cum_anchor) & 1)
+
+    L = _slop_lcm(slop)
+    exit_before = np.zeros(m, dtype=np.int64)
+    exit_before[1:] = exit_after[:-1]
+    single_emit = np.zeros(m, dtype=bool)
+    single_emit[1:] = (~tie_i[1:]) & (~doc_first[1:]) & (
+        lbl_i[1:] != exit_before[1:])
+    w = np.zeros(m, dtype=np.int64)
+    w[1:] = pos_i[1:] - pos_i[:-1]
+    single_emit &= w <= slop
+    if L is not None:
+        num = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(num, doc_i[tie_i], L)
+        np.add.at(num, doc_i[single_emit], L // (1 + w[single_emit]))
+        return num / float(L)
+    np.add.at(freq, doc_i[tie_i], 1.0)
+    np.add.at(freq, doc_i[single_emit],
+              1.0 / (1.0 + w[single_emit].astype(np.float64)))
+    return freq
+
+
+def _slop_lcm(slop: int):
+    """lcm(1..slop+1) when it fits int64 comfortably (slop <= 41),
+    else None (callers fall back to float64 accumulation)."""
+    if slop < 0 or slop > 41:
+        return None
+    from math import lcm
+
+    return lcm(*range(1, slop + 2))
+
+
+def _lucene_sloppy_walk(poslists: Sequence[np.ndarray], slop: int) -> float:
+    """Lucene SloppyPhraseMatcher's greedy match walk over ONE document
+    (distinct-term phrase, so no repeat groups). ``poslists[i]`` holds
+    term i's ascending adjusted positions; all lists non-empty. Returns
+    sum(1 / (1 + matchLength)) over the emitted matches, accumulated
+    exactly via the lcm(1..slop+1) integer numerator (arbitrary-
+    precision when slop > 41). Cursor ties break by phrase offset, as
+    Lucene's queue does."""
+    import heapq
+    from math import lcm
+
+    L = _slop_lcm(slop)
+    if L is None and slop >= 0:
+        L = lcm(*range(1, slop + 2))  # Python ints: no overflow
+    idx = [0] * len(poslists)
+    heap = [(int(pl[0]), i) for i, pl in enumerate(poslists)]
+    heapq.heapify(heap)
+    end = max(p for p, _ in heap)
+    total = 0
+    pos, i = heapq.heappop(heap)
+    match_length = end - pos
+    nxt = heap[0][0]
+    while True:
+        idx[i] += 1
+        if idx[i] == len(poslists[i]):
+            if match_length <= slop:
+                total += L // (1 + match_length)
+            return total / L
+        p = int(poslists[i][idx[i]])
+        if p > end:
+            end = p
+        if p > nxt:
+            heapq.heappush(heap, (p, i))
+            if match_length <= slop:
+                total += L // (1 + match_length)
+            pos, i = heapq.heappop(heap)
+            nxt = heap[0][0]
+            match_length = end - pos
+        else:
+            match_length = min(match_length, end - p)
+
+
+def _sloppy_chain_variant(
+    decoded: Dict[str, tuple], phrase_terms: Sequence[str], slop: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Documented deterministic variant for REPEATED-term sloppy
+    phrases (Lucene's repeat-group logic is out of scope): in-order
+    chains only, sloppy_freq = sum over chain endpoints of
+    1 / (1 + gap) via the vectorized chain-dp in spans.py."""
+    from opensearch_spark.search import spans as S
+
     uniq, span_map = S.ordinalize(decoded, list(phrase_terms))
     if uniq.size == 0:
         return (np.empty(0, np.int64), np.empty(0, np.float64),
                 np.empty(0, np.float64))
-
-    if len(phrase_terms) == 2:
-        t1, t2 = phrase_terms
-        d1, s1, _ = S.term_spans(span_map, t1)
-        d2, s2, _ = S.term_spans(span_map, t2)
-        if d1.size == 0 or d2.size == 0:
-            return (np.empty(0, np.int64), np.empty(0, np.float64),
-                    np.empty(0, np.float64))
-        # for each t2 occurrence: nearest same-doc t1 position around
-        # p2-1 (|p2-p1-1| is V-shaped in p1, so the two neighbors of the
-        # insertion point WITHIN the doc's range suffice)
-        BIGP = np.int64(1) << 32
-        k1 = d1 * BIGP + s1                      # sorted
-        lo = np.searchsorted(k1, d2 * BIGP)      # doc range in t1 posting
-        hi = np.searchsorted(k1, (d2 + 1) * BIGP)
-        j = np.searchsorted(k1, d2 * BIGP + (s2 - 1))
-        best = np.full(d2.size, np.iinfo(np.int64).max, dtype=np.int64)
-        for jj in (j - 1, j):
-            ok = (jj >= lo) & (jj < hi)
-            idx = np.clip(jj, 0, d1.size - 1)
-            w = np.abs(s2 - s1[idx] - 1)
-            best = np.where(ok, np.minimum(best, w), best)
-        hit = best <= slop
-        if not hit.any():
-            return (np.empty(0, np.int64), np.empty(0, np.float64),
-                    np.empty(0, np.float64))
-        contrib = 1.0 / (1.0 + best[hit].astype(np.float64))
-        doc_ord = d2[hit]
-        freq = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(freq, doc_ord, contrib)
+    spansets = [S.term_spans(span_map, t) for t in phrase_terms]
+    sd, sst, sen = S.near_ordered(spansets, slop)
+    if sd.size == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.float64),
+                np.empty(0, np.float64))
+    gap = (sen - sst) - len(phrase_terms)
+    L = _slop_lcm(slop)
+    if L is not None:
+        num = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(num, sd, L // (1 + gap))
+        freq = num / float(L)
     else:
-        spansets = [S.term_spans(span_map, t) for t in phrase_terms]
-        sd, sst, sen = S.near_ordered(spansets, slop)
-        if sd.size == 0:
-            return (np.empty(0, np.int64), np.empty(0, np.float64),
-                    np.empty(0, np.float64))
-        gap = (sen - sst) - len(phrase_terms)
-        contrib = 1.0 / (1.0 + gap.astype(np.float64))
         freq = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(freq, sd, contrib)
+        np.add.at(freq, sd, 1.0 / (1.0 + gap.astype(np.float64)))
 
     hit_ord = np.flatnonzero(freq > 0)
     docs = uniq[hit_ord]

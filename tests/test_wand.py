@@ -266,3 +266,88 @@ def test_program_pruning_decodes_fewer_blocks():
     np.testing.assert_allclose(gs, ws, atol=1e-12)
     # dense term has ~63 blocks; only the ~12 candidate-overlapping ones decode
     assert stats["decoded"] < stats["total"] / 2, stats
+
+
+# --- sloppy phrase: boundary form vs the Lucene greedy walk ----------------
+
+def _decoded_single_doc(poslists):
+    """Build a one-doc `decoded` dict (docs, tfs, dl_q, pos) for terms
+    t0..t{k-1} whose UNADJUSTED positions are poslists[i] (ascending)."""
+    decoded = {}
+    dl = max(int(p[-1]) for p in poslists) + 1
+    for i, pl in enumerate(poslists):
+        pl = np.asarray(sorted(pl), dtype=np.int64)
+        decoded[f"t{i}"] = (
+            np.array([0], dtype=np.int64),
+            np.array([pl.size], dtype=np.int64),
+            np.array([float(dl)], dtype=np.float64),
+            pl,
+        )
+    return decoded
+
+
+def test_sloppy_2term_boundary_equals_walk():
+    """The vectorized 2-term boundary form in sloppy_phrase_freq_in_segment
+    must equal _lucene_sloppy_walk on the adjusted position lists — the
+    property the bm25 docstring promises, over 500 random docs including
+    adjacent/tied adjusted positions."""
+    rng = np.random.default_rng(42)
+    for slop in (1, 2, 5):
+        for _ in range(170):
+            n1 = int(rng.integers(1, 7))
+            n2 = int(rng.integers(1, 7))
+            p1 = np.unique(rng.integers(0, 25, size=n1)).astype(np.int64)
+            p2 = np.unique(rng.integers(0, 25, size=n2)).astype(np.int64)
+            # terms occupy distinct token slots within one doc
+            overlap = np.isin(p2, p1)
+            p2 = p2[~overlap] if (~overlap).any() else (p1[:1] + 1)
+            decoded = _decoded_single_doc([p1, p2])
+            docs, freq, _dlq = bm25.sloppy_phrase_freq_in_segment(
+                decoded, ["t0", "t1"], slop)
+            adj = [p1.astype(np.int64), np.sort(p2.astype(np.int64) - 1)]
+            want = bm25._lucene_sloppy_walk(adj, slop)
+            got = float(freq[0]) if docs.size else 0.0
+            assert got == pytest.approx(want, abs=0.0), (
+                p1.tolist(), p2.tolist(), slop, got, want)
+
+
+def test_sloppy_kterm_walk_hand_examples():
+    """Hand-checked Lucene SloppyPhraseMatcher outcomes for 3-term
+    phrases (distinct terms, adjusted positions)."""
+    # exact phrase "a b c" at 0,1,2 -> one match, matchLength 0
+    assert bm25._lucene_sloppy_walk(
+        [np.array([0]), np.array([0]), np.array([0])], 2) == 1.0
+    # "a _ b _ c" -> adjusted 0,1,2: matchLength 2 -> 1/3
+    assert bm25._lucene_sloppy_walk(
+        [np.array([0]), np.array([1]), np.array([2])], 2) == pytest.approx(1 / 3)
+    # same but slop 1 -> no match
+    assert bm25._lucene_sloppy_walk(
+        [np.array([0]), np.array([1]), np.array([2])], 1) == 0.0
+    # two disjoint exact occurrences -> freq 2
+    assert bm25._lucene_sloppy_walk(
+        [np.array([0, 10]), np.array([0, 10]), np.array([0, 10])], 0) == 2.0
+
+
+def test_sloppy_kterm_segment_matches_walk():
+    """3-term segment path (per-doc walk) agrees with calling the walk
+    directly on the adjusted lists."""
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        pls, used = [], set()
+        for i in range(3):
+            n = int(rng.integers(1, 5))
+            pl = []
+            for _ in range(n):
+                p = int(rng.integers(0, 20))
+                while p in used:
+                    p += 1
+                used.add(p)
+                pl.append(p)
+            pls.append(np.array(sorted(pl), dtype=np.int64))
+        decoded = _decoded_single_doc(pls)
+        docs, freq, _dlq = bm25.sloppy_phrase_freq_in_segment(
+            decoded, ["t0", "t1", "t2"], 4)
+        adj = [np.sort(pl - i) for i, pl in enumerate(pls)]
+        want = bm25._lucene_sloppy_walk(adj, 4)
+        got = float(freq[0]) if docs.size else 0.0
+        assert got == pytest.approx(want, abs=0.0)
