@@ -385,6 +385,25 @@ def _local_index_fn(block_size: int, docstats_dir: str, tok_expr: str,
         )
         os.replace(_ds_tmp, _ds_path)
 
+        # per-segment 1-row globals partial (coordinator-mergeable shard
+        # stats): the driver sums n_segments tiny files instead of
+        # running a Spark agg job over every doc. The "_" prefix keeps
+        # Spark parquet readers of docstats/ from picking these up.
+        _sm_dir = os.path.join(docstats_dir, "_summaries")
+        os.makedirs(_sm_dir, exist_ok=True)
+        _sm_path = os.path.join(_sm_dir, f"seg-{seg_id:05d}.parquet")
+        _sm_tmp = f"{_sm_path}.{os.getpid()}.tmp"
+        pq.write_table(
+            pa.table({
+                "seg": pa.array([int(seg_id)], pa.int64()),
+                "doc_count": pa.array([int(doc_ids.size)], pa.int64()),
+                "fdc": pa.array([int((dl > 0).sum())], pa.int64()),
+                "sum_ttf": pa.array([int(dl.sum())], pa.int64()),
+            }),
+            _sm_tmp,
+        )
+        os.replace(_sm_tmp, _sm_path)
+
         if int(dl.sum()) == 0:
             return
         # ---- occurrence arrays (all within this segment) --------------
@@ -578,15 +597,36 @@ def build_index(
             )
             _mark("local index (tokenize+pack+docstats)")
 
-            ds = spark.read.parquet(paths.docstats)
-            g = ds.agg(
-                F.count(F.lit(1)).alias("doc_count"),
-                F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("fdc"),
-                F.sum("dl").alias("sum_ttf"),
-            ).collect()[0]
-            globals_row = _globals_row(
-                int(g["doc_count"]), int(g["fdc"] or 0), int(g["sum_ttf"] or 0)
-            )
+            # globals = driver-side merge of the per-segment 1-row
+            # partials the indexing tasks wrote (n_segments tiny files —
+            # the coordinator's shard-stats reduce); fall back to a Spark
+            # agg over docstats if the partials are absent
+            import glob as _glob
+
+            _sm_files = sorted(
+                _glob.glob(os.path.join(paths.docstats, "_summaries",
+                                        "seg-*.parquet")))
+            if _sm_files:
+                import pyarrow.parquet as _pq
+
+                _tot = [0, 0, 0]
+                for _f in _sm_files:
+                    _t = _pq.read_table(_f)
+                    _tot[0] += int(_t.column("doc_count")[0].as_py())
+                    _tot[1] += int(_t.column("fdc")[0].as_py())
+                    _tot[2] += int(_t.column("sum_ttf")[0].as_py())
+                globals_row = _globals_row(_tot[0], _tot[1], _tot[2])
+            else:
+                ds = spark.read.parquet(paths.docstats)
+                g = ds.agg(
+                    F.count(F.lit(1)).alias("doc_count"),
+                    F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("fdc"),
+                    F.sum("dl").alias("sum_ttf"),
+                ).collect()[0]
+                globals_row = _globals_row(
+                    int(g["doc_count"]), int(g["fdc"] or 0),
+                    int(g["sum_ttf"] or 0)
+                )
             _write_globals(globals_row)
             lineage.update(
                 phase1_done=True, waves_done=[0], globals=globals_row

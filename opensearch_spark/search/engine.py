@@ -471,7 +471,18 @@ class SearchEngine:
             else:
                 self.corpus = corpus.withColumn("docId", F.col(doc_id_col).cast("long"))
         if cache:
-            self.postings = self.postings.persist()
+            # Persist the postings PRE-PARTITIONED on the serving
+            # grouping key: every scoring path is
+            # filter(term) -> groupBy("seg").applyInPandas(...), so a
+            # seg-hash-partitioned cache satisfies the group-by's
+            # ClusteredDistribution and each query job runs as ONE
+            # shuffle-free stage (InMemoryTableScan -> Filter -> Sort ->
+            # FlatMapGroupsInPandas -> TakeOrderedAndProject). The single
+            # repartition happens once at cache materialization — the
+            # serving-node analog of storing shards segment-aligned; a
+            # real cluster gets the same effect by bucketing the postings
+            # table by seg at write time.
+            self.postings = self.postings.repartition("seg").persist()
             self.docstats = self.docstats.persist()
         self._idf_cache: Dict[str, float] = {}
         # full term->df map, loaded lazily ONCE per engine generation
@@ -564,6 +575,12 @@ class SearchEngine:
             for f in sorted(_glob.glob(os.path.join(d, "**", "*.parquet"),
                                        recursive=True)):
                 rel = os.path.relpath(f, d)
+                # skip side-channel dirs Spark's reader also ignores
+                # (e.g. docstats/_summaries): pinning them would feed
+                # them back as EXPLICIT paths, which bypass the
+                # underscore filter and break the schema
+                if any(part.startswith("_") for part in rel.split(os.sep)):
+                    continue
                 dst = os.path.join(pit_root, name, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 try:
