@@ -193,16 +193,13 @@ def _simhash_of(d: DataFrame) -> DataFrame:
 
 SIMHASH_BAND_BITS = 8      # 4 bands of 8 bits over the 32-bit signature
 SIMHASH_MAX_HAMMING = 6
+# hot-band skew guard: a band bucket of 5k docs is ~2.5*10^7 join pairs,
+# the most a single straggler task should carry (same sizing logic as
+# NGRAM_MAX_BUCKET_DOCS below)
+SIMHASH_MAX_BAND_DOCS = 5_000
 
 
-def simhash_pairs(spark: SparkSession, sf_dir: str,
-                  max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
-    """SimHash near-dup lookup over the near-dup corpus: band self-join
-    (4 bands x 8 bits — any pair within Hamming distance 3 shares a band
-    by pigeonhole; wider distances are best-effort, standard SimHash
-    practice), verified by exact Hamming distance <= ``max_hamming``.
-    Bucket-join only — no all-pairs cross join. Returns (a, b, hamming)."""
-    sig = _simhash_of(near_dup_corpus(_docs(spark, sf_dir)))
+def _simhash_bands_of(sig: DataFrame) -> DataFrame:
     n_bands = 32 // SIMHASH_BAND_BITS
     bands = None
     for bi in range(n_bands):
@@ -214,6 +211,80 @@ def simhash_pairs(spark: SparkSession, sf_dir: str,
             .alias("band_key"),
         )
         bands = b if bands is None else bands.unionByName(b)
+    return bands
+
+
+def simhash_band_accounting(spark: SparkSession, sf_dir: str,
+                            max_band_docs: int = SIMHASH_MAX_BAND_DOCS,
+                            ) -> DataFrame:
+    """(band, band_key, n_docs, cut) — explicit coverage accounting for
+    the simhash hot-band guard: which band buckets the band self-join
+    handles and which are cut (re-covered by identical-signature
+    grouping only). The honest version of a silent cap, mirroring
+    ``ngram_bucket_accounting``."""
+    bands = _simhash_bands_of(_simhash_of(near_dup_corpus(_docs(spark, sf_dir))))
+    return (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("band", "band_key", "n_docs",
+                (F.col("n_docs") > max_band_docs).alias("cut"))
+    )
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str,
+                  max_hamming: int = SIMHASH_MAX_HAMMING,
+                  max_band_docs: int | None = SIMHASH_MAX_BAND_DOCS,
+                  ) -> DataFrame:
+    """SimHash near-dup lookup over the near-dup corpus: band self-join
+    (4 bands x 8 bits — any pair within Hamming distance 3 shares a band
+    by pigeonhole; wider distances are best-effort, standard SimHash
+    practice), verified by exact Hamming distance <= ``max_hamming``.
+    Bucket-join only — no all-pairs cross join. Returns (a, b, hamming).
+
+    Hot-band skew guard (ON by default): the band self-join is
+    quadratic in bucket size, so a pathological corpus where one band
+    value dominates (e.g. boilerplate driving a signature byte to a
+    constant) goes quadratic on one task. Band buckets above
+    ``max_band_docs`` are cut from the self-join; their docs are
+    re-covered by identical-full-signature grouping (Hamming 0 — a
+    linear groupBy), and the cut is reported by
+    ``simhash_band_accounting``. Pairs inside a cut band that differ in
+    the other bands remain reachable through those bands, so only pairs
+    whose EVERY shared band is hot lose recall — the same accounted
+    trade the n-gram guard makes. Pass ``max_band_docs=None`` to
+    disable."""
+    return _simhash_pairs_of(
+        _simhash_of(near_dup_corpus(_docs(spark, sf_dir))),
+        max_hamming, max_band_docs)
+
+
+def _simhash_pairs_of(sig: DataFrame, max_hamming: int,
+                      max_band_docs: int | None) -> DataFrame:
+    bands = _simhash_bands_of(sig)
+    recovered = None
+    if max_band_docs is not None:
+        counts = bands.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("n_docs_"))
+        hot = counts.where(F.col("n_docs_") > max_band_docs).select(
+            "band", "band_key")
+        # hot buckets are FEW by construction (each is > max_band_docs
+        # docs), so the anti/semi joins broadcast
+        hot_docs = (
+            bands.join(F.broadcast(hot), ["band", "band_key"], "left_semi")
+            .select("doc_id", "simhash").distinct()
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "band_key"],
+                           "left_anti")
+        ha = hot_docs.alias("a")
+        hb = hot_docs.alias("b")
+        recovered = (
+            ha.join(hb, (F.col("a.simhash") == F.col("b.simhash"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("a"),
+                    F.col("b.doc_id").alias("b"),
+                    F.col("a.simhash").alias("sha_"),
+                    F.col("b.simhash").alias("shb_"))
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -227,10 +298,12 @@ def simhash_pairs(spark: SparkSession, sf_dir: str,
             F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"),
             F.col("a.simhash").alias("sha_"), F.col("b.simhash").alias("shb_"),
         )
-        .distinct()
     )
+    if recovered is not None:
+        cand = cand.unionByName(recovered)
     return (
-        cand.select(
+        cand.distinct()
+        .select(
             "a", "b",
             F.expr("bit_count(sha_ ^ shb_)").cast("long").alias("hamming"),
         )

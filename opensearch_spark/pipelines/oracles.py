@@ -70,10 +70,14 @@ SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM sums
 """
 
 
-def _simhash_pairs_sql(max_hamming: int = 6) -> str:
+def _simhash_pairs_sql(max_hamming: int = 6,
+                       max_band_docs: int = 5_000) -> str:
     """SimHash band-join near-dup pairs over the near-dup corpus
     (matches dedup.simhash_pairs: 4 x 8-bit bands, exact Hamming
-    verify)."""
+    verify, INCLUDING the hot-band skew guard — band buckets over
+    ``max_band_docs`` are cut from the self-join and their docs
+    re-covered by identical-signature pairs, so the driver row
+    certifies the guard semantics, not just the unguarded join)."""
     sums = ",\n           ".join(
         f"sum(CASE WHEN substr(h, {j + 1}, 1) SIMILAR TO '[89a-f]' THEN 1 ELSE -1 END) AS s{j}"
         for j in range(32)
@@ -92,12 +96,30 @@ bands AS (
          (simhash >> (band.band * 8)) & 255 AS band_key
   FROM sig, (VALUES (0), (1), (2), (3)) band(band)
 ),
+bc AS (
+  SELECT band, band_key, count(*) AS n FROM bands GROUP BY band, band_key
+),
+cold AS (
+  SELECT bands.* FROM bands JOIN bc USING (band, band_key)
+  WHERE bc.n <= {max_band_docs}
+),
+hotdocs AS (
+  SELECT DISTINCT bands.doc_id, bands.simhash
+  FROM bands JOIN bc USING (band, band_key)
+  WHERE bc.n > {max_band_docs}
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
-         a.simhash AS sha_, b.simhash AS shb_
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id
+  SELECT DISTINCT a, b, sha_, shb_ FROM (
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           a.simhash AS sha_, b.simhash AS shb_
+    FROM cold a
+    JOIN cold b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+    FROM hotdocs a
+    JOIN hotdocs b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+  )
 )
 SELECT a, b, CAST(bit_count(xor(sha_, shb_)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sha_, shb_)) <= {max_hamming}

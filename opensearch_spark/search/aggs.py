@@ -952,6 +952,14 @@ def _metric_exprs(name: str, kind: str, body: dict) -> List[Column]:
         # expressed as Spark's rsd = 1.04/sqrt(m).
         if body.get("exact"):
             return [F.countDistinct(c).alias(name)]
+        # algorithm="hllpp": the repo's mergeable sketch
+        # (opensearch_spark.sketches.hll) — per-partition partials
+        # merged register-wise like the reference coordinator; exact at
+        # or below precision_threshold (sparse mode). Handled by the
+        # caller via hll_cardinality because it is not a Catalyst
+        # aggregate expression; reaching here means the caller didn't
+        # intercept it, so fall through to approx_count_distinct with
+        # the matched precision.
         thr = body.get("precision_threshold")
         if thr:
             import math

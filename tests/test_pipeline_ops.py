@@ -148,3 +148,80 @@ def test_line_dedup_removes_cross_doc_lines(spark):
     g2 = {r["doc_id"]: r["cleaned_md5"]
           for r in line_dedup(both, min_dup_docs=2).collect()}
     assert g2[1] == hashlib.md5(b"").hexdigest()
+
+
+# --- simhash hot-band skew guard -------------------------------------------
+
+def _sig_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, simhash long")
+
+
+def test_simhash_hot_band_guard_cuts_and_recovers(spark):
+    """A planted hot band-0 bucket: the guard drops pairs reachable ONLY
+    through the hot band, keeps pairs reachable through cold bands, and
+    re-covers identical-signature pairs; candidate volume stays bounded
+    by the cap instead of going quadratic in the hot bucket."""
+    from opensearch_spark.pipelines.dedup import _simhash_pairs_of
+
+    B42 = 0x42  # shared band-0 byte -> one hot bucket
+    rows = [
+        (1, B42),                                            # bands 1-3 = 0
+        (2, B42 | (1 << 8) | (1 << 16) | (1 << 24)),         # h=3 vs doc 1,
+                                                             # shares ONLY band 0
+        (3, B42 | (0xFF << 8) | (0xFF << 16) | (0x7F << 24)),
+        (4, B42 | (0xFF << 8) | (0xFF << 16) | (0x7F << 24)),
+        (5, B42 | (0xFF << 8) | (0xFF << 16) | (0x7F << 24)),
+    ]
+    # filler: band 0 stays 0x42, bands 1-3 unique high-weight values so
+    # filler cross-pairs exceed max_hamming and collide in no cold band
+    for i in range(6, 36):
+        v = (i * 37 % 251) + 2            # avoid 0,1,0xFF,0x7F collisions
+        w = (i * 73 % 249) + 3
+        u = (i * 29 % 119) + 4
+        rows.append((i, B42 | (v << 8) | (w << 16) | (u << 24)))
+    sig = _sig_df(spark, rows)
+
+    unguarded = {(r["a"], r["b"]) for r in
+                 _simhash_pairs_of(sig, 6, None).collect()}
+    assert (1, 2) in unguarded and (3, 4) in unguarded
+
+    guarded = {(r["a"], r["b"]): r["hamming"] for r in
+               _simhash_pairs_of(sig, 6, 10).collect()}
+    # hot-band-only pair is cut (the accounted recall trade)...
+    assert (1, 2) not in guarded
+    # ...identical-signature trio survives (cold bands + recovery path)
+    assert {(3, 4), (3, 5), (4, 5)} <= set(guarded)
+    assert all(guarded[p] == 0 for p in [(3, 4), (3, 5), (4, 5)])
+
+
+def test_simhash_guard_recovery_when_every_band_is_hot(spark):
+    """All docs share every band (identical signatures + cap 2): every
+    bucket is cut, and ONLY the identical-signature recovery path
+    produces the pairs — proving re-coverage, not silent loss."""
+    from opensearch_spark.pipelines.dedup import _simhash_pairs_of
+
+    sig = _sig_df(spark, [(i, 0x0BADF00D) for i in range(1, 6)])
+    got = {(r["a"], r["b"]) for r in _simhash_pairs_of(sig, 6, 2).collect()}
+    assert got == {(a, b) for a in range(1, 6) for b in range(a + 1, 6)}
+
+
+def test_simhash_band_accounting_marks_cut_buckets(spark, tmp_path):
+    """simhash_band_accounting flags exactly the buckets over the cap."""
+    import os
+    from opensearch_spark.pipelines import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "s") for i in range(40)]
+        + [(100 + i, f"unique text {i} zz{i}", "s") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    docs.write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet"))
+    acc = dedup.simhash_band_accounting(spark, str(tmp_path),
+                                        max_band_docs=10).collect()
+    cut = [r for r in acc if r["cut"]]
+    # the 40 identical docs (plus their near-dup variants) dominate four
+    # band buckets -> those are flagged; every flagged bucket is > cap
+    assert len(cut) >= 4
+    assert all(r["n_docs"] > 10 for r in cut)
+    assert all(r["n_docs"] <= 10 for r in acc if not r["cut"])

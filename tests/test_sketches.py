@@ -1,0 +1,108 @@
+"""HLL++ sketch properties: associative merge (partition partials ==
+whole-table sketch), sparse-mode exactness at or below the threshold,
+dense-mode accuracy, and the Spark integration paths."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from opensearch_spark.sketches import HllPlusPlus, hll_cardinality
+
+
+def _rand_hashes(rng, n):
+    return rng.integers(0, 2**63 - 1, size=n, dtype=np.int64).view(np.uint64)
+
+
+def test_merge_of_partials_equals_whole_sketch():
+    """Register/state equality (not just estimate equality): folding
+    partition partials in ANY grouping must land on the same final
+    state as one sketch over all the data."""
+    rng = np.random.default_rng(1)
+    parts = [_rand_hashes(rng, n) for n in (0, 50, 3000, 12000, 7)]
+    whole = HllPlusPlus(threshold=1000).add_hashes(
+        np.concatenate(parts))
+
+    merged = HllPlusPlus(threshold=1000)
+    for part in parts:
+        merged.merge(HllPlusPlus(threshold=1000).add_hashes(part))
+
+    # also merge in reverse order through serialization round-trips
+    rev = HllPlusPlus(threshold=1000)
+    for part in reversed(parts):
+        blob = HllPlusPlus(threshold=1000).add_hashes(part).to_bytes()
+        rev.merge(HllPlusPlus.from_bytes(blob, threshold=1000))
+
+    assert whole.registers is not None
+    np.testing.assert_array_equal(merged.registers, whole.registers)
+    np.testing.assert_array_equal(rev.registers, whole.registers)
+    assert merged.estimate() == whole.estimate() == rev.estimate()
+
+
+def test_sparse_exact_below_threshold():
+    rng = np.random.default_rng(2)
+    h = _rand_hashes(rng, 500)
+    sk = HllPlusPlus(threshold=3000)
+    # duplicates must not inflate the count
+    sk.add_hashes(np.concatenate([h, h[:100]]))
+    assert sk.registers is None
+    assert sk.estimate() == 500
+    # sparse partials merged while staying under threshold stay exact
+    a = HllPlusPlus(threshold=3000).add_hashes(h[:300])
+    b = HllPlusPlus(threshold=3000).add_hashes(h[200:])
+    a.merge(b)
+    assert a.estimate() == 500
+
+
+def test_dense_accuracy_within_rsd():
+    rng = np.random.default_rng(3)
+    true_n = 100_000
+    sk = HllPlusPlus(threshold=3000)  # p=14 -> rsd ~0.8%
+    sk.add_hashes(_rand_hashes(rng, true_n))
+    est = sk.estimate()
+    assert abs(est - true_n) / true_n < 0.04
+
+
+def test_serialization_roundtrip_sparse_and_dense():
+    rng = np.random.default_rng(4)
+    for n in (10, 50_000):
+        sk = HllPlusPlus(threshold=3000).add_hashes(_rand_hashes(rng, n))
+        back = HllPlusPlus.from_bytes(sk.to_bytes(), threshold=3000)
+        assert back.estimate() == sk.estimate()
+        if sk.registers is None:
+            np.testing.assert_array_equal(back.hashes, sk.hashes)
+        else:
+            np.testing.assert_array_equal(back.registers, sk.registers)
+
+
+def test_spark_global_cardinality_exact_small(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = hll_cardinality(li, "l_partkey", precision_threshold=40000).collect()
+    want = li.agg(F.countDistinct("l_partkey")).collect()[0][0]
+    assert got[0]["cardinality"] == want
+
+
+def test_spark_grouped_cardinality_exact_small(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = {
+        r["l_returnflag"]: r["cardinality"]
+        for r in hll_cardinality(
+            li, "l_partkey", precision_threshold=40000,
+            by=["l_returnflag"]).collect()
+    }
+    want = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_spark_partition_count_invariance(spark):
+    """The estimate must not depend on how the input is partitioned —
+    the distributed statement of merge associativity."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    a = hll_cardinality(li.repartition(2), "l_orderkey",
+                        precision_threshold=100).collect()[0][0]
+    b = hll_cardinality(li.repartition(17), "l_orderkey",
+                        precision_threshold=100).collect()[0][0]
+    assert a == b
