@@ -14,3 +14,7 @@ from opensearch_spark.sketches.hll import (  # noqa: F401
     hll_cardinality,
     precision_from_threshold,
 )
+from opensearch_spark.sketches.tdigest import (  # noqa: F401
+    TDigest,
+    tdigest_percentile_ranks,
+)

@@ -106,3 +106,90 @@ def test_spark_partition_count_invariance(spark):
     b = hll_cardinality(li.repartition(17), "l_orderkey",
                         precision_threshold=100).collect()[0][0]
     assert a == b
+
+
+# --- t-digest ---------------------------------------------------------------
+
+def _td():
+    from opensearch_spark.sketches.tdigest import TDigest
+    return TDigest
+
+
+def test_tdigest_distinct_regime_exact_cdf_and_merge():
+    """With distinct values under the singleton budget, the digest
+    keeps one exact centroid per value regardless of how the input is
+    split across partials, and cdf == the mid-distribution cdf."""
+    TDigest = _td()
+    rng = np.random.default_rng(5)
+    vals = rng.integers(1, 51, size=20_000).astype(np.float64)  # 50 distinct
+    whole = TDigest(compression=200).add_values(vals)
+
+    merged = TDigest(compression=200)
+    for part in np.array_split(vals, 7):
+        merged.merge(TDigest(compression=200).add_values(part))
+
+    assert whole.means.size == 50 and merged.means.size == 50
+    np.testing.assert_array_equal(merged.means, whole.means)
+    np.testing.assert_array_equal(merged.weights, whole.weights)
+    n = vals.size
+    for probe in (1.0, 17.0, 50.0):
+        exact = ((vals < probe).sum() + 0.5 * (vals == probe).sum()) / n
+        assert merged.cdf(probe) == pytest.approx(exact, abs=0.0)
+
+
+def test_tdigest_rank_accuracy_and_extremes():
+    TDigest = _td()
+    rng = np.random.default_rng(6)
+    vals = rng.normal(0, 1, size=100_000)
+    td = TDigest(compression=100).add_values(vals)
+    assert td.means.size < 200  # actually compressed
+    s = np.sort(vals)
+    assert td.quantile(0.0) == s[0] and td.quantile(1.0) == s[-1]
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = td.quantile(q)
+        rank = np.searchsorted(s, est) / s.size
+        assert abs(rank - q) < 0.01, (q, rank)
+
+
+def test_tdigest_merge_tree_preserves_accuracy():
+    """Rank error survives an arbitrary merge tree (the 100 TB
+    re-aggregation contract), and serialization round-trips."""
+    TDigest = _td()
+    rng = np.random.default_rng(7)
+    vals = rng.exponential(5.0, size=60_000)
+    parts = np.array_split(vals, 16)
+    # pairwise tournament merge through serialized blobs
+    digests = [TDigest.from_bytes(
+        TDigest(compression=100).add_values(p).to_bytes()) for p in parts]
+    while len(digests) > 1:
+        digests = [digests[i].merge(digests[i + 1])
+                   for i in range(0, len(digests) - 1, 2)] + (
+            [digests[-1]] if len(digests) % 2 else [])
+    td = digests[0]
+    s = np.sort(vals)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        rank = np.searchsorted(s, td.quantile(q)) / s.size
+        assert abs(rank - q) < 0.015, (q, rank)
+
+
+def test_spark_tdigest_percentile_ranks_grouped_exact(spark):
+    from pyspark.sql import functions as F
+    from opensearch_spark.sketches.tdigest import tdigest_percentile_ranks
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = {r["l_returnflag"]: (r["rank_0"], r["rank_1"]) for r in
+           tdigest_percentile_ranks(
+               li, "l_quantity", [1.0, 25.0],
+               by=["l_returnflag"]).collect()}
+    want = {
+        r["l_returnflag"]: (
+            round(((r["lt1"] + 0.5 * r["eq1"]) / r["n"]) * 100.0, 4),
+            round(((r["lt25"] + 0.5 * r["eq25"]) / r["n"]) * 100.0, 4))
+        for r in li.groupBy("l_returnflag").agg(
+            F.sum((F.col("l_quantity") < 1).cast("long")).alias("lt1"),
+            F.sum((F.col("l_quantity") == 1).cast("long")).alias("eq1"),
+            F.sum((F.col("l_quantity") < 25).cast("long")).alias("lt25"),
+            F.sum((F.col("l_quantity") == 25).cast("long")).alias("eq25"),
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
