@@ -105,6 +105,9 @@ def compile_aggs(df: DataFrame, aggs: Dict[str, dict],
         if kinds == ["scripted_metric"]:
             return _scripted_metric(df, only_name, only_spec["scripted_metric"])
     chain, metrics, pipelines = _split_levels(aggs)
+    sketch_route = _try_sketch_route(df, aggs, chain, metrics, star_tree)
+    if sketch_route is not None:
+        return sketch_route
     routed = _try_star_tree_route(df, star_tree, chain, metrics)
     if routed is not None:
         out, key_cols, limit_spec = routed
@@ -225,6 +228,88 @@ def compile_aggs(df: DataFrame, aggs: Dict[str, dict],
 # ---------------------------------------------------------------------------
 
 _ST_METRIC_KINDS = {"sum", "min", "max", "avg"}
+
+
+def _sketch_kind(kind: str, body) -> str | None:
+    if not isinstance(body, dict):
+        return None
+    algo = body.get("algorithm")
+    if kind == "cardinality" and algo == "hllpp":
+        return "hll"
+    if kind == "percentile_ranks" and algo == "tdigest":
+        return "td"
+    return None
+
+
+def _try_sketch_route(df: DataFrame, aggs: Dict[str, dict], chain, metrics,
+                      star_tree) -> Optional[DataFrame]:
+    """Route metrics requesting a mergeable sketch (``cardinality`` with
+    ``algorithm: "hllpp"``, ``percentile_ranks`` with ``algorithm:
+    "tdigest"`` — the reference's actual per-shard/coordinator
+    algorithms, opensearch_spark.sketches) around the Catalyst
+    aggregate path: the rest of the request compiles normally, then the
+    sketch columns join back on the bucket keys. Supported scope: plain
+    ``terms``-field bucket chains (or no buckets); sketch metrics must
+    sit at the innermost level."""
+    sketch_ms = [(n, k, b) for (n, k, b) in metrics if _sketch_kind(k, b)]
+    if not sketch_ms:
+        return None
+    import copy
+
+    from opensearch_spark.sketches import (
+        hll_cardinality, tdigest_percentile_ranks,
+    )
+
+    for name, kind, body in chain:
+        if kind != "terms" or not isinstance(body.get("field"), str) or \
+                "missing" in body or "script" in body:
+            raise ValueError(
+                "sketch-algorithm metrics support plain terms-field "
+                "bucket chains only")
+    key_cols = [f"key_{name}" for name, _k, _b in chain]
+    fields = [body["field"] for _n, _k, body in chain]
+
+    stripped = copy.deepcopy(aggs)
+
+    def _strip(tree: Dict[str, dict]) -> None:
+        for nm in list(tree):
+            spec = tree[nm]
+            sub = spec.get("aggs") or spec.get("aggregations")
+            if sub:
+                _strip(sub)
+            for k in [k for k in spec if k not in ("aggs", "aggregations")]:
+                if _sketch_kind(k, spec[k]):
+                    del tree[nm]
+
+    _strip(stripped)
+    base = compile_aggs(df, stripped, star_tree=star_tree) if stripped else None
+
+    keyed = df
+    for kc, f in zip(key_cols, fields):
+        keyed = keyed.withColumn(kc, F.col(f))
+    out = base
+    for name, kind, body in sketch_ms:
+        if _sketch_kind(kind, body) == "hll":
+            sk = hll_cardinality(
+                keyed, body["field"],
+                precision_threshold=int(body.get("precision_threshold", 3000)),
+                by=key_cols or None, alias=name)
+        else:
+            vals = body["values"]
+            sk = tdigest_percentile_ranks(
+                keyed, body["field"], vals,
+                compression=float(body.get("compression", 100.0)),
+                by=key_cols or None)
+            for i, v in enumerate(vals):
+                label = f"{name}_{str(v).replace('.', '_').replace('-', 'm')}"
+                sk = sk.withColumnRenamed(f"rank_{i}", label)
+        if out is None:
+            out = sk
+        elif key_cols:
+            out = out.join(sk, on=key_cols, how="left")
+        else:
+            out = out.crossJoin(sk)
+    return out.orderBy(*key_cols) if key_cols else out
 
 
 def _try_star_tree_route(df, star_tree, chain, metrics):

@@ -193,3 +193,47 @@ def test_spark_tdigest_percentile_ranks_grouped_exact(spark):
             F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_aggs_dsl_sketch_route(spark):
+    """cardinality(algorithm=hllpp) and percentile_ranks(algorithm=
+    tdigest) route through the mergeable sketches inside the aggs DSL,
+    joined back on the terms bucket keys."""
+    from pyspark.sql import functions as F
+    from opensearch_spark.search.aggs import compile_aggs
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = compile_aggs(li, {
+        "f": {"terms": {"field": "l_returnflag", "size": 10},
+              "aggs": {
+                  "uniq": {"cardinality": {"field": "l_partkey",
+                                           "algorithm": "hllpp",
+                                           "precision_threshold": 40000}},
+                  "qr": {"percentile_ranks": {"field": "l_quantity",
+                                              "values": [25.0],
+                                              "algorithm": "tdigest",
+                                              "compression": 200}},
+                  "s": {"sum": {"field": "l_quantity"}},
+              }},
+    }).collect()
+    got = {r["key_f"]: (r["uniq"], round(r["qr_25_0"], 4), r["s"], r["doc_count"])
+           for r in out}
+    want = {r["l_returnflag"]: (
+        r["u"],
+        round(((r["lt"] + 0.5 * r["eq"]) / r["n"]) * 100.0, 4),
+        r["s"], r["n"])
+        for r in li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_partkey").alias("u"),
+            F.sum((F.col("l_quantity") < 25).cast("long")).alias("lt"),
+            F.sum((F.col("l_quantity") == 25).cast("long")).alias("eq"),
+            F.sum("l_quantity").alias("s"),
+            F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+
+    # global (no buckets) shape
+    g = compile_aggs(li, {
+        "uniq": {"cardinality": {"field": "l_partkey",
+                                 "algorithm": "hllpp",
+                                 "precision_threshold": 40000}},
+    }).collect()[0]
+    assert g["uniq"] == li.agg(F.countDistinct("l_partkey")).collect()[0][0]
