@@ -180,4 +180,59 @@ ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN (event_type IN ('click','view')) AND value > 50 AND user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS abc
         FROM events
     """,
+
+    "r_range_field_intersects": """
+        WITH rf AS (
+          SELECT l_returnflag, l_shipdate AS r_lo,
+                 l_shipdate + (1 + l_linenumber % 20) * INTERVAL 1 DAY AS r_hi
+          FROM lineitem
+        )
+        SELECT l_returnflag, count(*) AS n,
+               min(r_lo) AS first_lo,
+               max(r_hi) AS last_hi
+        FROM rf
+        WHERE r_lo <= TIMESTAMP '1996-03-31 00:00:00'
+          AND r_hi >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l_returnflag
+    """,
+    "r_range_field_within": """
+        WITH rf AS (
+          SELECT l_returnflag, l_shipdate AS r_lo,
+                 l_shipdate + (1 + l_linenumber % 20) * INTERVAL 1 DAY AS r_hi
+          FROM lineitem
+        )
+        SELECT l_returnflag, count(*) AS n,
+               min(r_lo) AS first_lo,
+               max(r_hi) AS last_hi
+        FROM rf
+        WHERE r_lo >= TIMESTAMP '1996-01-01 00:00:00'
+          AND r_hi <= TIMESTAMP '1996-03-31 00:00:00'
+        GROUP BY l_returnflag
+    """,
+    "r_range_field_contains": """
+        WITH rf AS (
+          SELECT l_returnflag, l_shipdate AS r_lo,
+                 l_shipdate + (1 + l_linenumber % 20) * INTERVAL 1 DAY AS r_hi
+          FROM lineitem
+        )
+        SELECT l_returnflag, count(*) AS n,
+               min(r_lo) AS first_lo,
+               max(r_hi) AS last_hi
+        FROM rf
+        WHERE r_lo <= TIMESTAMP '1996-02-14 00:00:00'
+          AND r_hi >= TIMESTAMP '1996-02-16 00:00:00'
+        GROUP BY l_returnflag
+    """,
+    "r_range_field_term": """
+        WITH rf AS (
+          SELECT l_returnflag, l_shipdate AS r_lo,
+                 l_shipdate + (1 + l_linenumber % 20) * INTERVAL 1 DAY AS r_hi
+          FROM lineitem
+        )
+        SELECT l_returnflag, count(*) AS n
+        FROM rf
+        WHERE r_lo <= TIMESTAMP '1996-02-14 00:00:00'
+          AND r_hi >= TIMESTAMP '1996-02-14 00:00:00'
+        GROUP BY l_returnflag
+    """,
 }

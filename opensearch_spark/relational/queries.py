@@ -368,6 +368,78 @@ def q_has_parent(spark, sf_dir):
     )
 
 
+
+
+# ---- range FIELD type (SURVEY §2.3 / reference RangeFieldMapper.java:87) ----
+#
+# A range field stores an interval per doc; range QUERIES against it
+# take a `relation`: INTERSECTS (default), WITHIN, CONTAINS
+# (reference: index/query/RangeQueryBuilder.java relation param,
+# lucene BinaryDocValuesRangeQuery.QueryType). The doc interval is a
+# date_range [l_shipdate, l_shipdate + (1 + l_linenumber % 20) days]
+# (a deterministic delivery window derived from the row) — pure
+# Catalyst comparisons, fully pushdown-able, no UDFs.
+
+# intersects/within probe a quarter; CONTAINS probes a 2-day span a
+# doc's (<= 20-day) delivery window CAN contain
+_RQ_LO, _RQ_HI = "1996-01-01 00:00:00", "1996-03-31 00:00:00"
+_RQ_C_LO, _RQ_C_HI = "1996-02-14 00:00:00", "1996-02-16 00:00:00"
+
+
+def _with_range_field(li):
+    return li.withColumn(
+        "r_hi",
+        F.expr("l_shipdate + make_dt_interval(1 + l_linenumber % 20)"),
+    ).withColumnRenamed("l_shipdate", "r_lo")
+
+
+def _lineitem_range_matches(li, relation: str):
+    d = _with_range_field(li)
+    q_lo, q_hi = (_RQ_C_LO, _RQ_C_HI) if relation == "contains" else (_RQ_LO, _RQ_HI)
+    lo = F.lit(q_lo).cast("timestamp_ntz")
+    hi = F.lit(q_hi).cast("timestamp_ntz")
+    dlo, dhi = F.col("r_lo"), F.col("r_hi")
+    if relation == "intersects":
+        pred = (dlo <= hi) & (dhi >= lo)
+    elif relation == "within":
+        pred = (dlo >= lo) & (dhi <= hi)
+    elif relation == "contains":
+        pred = (dlo <= lo) & (dhi >= hi)
+    else:
+        raise ValueError(f"unknown range relation: {relation}")
+    return d.where(pred)
+
+
+def _range_field_q(relation: str):
+    def fn(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            _lineitem_range_matches(li, relation)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("r_lo").alias("first_lo"),
+                 F.max("r_hi").alias("last_hi"))
+        )
+    fn.__doc__ = (
+        f"range query with relation={relation} against a date_range "
+        "field (RangeFieldMapper semantics)")
+    return fn
+
+
+def q_range_field_term(spark, sf_dir):
+    """term query against a range field = point INTERSECTS (reference:
+    RangeType.termQuery delegates to an intersects range of width 0)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = _with_range_field(li)
+    p = F.lit("1996-02-14 00:00:00").cast("timestamp_ntz")
+    return (
+        d.where((F.col("r_lo") <= p) & (F.col("r_hi") >= p))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+
 REGISTRY = {
     "r_has_child": q_has_child,
     "r_has_parent": q_has_parent,
@@ -393,6 +465,10 @@ REGISTRY = {
     "r_pipeline_aggs": q_pipeline_aggs,
     "r_join_fetch": q_join_fetch,
     "r_adjacency_matrix": q_adjacency_matrix,
+    "r_range_field_intersects": _range_field_q("intersects"),
+    "r_range_field_within": _range_field_q("within"),
+    "r_range_field_contains": _range_field_q("contains"),
+    "r_range_field_term": q_range_field_term,
 }
 
 

@@ -910,11 +910,27 @@ class SearchEngine:
             from opensearch_spark.search.aggs import compile_aggs
 
             # aggregations run over the full matched set (size only
-            # limits hits), same as the reference's collector chain
+            # limits hits), same as the reference's collector chain.
+            # `global`-rooted aggs ESCAPE the query scope (reference:
+            # bucket/global/GlobalAggregator.java collects every doc in
+            # the index regardless of the query) — they compile over the
+            # whole corpus and cross-join back (single-row result).
             node = dsl_mod.parse(q) if isinstance(q, dict) else q
             matched = self.compile(node).select("docId")
             scope = self.corpus.join(matched, "docId")
-            aggs_df = compile_aggs(scope, aggs_body)
+            glob = {n: s for n, s in aggs_body.items()
+                    if isinstance(s, dict) and "global" in s}
+            rest = {n: s for n, s in aggs_body.items() if n not in glob}
+            aggs_df = compile_aggs(scope, rest) if rest else None
+            for gname, gspec in glob.items():
+                gdf = compile_aggs(self.corpus, {gname: gspec})
+                if aggs_df is None:
+                    aggs_df = gdf
+                else:
+                    gdf = gdf.withColumnRenamed(
+                        "doc_count", f"{gname}_doc_count")
+                    drop = [c for c in gdf.columns if c in aggs_df.columns]
+                    aggs_df = aggs_df.crossJoin(gdf.drop(*drop))
 
         src = body.get("_source")
         derived = body.get("derived") or body.get("derived_fields")
