@@ -503,6 +503,42 @@ dfreq{p} AS (SELECT term, count(*) AS df FROM tf{p} GROUP BY term)
 """.strip()
 
 
+def base_ctes_shingle(p: str, n: int) -> str:
+    """Per-field CTE chain (tok{p}..dfreq{p}) for an n-gram SHINGLE
+    subfield (search_as_you_type's _2gram/_3gram,
+    SearchAsYouTypeFieldMapper): shingle tokens derive from the base
+    ``tok`` CTE by a positional self-join, '_'-joined, carrying the
+    first gram's position. Requires ``base_ctes()`` earlier in the
+    WITH chain."""
+    from opensearch_spark.analysis.smallfloat import quantize_breakpoints
+
+    bps = quantize_breakpoints(1 << 20)
+    qvals = ", ".join(f"({v})" for v in bps)
+    parts = ["t0.term"]
+    joins = []
+    for i in range(1, n):
+        joins.append(
+            f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.pos = t0.pos + {i}")
+        parts.append(f"t{i}.term")
+    gram = " || '_' || ".join(parts)
+    return f"""
+tok{p} AS (
+  SELECT t0.doc_id, {gram} AS term, t0.pos
+  FROM tok t0 {' '.join(joins)}
+),
+dl{p} AS (SELECT doc_id, count(*) AS dl FROM tok{p} GROUP BY doc_id),
+qz{p}(q_val) AS (VALUES {qvals}),
+dlq{p} AS (
+  SELECT d.doc_id, (SELECT max(q_val) FROM qz{p} WHERE q_val <= d.dl) AS dlq
+  FROM dl{p} d
+),
+gl{p} AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl{p}),
+tf{p} AS (SELECT doc_id, term, count(*) AS tf FROM tok{p} GROUP BY doc_id, term),
+dfreq{p} AS (SELECT term, count(*) AS df FROM tf{p} GROUP BY term)
+""".strip()
+
+
 def _match_clause_field(p: str, name: str, terms: "Sequence[str]",
                         operator: str = "or", msm: int = 0) -> str:
     qt = ", ".join(f"({_qlit(t)})" for t in sorted(set(terms)))
