@@ -280,7 +280,8 @@ def _pack_partition(block_size: int):
 
 
 def _local_index_fn(block_size: int, docstats_dir: str, tok_expr: str,
-                    analyzer: str = "standard"):
+                    analyzer: str = "standard",
+                    index_options: str = "positions"):
     """mapInArrow fn implementing SEGMENT-LOCAL indexing — the Lucene
     shard-build analog (reference: each shard's IndexWriter builds its
     own complete per-segment inverted index; SURVEY.md §3.2). One
@@ -415,6 +416,22 @@ def _local_index_fn(block_size: int, docstats_dir: str, tok_expr: str,
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if index_options == "docs":
+            # match_only_text storage (reference:
+            # MatchOnlyTextFieldMapper.java:46 — IndexOptions.DOCS, no
+            # freqs/positions, norms unused): keep ONE occurrence per
+            # (doc, term) with position 0; tf collapses to 1 and
+            # pos_bytes to a single varint per posting. Phrase queries
+            # re-verify against the source at query time.
+            order = np.lexsort((doc_rep, codes))
+            cs, ds = codes[order], doc_rep[order]
+            keep = np.ones(order.size, dtype=bool)
+            keep[1:] = (cs[1:] != cs[:-1]) | (ds[1:] != ds[:-1])
+            first = order[keep]
+            doc_rep, nb_rep, seg_rep = (
+                doc_rep[first], nb_rep[first], seg_rep[first])
+            codes = codes[first]
+            pos = np.zeros(first.size, dtype=np.int64)
         yield _pack_arrays(
             doc_rep, nb_rep, seg_rep, pos, codes, enc.dictionary, block_size
         )
@@ -492,6 +509,7 @@ def build_index(
     keep_stage: bool = False,
     overwrite: bool = True,
     analyzer: str = "standard",
+    index_options: str = "positions",
     _fail_after_wave: int | None = None,
 ) -> IndexPaths:
     """Build the inverted index for ``corpus[text_col]`` under ``out_dir``.
@@ -554,9 +572,15 @@ def build_index(
             "block_size": block_size,
             "k1": K1,
             "b": B,
+            "index_options": index_options,
         }
 
     use_stage = waves > 1
+    if index_options not in ("positions", "docs"):
+        raise ValueError(f"unknown index_options: {index_options}")
+    if use_stage and index_options != "positions":
+        raise ValueError("index_options='docs' supports the default "
+                         "segment-local build path only")
     if not use_stage:
         # ---- SEGMENT-LOCAL build (default): one pass, ZERO shuffle -------
         # One partition == one segment; each task tokenizes its docs and
@@ -587,7 +611,8 @@ def build_index(
             shutil.rmtree(paths.docstats, ignore_errors=True)
             packed = prepared.mapInArrow(
                 _local_index_fn(block_size, paths.docstats,
-                                duckdb_tokens_expr(analyzer), analyzer),
+                                duckdb_tokens_expr(analyzer), analyzer,
+                                index_options=index_options),
                 schema=POSTINGS_SCHEMA,
             )
             (

@@ -459,6 +459,24 @@ class SearchEngine:
             self.globals = dict(pit["globals"])
         self.avgdl = float(self.globals["avgdl"])
         self.doc_count = int(self.globals["field_doc_count"])
+        # match_only_text analog (reference:
+        # MatchOnlyTextFieldMapper.java:46): a docs-only index stores
+        # no freqs/positions and ignores norms, so term scoring
+        # degenerates to the idf alone (BM25 with tf==1 and norms off:
+        # idf * (k1+1)*1/(1+k1) == idf). Routed through the scripted-
+        # similarity hook; phrase queries re-verify against the source
+        # (_phrase_via_source).
+        self._index_options = str(self.globals.get("index_options",
+                                                   "positions"))
+        if self._index_options == "docs" and self.similarity is None:
+            import numpy as _np
+
+            def _match_only_idf(tf, df, dl_q, avgdl, N):
+                idf = float(_np.log(1.0 + (N - df + 0.5) / (df + 0.5)))
+                return _np.full(_np.asarray(tf).shape, idf,
+                                dtype=_np.float64)
+
+            self.similarity = _match_only_idf
         self.text_field = text_field
         self.id_cols = tuple(id_cols)
         self.doc_id_col = doc_id_col
@@ -2619,8 +2637,49 @@ class SearchEngine:
             .applyInPandas(scorer, SCORE_SCHEMA)
         )
 
+    def _phrase_via_source(self, node: A.MatchPhrase) -> DataFrame:
+        """Phrase over a docs-only (match_only_text) index (reference:
+        MatchOnlyTextFieldMapper phrase queries run through
+        SourceFieldMatchQuery — candidates from the postings, the phrase
+        verified by re-analyzing _source). Candidates = AND-match of the
+        phrase terms, scored by the match-only idf sum; the adjacency
+        check is a pure Catalyst exists() over the re-tokenized corpus
+        column (no positions stored in the index)."""
+        if self.corpus is None:
+            raise ValueError(
+                "phrase on a docs-only index needs an attached corpus "
+                "(source re-verification)")
+        if str(self.globals.get("analyzer", "standard")) != "standard":
+            raise ValueError(
+                "source-verified phrases support the standard analyzer")
+        terms = self._tok(node.query)
+        if not terms:
+            return self._empty()
+        scores = self._match(
+            A.Match(field_name=node.field_name, query=" ".join(terms),
+                    operator="and", boost=node.boost), None)
+        jrx = r"[\\p{L}\\p{N}_]+(?:[.'':][\\p{L}\\p{N}_]+)*"
+        t = (f"regexp_extract_all(lower({node.field_name}), "
+             f"'{jrx}', 0)")
+        conj = " AND ".join(
+            "element_at({t}, CAST(i + {j} AS INT)) = '{w}'".format(
+                t=t, j=j, w=str(w).replace("'", "\\'"))
+            for j, w in enumerate(terms))
+        k = len(terms)
+        verify = self.corpus.where(F.expr(
+            f"CASE WHEN size({t}) >= {k} THEN "
+            f"exists(sequence(1, size({t}) - {k - 1}), i -> {conj}) "
+            f"ELSE false END")).select("docId")
+        return scores.join(verify, "docId")
+
     def _phrase(self, node: A.MatchPhrase, topk: Optional[int]) -> DataFrame:
         self._check_field(node.field_name)
+        if getattr(self, "_index_options", "positions") == "docs":
+            if node.slop != 0:
+                raise ValueError(
+                    "sloppy phrases are not supported on a docs-only "
+                    "(match_only_text) index")
+            return self._phrase_via_source(node)
         if node.slop != 0:
             return self._sloppy_phrase(node)
         terms = self._tok(node.query)

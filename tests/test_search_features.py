@@ -664,3 +664,40 @@ def test_update_null_field_and_id_change_guard(spark, tmp_path):
     any_doc = int(eng.corpus.limit(1).collect()[0]["docId"])
     with pytest.raises(ValueError):
         eng.update(any_doc, doc={"path": "somewhere/else"})
+
+
+def test_match_only_text_docs_index(spark, tmp_path):
+    """index_options='docs' (match_only_text): postings store one
+    occurrence per (doc, term) (max_tf == 1 everywhere), match scores
+    are idf-only (tf/doc-length invariant), and phrases re-verify
+    against the source."""
+    import os
+    from pyspark.sql import functions as F
+    from opensearch_spark.index.build import build_index
+    from opensearch_spark.search.engine import SearchEngine
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha alpha beta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta"),
+         (3, "beta alpha"),
+         (4, "gamma delta only")],
+        "doc_id long, text string")
+    out = str(tmp_path / "mot")
+    build_index(spark, docs, out, text_col="text", doc_id_col="doc_id",
+                n_segments=2, index_options="docs")
+    post = spark.read.parquet(os.path.join(out, "postings"))
+    assert post.agg(F.max("max_tf")).collect()[0][0] == 1
+    eng = SearchEngine(spark, out, corpus=docs, text_field="text",
+                       doc_id_col="doc_id")
+    got = {r["docId"]: r["score"]
+           for r in eng.search({"match": {"text": "alpha"}}, k=10).collect()}
+    # same idf for every matching doc, regardless of tf or length
+    assert set(got) == {1, 2, 3}
+    assert len({round(v, 10) for v in got.values()}) == 1
+    # phrase via source: "beta alpha" is adjacent only in docs 1 and 3
+    ph = {r["docId"] for r in eng.search(
+        {"match_phrase": {"text": "beta alpha"}}, k=10).collect()}
+    assert ph == {1, 3}
+    with pytest.raises(ValueError):
+        eng.search({"match_phrase": {"text": {"query": "beta alpha",
+                                              "slop": 1}}}, k=10)
