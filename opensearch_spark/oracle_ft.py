@@ -727,6 +727,9 @@ def sloppy_phrase_sql(query: str, slop: int) -> str:
     terms = tokenize(query)
     assert len(terms) == 2, "oracle covers 2-term sloppy phrases"
     t1, t2 = terms
+    assert t1 != t2, (
+        "repeated-term sloppy phrases use the engine's chain-dp variant; "
+        "this oracle models the distinct-term walk only")
     L = lcm(*range(1, slop + 2))
     idf_terms = " + ".join(
         f"(SELECT ln(1 + (gl.n - df + 0.5) / (df + 0.5)) FROM dfreq WHERE term = {_qlit(t)})"

@@ -283,6 +283,11 @@ def _try_sketch_route(df: DataFrame, aggs: Dict[str, dict], chain, metrics,
 
     _strip(stripped)
     base = compile_aggs(df, stripped, star_tree=star_tree) if stripped else None
+    if base is not None and key_cols:
+        # capture the base ordering (terms default: doc_count desc, or
+        # the request's explicit order — whatever compile_aggs emitted)
+        # so the sketch joins don't re-sort the buckets
+        base = base.withColumn("_sk_ord", F.monotonically_increasing_id())
 
     keyed = df
     for kc, f in zip(key_cols, fields):
@@ -309,6 +314,8 @@ def _try_sketch_route(df: DataFrame, aggs: Dict[str, dict], chain, metrics,
             out = out.join(sk, on=key_cols, how="left")
         else:
             out = out.crossJoin(sk)
+    if "_sk_ord" in out.columns:
+        return out.orderBy("_sk_ord").drop("_sk_ord")
     return out.orderBy(*key_cols) if key_cols else out
 
 

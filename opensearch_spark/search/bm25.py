@@ -252,11 +252,10 @@ def sloppy_phrase_freq_in_segment(
     # Lucene's PhrasePositions priority-queue ordering
     order = np.lexsort((lbl_all, pos_all, doc_all))
     doc_s, pos_s, lbl_s = doc_all[order], pos_all[order], lbl_all[order]
-    L = _slop_lcm(slop)
-    freq = np.zeros(cand.size, dtype=np.float64)
     if len(phrase_terms) == 2:
         freq = _sloppy_2term_boundary(doc_s, pos_s, lbl_s, slop, cand.size)
     else:
+        freq = np.zeros(cand.size, dtype=np.float64)
         k = len(phrase_terms)
         cuts = np.flatnonzero(np.diff(doc_s)) + 1
         doc_ids = doc_s[np.concatenate(([0], cuts))]
@@ -319,7 +318,7 @@ def _sloppy_2term_boundary(
     cum_anchor = np.where(valid, cum_ties[anc], cum_before_doc)
     exit_after = last_lbl ^ ((cum_ties - cum_anchor) & 1)
 
-    L = _slop_lcm(slop)
+    L = _slop_lcm(slop, n_adds=m + 1)
     exit_before = np.zeros(m, dtype=np.int64)
     exit_before[1:] = exit_after[:-1]
     single_emit = np.zeros(m, dtype=bool)
@@ -339,14 +338,23 @@ def _sloppy_2term_boundary(
     return freq
 
 
-def _slop_lcm(slop: int):
-    """lcm(1..slop+1) when it fits int64 comfortably (slop <= 41),
-    else None (callers fall back to float64 accumulation)."""
-    if slop < 0 or slop > 41:
+def _slop_lcm(slop: int, n_adds: int = 1):
+    """lcm(1..slop+1) when summing up to ``n_adds`` such numerators
+    stays safely inside int64, else None (callers fall back to float64
+    accumulation — the documented approximate path for pathological
+    slop/multiplicity combinations; review r4 found slop=41 overflows
+    after only 42 additions)."""
+    if slop < 0:
         return None
     from math import lcm
 
-    return lcm(*range(1, slop + 2))
+    try:
+        L = lcm(*range(1, slop + 2))
+    except OverflowError:  # pragma: no cover
+        return None
+    if L * max(int(n_adds), 1) >= (1 << 62):
+        return None
+    return L
 
 
 def _lucene_sloppy_walk(poslists: Sequence[np.ndarray], slop: int) -> float:
@@ -410,7 +418,7 @@ def _sloppy_chain_variant(
         return (np.empty(0, np.int64), np.empty(0, np.float64),
                 np.empty(0, np.float64))
     gap = (sen - sst) - len(phrase_terms)
-    L = _slop_lcm(slop)
+    L = _slop_lcm(slop, n_adds=int(sd.size) + 1)
     if L is not None:
         num = np.zeros(uniq.size, dtype=np.int64)
         np.add.at(num, sd, L // (1 + gap))

@@ -941,14 +941,22 @@ class SearchEngine:
             rest = {n: s for n, s in aggs_body.items() if n not in glob}
             aggs_df = compile_aggs(scope, rest) if rest else None
             for gname, gspec in glob.items():
-                gdf = compile_aggs(self.corpus, {gname: gspec})
+                # the global bucket's doc_count is ALWAYS prefixed with
+                # the agg name so the output shape doesn't depend on
+                # whether scoped siblings exist
+                gdf = compile_aggs(self.corpus, {gname: gspec}) \
+                    .withColumnRenamed("doc_count", f"{gname}_doc_count")
                 if aggs_df is None:
                     aggs_df = gdf
                 else:
-                    gdf = gdf.withColumnRenamed(
-                        "doc_count", f"{gname}_doc_count")
-                    drop = [c for c in gdf.columns if c in aggs_df.columns]
-                    aggs_df = aggs_df.crossJoin(gdf.drop(*drop))
+                    clash = [c for c in gdf.columns
+                             if c in aggs_df.columns and c != f"key_{gname}"]
+                    if clash:
+                        raise ValueError(
+                            f"global agg '{gname}' produces columns that "
+                            f"collide with scoped siblings: {clash} — "
+                            "rename the sub-aggregations")
+                    aggs_df = aggs_df.crossJoin(gdf.drop(f"key_{gname}"))
 
         src = body.get("_source")
         derived = body.get("derived") or body.get("derived_fields")
@@ -2659,17 +2667,25 @@ class SearchEngine:
             A.Match(field_name=node.field_name, query=" ".join(terms),
                     operator="and", boost=node.boost), None)
         jrx = r"[\\p{L}\\p{N}_]+(?:[.'':][\\p{L}\\p{N}_]+)*"
-        t = (f"regexp_extract_all(lower({node.field_name}), "
-             f"'{jrx}', 0)")
         conj = " AND ".join(
-            "element_at({t}, CAST(i + {j} AS INT)) = '{w}'".format(
-                t=t, j=j, w=str(w).replace("'", "\\'"))
+            "element_at(_toks, CAST(i + {j} AS INT)) = '{w}'".format(
+                j=j, w=str(w).replace("'", "\\'"))
             for j, w in enumerate(terms))
         k = len(terms)
-        verify = self.corpus.where(F.expr(
-            f"CASE WHEN size({t}) >= {k} THEN "
-            f"exists(sequence(1, size({t}) - {k - 1}), i -> {conj}) "
-            f"ELSE false END")).select("docId")
+        # tokenize ONCE per row; the exists() lambda references the
+        # projected column (inlining the regexp into every element_at
+        # re-tokenizes O(k*n) times — review r4)
+        verify = (
+            self.corpus.withColumn(
+                "_toks",
+                F.expr(f"regexp_extract_all(lower({node.field_name}), "
+                       f"'{jrx}', 0)"))
+            .where(F.expr(
+                f"CASE WHEN size(_toks) >= {k} THEN "
+                f"exists(sequence(1, size(_toks) - {k - 1}), i -> {conj}) "
+                f"ELSE false END"))
+            .select("docId")
+        )
         return scores.join(verify, "docId")
 
     def _phrase(self, node: A.MatchPhrase, topk: Optional[int]) -> DataFrame:

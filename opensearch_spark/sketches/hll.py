@@ -221,7 +221,6 @@ def hll_cardinality(df, col: str, precision_threshold: int = 3000,
 
     def part_sketches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[tuple, HllPlusPlus] = {}
-        keyvals: dict[tuple, tuple] = {}
         for pdf in pdfs:
             if pdf.empty:
                 continue
@@ -231,7 +230,6 @@ def hll_cardinality(df, col: str, precision_threshold: int = 3000,
                 sk = acc.get(kv)
                 if sk is None:
                     sk = acc[kv] = HllPlusPlus(threshold=thr, p=p)
-                    keyvals[kv] = kv
                 sk.add_hashes(grp["h"].to_numpy().astype(np.int64).view(np.uint64))
         if acc:
             out = {k: [kv[i] for kv in acc] for i, k in enumerate(keys)}

@@ -55,11 +55,12 @@ class TDigest:
     def add_values(self, values: np.ndarray,
                    weights: np.ndarray | None = None) -> "TDigest":
         v = np.asarray(values, dtype=np.float64)
-        v = v[~np.isnan(v)]
+        ok = ~np.isnan(v)
+        v = v[ok]
         if v.size == 0:
             return self
         w = (np.ones(v.size) if weights is None
-             else np.asarray(weights, dtype=np.float64))
+             else np.asarray(weights, dtype=np.float64)[ok])
         self.vmin = min(self.vmin, float(v.min()))
         self.vmax = max(self.vmax, float(v.max()))
         self.means = np.concatenate([self.means, v])

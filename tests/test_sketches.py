@@ -237,3 +237,50 @@ def test_aggs_dsl_sketch_route(spark):
                                  "precision_threshold": 40000}},
     }).collect()[0]
     assert g["uniq"] == li.agg(F.countDistinct("l_partkey")).collect()[0][0]
+
+
+def test_sketch_route_preserves_terms_ordering(spark):
+    """Adding a sketch metric must not re-order the terms buckets
+    (default: doc_count desc) — review r4 finding."""
+    from opensearch_spark.search.aggs import compile_aggs
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plain = [r["key_f"] for r in compile_aggs(li, {
+        "f": {"terms": {"field": "l_returnflag", "size": 10}},
+    }).collect()]
+    with_sketch = [r["key_f"] for r in compile_aggs(li, {
+        "f": {"terms": {"field": "l_returnflag", "size": 10},
+              "aggs": {"u": {"cardinality": {"field": "l_partkey",
+                                             "algorithm": "hllpp"}}}},
+    }).collect()]
+    assert with_sketch == plain
+
+
+def test_tdigest_weights_nan_alignment():
+    """NaN values must drop their own weights, not shift later ones."""
+    from opensearch_spark.sketches.tdigest import TDigest
+
+    td = TDigest(compression=200).add_values(
+        np.array([1.0, np.nan, 3.0]), weights=np.array([2.0, 5.0, 7.0]))
+    assert td.means.tolist() == [1.0, 3.0]
+    assert td.weights.tolist() == [2.0, 7.0]
+
+
+def test_sloppy_lcm_overflow_falls_back():
+    """High slop with many exact occurrences must not overflow int64
+    (review r4: slop=41 overflows after 42 additions) — the vectorized
+    form falls back to float64 and still matches the exact walk."""
+    from opensearch_spark.search import bm25
+
+    n = 60
+    p1 = np.arange(0, 4 * n, 4, dtype=np.int64)       # a at 0,4,8,...
+    p2 = p1 + 1                                       # b right after each a
+    decoded = {
+        "a": (np.array([0]), np.array([n]), np.array([100.0]), p1),
+        "b": (np.array([0]), np.array([n]), np.array([100.0]), p2),
+    }
+    docs, freq, _ = bm25.sloppy_phrase_freq_in_segment(decoded, ["a", "b"], 41)
+    want = bm25._lucene_sloppy_walk([p1, np.sort(p2 - 1)], 41)
+    assert docs.tolist() == [0]
+    assert freq[0] == pytest.approx(want, rel=1e-12)
+    assert freq[0] > 0
