@@ -225,6 +225,52 @@ WHERE round(list_cosine_similarity(a.v, b.v), 5) >= {threshold}
 """.strip()
 
 
+
+
+def _semdedup_sql(shift: int = 1_000_000, threshold: float = 0.9) -> str:
+    """SemDeDup oracle: the planted near-dup corpus assigned to the 8
+    deterministic IVF seed centroids (same tie rule as s_ivf_ann:
+    cosine rounded 8dp desc, centroid asc), within-cluster cosine
+    pairs at 5dp >= threshold, drop = appears as the higher id of any
+    pair; per-cluster counts. Mirrors similarity.semdedup."""
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+comp0 AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM base),
+cnt AS (SELECT vec_id, max(i) AS n FROM comp0 GROUP BY vec_id),
+pert AS (
+  SELECT c.vec_id + {shift} AS vec_id,
+         list(c.x + 0.15 * r.x ORDER BY c.i) AS v
+  FROM comp0 c
+  JOIN cnt ct ON ct.vec_id = c.vec_id
+  JOIN comp0 r ON r.vec_id = c.vec_id AND r.i = ct.n + 1 - c.i
+  GROUP BY c.vec_id
+),
+nd AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
+c AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 8),
+a0 AS (
+  SELECT n.vec_id, c.cid, round(list_cosine_similarity(n.v, c.cv), 8) AS cs
+  FROM nd n, c
+),
+assign AS (
+  SELECT vec_id, cid AS centroid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM a0
+  ) WHERE rn = 1
+),
+av AS (SELECT a.vec_id, a.centroid, n.v FROM assign a JOIN nd n USING (vec_id)),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM av a JOIN av b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 5) >= {threshold}
+)
+SELECT av.centroid, count(*) AS n_vectors,
+       sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dropped
+FROM av LEFT JOIN dropped d ON d.vec_id = av.vec_id
+GROUP BY av.centroid ORDER BY av.centroid
+""".strip()
+
+
 ORACLES: dict[str, str] = {
     "d_exact_dedup": """
         SELECT sha256(text) AS text_sha, min(doc_id) AS rep_doc_id,
@@ -368,6 +414,7 @@ ORACLES: dict[str, str] = {
         """
     ),
     "d_embed_dup": _embed_dup_sql(),
+    "d_semdedup": _semdedup_sql(),
     "t_contamination": f"""
         WITH {_ND},
         w AS (SELECT doc_id, string_split(text, ' ') AS words FROM nd),

@@ -179,6 +179,50 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
+def semdedup(spark: SparkSession, sf_dir: str,
+             threshold: float = EMBED_DUP_THRESHOLD) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): cluster the embeddings with the
+    deterministic IVF coarse quantizer, compute cosine pairs ONLY
+    within each cluster, and drop every vector that has a
+    more-canonical (lower-id) semantic duplicate in its cluster.
+    Returns per-cluster accounting (centroid, n_vectors, n_dropped).
+
+    Scale shape: candidate pairs never cross clusters, so the pairwise
+    work is quadratic only within a cluster — the paper controls this
+    by scaling K with the corpus (50k clusters at 100M docs); here K=8
+    fixed seed centroids keep the assignment SQL-reproducible for the
+    oracle. Runs over the planted near-dup corpus so true positives
+    exist at test scale."""
+    e = _emb(spark, sf_dir).select("vec_id", _as_double().alias("v"))
+    nd = embedding_dup_corpus(e)
+    assigned = _assign_with_v(nd, _centroid_vecs(e))
+    a = assigned.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                        "centroid")
+    b = assigned.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                        "centroid")
+    pairs = (
+        a.join(b, "centroid").where(F.col("a") < F.col("b"))
+        .select(
+            "b",
+            F.round(_pair_cosine(F.col("va"), F.col("vb")), 5).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+    )
+    dropped = pairs.select("b").distinct().withColumn("_dropped", F.lit(1))
+    return (
+        assigned.join(dropped, assigned["vec_id"] == dropped["b"], "left")
+        .groupBy("centroid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("_dropped") == 1, 1).otherwise(0))
+            .cast("long").alias("n_dropped"),
+        )
+        .orderBy("centroid")
+    )
+
+
 N_IVF_CENTROIDS = 8
 IVF_NPROBE = 2
 
