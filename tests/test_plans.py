@@ -229,3 +229,38 @@ def test_line_dedup_has_partial_aggregation(spark):
         [(1, ["a", "b"]), (2, ["a"])], "doc_id long, lines array<string>")
     p = executed_str(line_dedup(df))
     assert "partial_count(distinct" in p, p
+
+
+def test_cached_serving_query_is_shuffle_free(spark, tmp_path):
+    """Round-4 serving-plan contract: with cache=True the postings are
+    persisted pre-partitioned on seg, so a query executes as ONE
+    shuffle-free stage — no Exchange in the executed plan (the only
+    Exchange lives inside the one-time cache-build lineage)."""
+    corpus = spark.createDataFrame(generate_corpus(300, seed=9))
+    out = str(tmp_path / "ix")
+    build_index(spark, corpus, out, n_segments=4)
+    eng = SearchEngine(spark, out, corpus=corpus, cache=True)
+    eng.search({"match": {"content": "def"}}, k=5).collect()  # materialize
+    for q in ({"match": {"content": "def return"}},
+              {"match_phrase": {"content": "def main"}},
+              {"bool": {"must": [{"match": {"content": "def"}}],
+                        "must_not": [{"match": {"content": "import"}}]}}):
+        df = eng.search(q, k=5)
+        df.collect()
+        final = executed_str(df).split("== Initial Plan ==")[0]
+        # the InMemoryRelation block embeds its own build plan (which
+        # legitimately contains the one-time repartition Exchange);
+        # strip it before asserting the QUERY plan is exchange-free
+        query_part = final.split("InMemoryRelation")[0]
+        assert "Exchange" not in query_part, query_part
+        assert "InMemoryTableScan" in final
+
+
+def test_range_field_filter_pushes_to_scan(spark, sf_dir):
+    """Range-field relation predicates are plain Catalyst comparisons
+    over scan columns — the shipdate bound must reach PushedFilters."""
+    df = R._lineitem_range_matches(
+        R._t(spark, sf_dir, "lineitem"), "within")
+    p = plan_str(df)
+    assert "PushedFilters" in p
+    assert "l_shipdate" in p.split("PushedFilters")[1][:300], p[:3000]
