@@ -22,6 +22,23 @@ from typing import Any
 from opensearch_spark.search import ast as A
 
 
+def script_source(spec) -> str:
+    """Resolve a script spec to a Spark SQL expression. A plain string
+    or {"source": ...} is treated as SQL (the engine's native script
+    language); {"lang": "painless", "source": ..., "params": {...}}
+    transpiles the Painless expression subset to SQL
+    (search/painless.py), so the reference's single-expression scripts
+    run verbatim."""
+    if not isinstance(spec, dict):
+        return str(spec)
+    src = str(spec.get("source", ""))
+    if str(spec.get("lang", "")).lower() == "painless":
+        from opensearch_spark.search.painless import painless_to_sql
+
+        return painless_to_sql(src, spec.get("params") or {})
+    return src
+
+
 def parse(dsl: dict) -> A.AnyNode:
     if not isinstance(dsl, dict) or len(dsl) != 1:
         raise ValueError(f"query must be a single-key dict, got: {dsl!r}")
@@ -426,10 +443,7 @@ def _parse_one_function(spec: dict) -> dict:
                     "missing": body.get("missing"),
                 }
             elif k == "script_score":
-                src = body["script"]
-                fn["params"] = {
-                    "source": str(src["source"] if isinstance(src, dict) else src)
-                }
+                fn["params"] = {"source": script_source(body["script"])}
             elif k == "random_score":
                 fn["params"] = {"seed": str(body.get("seed", 0)) if body else "0"}
             elif k == "weight":
@@ -574,8 +588,7 @@ _PARSERS = {
         boost=float(s.get("boost", 1.0)),
     ))(*_field_body(b)),
     "script": lambda b: A.ScriptQ(
-        source=str(b["script"]["source"] if isinstance(b.get("script"), dict)
-                   else b["script"]),
+        source=script_source(b.get("script")),
         boost=float(b.get("boost", 1.0)),
     ),
     "common": lambda b: (lambda f, s: A.CommonTerms(
@@ -635,10 +648,7 @@ _PARSERS = {
         query=parse(b["query"]),
         functions=[{
             "kind": "script_score",
-            "params": {"source": str(
-                b["script"]["source"] if isinstance(b["script"], dict)
-                else b["script"]
-            )},
+            "params": {"source": script_source(b["script"])},
             "weight": 1.0, "filter": None,
         }],
         score_mode="multiply", boost_mode="replace",

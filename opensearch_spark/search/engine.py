@@ -859,8 +859,7 @@ class SearchEngine:
                     d = spec.get("order", "asc") if isinstance(spec, dict) else spec
                     if f == "_script":
                         # reference: ScriptSortBuilder — sort by script
-                        src = spec["script"]
-                        f = str(src["source"] if isinstance(src, dict) else src)
+                        f = dsl_mod.script_source(spec["script"])
                     sort.append((f, d))
         collapse_body = body.get("collapse") or {}
         collapse = collapse_body.get("field")

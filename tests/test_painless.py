@@ -1,0 +1,67 @@
+"""Painless expression subset -> Spark SQL transpiler."""
+
+import pytest
+
+from opensearch_spark.search.painless import PainlessError, painless_to_sql
+
+
+def test_doc_params_math_ternary():
+    sql = painless_to_sql(
+        "doc['n_chars'].value * params.f + Math.log(_score + 1)",
+        {"f": 2.5})
+    assert sql == "((`n_chars` * 2.5) + ln((`score` + 1)))"
+    sql = painless_to_sql(
+        "doc['lang'].value == 'en' ? 2.0 : 0.5")
+    assert sql == "(CASE WHEN (`lang` = 'en') THEN 2.0 ELSE 0.5 END)"
+
+
+def test_doc_size_and_bool_ops():
+    sql = painless_to_sql(
+        "doc['subtitle'].size() > 0 && !(doc['n_chars'].value < 10)")
+    assert "CASE WHEN `subtitle` IS NULL THEN 0 ELSE 1 END" in sql
+    assert "AND (NOT" in sql
+
+
+def test_return_and_semicolon_stripped():
+    assert painless_to_sql("return 1 + 2;") == "(1 + 2)"
+
+
+def test_math_variants_and_constants():
+    sql = painless_to_sql("Math.pow(Math.E, Math.min(1, 2))")
+    assert sql.startswith("power(2.718281828459045, least(1, 2)")
+
+
+def test_rejects_out_of_scope():
+    for bad in ("int x = 1; return x", "for (i in list) {}",
+                "doc['f'].values", "ctx._source.f = 1",
+                "params.missing + 1"):
+        with pytest.raises(PainlessError):
+            painless_to_sql(bad, {})
+
+
+def test_engine_painless_script_score(spark, tmp_path):
+    """{"lang": "painless"} script_score runs verbatim and equals the
+    equivalent SQL-expression script."""
+    from opensearch_spark.index.build import build_index
+    from opensearch_spark.search.engine import SearchEngine
+    from opensearch_spark.testing.corpus import generate_corpus
+
+    corpus = spark.createDataFrame(generate_corpus(120, seed=3))
+    out = str(tmp_path / "ix")
+    build_index(spark, corpus, out, n_segments=2)
+    eng = SearchEngine(spark, out, corpus=corpus)
+    q_painless = {"script_score": {
+        "query": {"match": {"content": "def"}},
+        "script": {"lang": "painless",
+                   "source": "_score * params.w + Math.min(doc['lang'].value == 'python' ? 1 : 0, 1)",
+                   "params": {"w": 3}},
+    }}
+    q_sql = {"script_score": {
+        "query": {"match": {"content": "def"}},
+        "script": {"source": "score * 3 + least(CASE WHEN lang = 'python' THEN 1 ELSE 0 END, 1)"},
+    }}
+    a = [(r["docId"], round(r["score"], 8))
+         for r in eng.search(q_painless, k=10).collect()]
+    b = [(r["docId"], round(r["score"], 8))
+         for r in eng.search(q_sql, k=10).collect()]
+    assert a == b and a
