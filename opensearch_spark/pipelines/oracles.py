@@ -183,12 +183,12 @@ cos AS (
 """.strip()
 
 
-def _embed_dup_sql(shift: int = 1_000_000, threshold: float = 0.9) -> str:
-    """Embedding near-dup pairs: planted corpus (v + 0.15*reverse(v)),
-    md5-derived hyperplane buckets, exact-cosine verify — mirrors
-    similarity.embedding_dup_pairs."""
-    return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+def _planted_nd_ctes(shift: int) -> str:
+    """Shared CTE block building the planted embedding near-dup corpus
+    (base ∪ v + 0.15*reverse(v)) — mirrors
+    similarity.embedding_dup_corpus; used by BOTH _embed_dup_sql and
+    _semdedup_sql so the perturbation stays defined once."""
+    return """base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 comp0 AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM base),
 cnt AS (SELECT vec_id, max(i) AS n FROM comp0 GROUP BY vec_id),
 pert AS (
@@ -199,7 +199,15 @@ pert AS (
   JOIN comp0 r ON r.vec_id = c.vec_id AND r.i = ct.n + 1 - c.i
   GROUP BY c.vec_id
 ),
-nd AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
+nd AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert)""".format(shift=shift)
+
+
+def _embed_dup_sql(shift: int = 1_000_000, threshold: float = 0.9) -> str:
+    """Embedding near-dup pairs: planted corpus (v + 0.15*reverse(v)),
+    md5-derived hyperplane buckets, exact-cosine verify — mirrors
+    similarity.embedding_dup_pairs."""
+    return f"""
+WITH {_planted_nd_ctes(shift)},
 comp AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM nd),
 planes AS (
   SELECT p.p AS plane, d.d AS dim,
@@ -234,18 +242,7 @@ def _semdedup_sql(shift: int = 1_000_000, threshold: float = 0.9) -> str:
     pairs at 5dp >= threshold, drop = appears as the higher id of any
     pair; per-cluster counts. Mirrors similarity.semdedup."""
     return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-comp0 AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM base),
-cnt AS (SELECT vec_id, max(i) AS n FROM comp0 GROUP BY vec_id),
-pert AS (
-  SELECT c.vec_id + {shift} AS vec_id,
-         list(c.x + 0.15 * r.x ORDER BY c.i) AS v
-  FROM comp0 c
-  JOIN cnt ct ON ct.vec_id = c.vec_id
-  JOIN comp0 r ON r.vec_id = c.vec_id AND r.i = ct.n + 1 - c.i
-  GROUP BY c.vec_id
-),
-nd AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
+WITH {_planted_nd_ctes(shift)},
 c AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 8),
 a0 AS (
   SELECT n.vec_id, c.cid, round(list_cosine_similarity(n.v, c.cv), 8) AS cs

@@ -210,14 +210,13 @@ def semdedup(spark: SparkSession, sf_dir: str,
         )
         .where(F.col("cosine") >= F.lit(float(threshold)))
     )
-    dropped = pairs.select("b").distinct().withColumn("_dropped", F.lit(1))
+    dropped = pairs.select("b").distinct()
     return (
         assigned.join(dropped, assigned["vec_id"] == dropped["b"], "left")
         .groupBy("centroid")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.sum(F.when(F.col("_dropped") == 1, 1).otherwise(0))
-            .cast("long").alias("n_dropped"),
+            F.count(dropped["b"]).cast("long").alias("n_dropped"),
         )
         .orderBy("centroid")
     )

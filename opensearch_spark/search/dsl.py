@@ -29,9 +29,13 @@ def script_source(spec) -> str:
     transpiles the Painless expression subset to SQL
     (search/painless.py), so the reference's single-expression scripts
     run verbatim."""
+    if spec is None:
+        raise ValueError("script spec is missing")
     if not isinstance(spec, dict):
         return str(spec)
-    src = str(spec.get("source", ""))
+    if "source" not in spec:
+        raise KeyError("source")
+    src = str(spec["source"])
     if str(spec.get("lang", "")).lower() == "painless":
         from opensearch_spark.search.painless import painless_to_sql
 

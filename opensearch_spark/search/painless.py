@@ -20,7 +20,11 @@ Supported subset (documented contract — anything else raises):
   ``Math.PI``
 - number / single-quoted string / boolean / null literals
 
-Statements (defs, loops, returns), field mutation, and the full
+Numeric semantics follow Spark SQL, not Java: ``/`` is double
+division (Painless truncates for two integers — use Math.floor
+explicitly when porting integer-division scripts) and there is no
+integer overflow wrap-around. Statements (defs, loops, returns),
+field mutation, and the full
 Painless type system are out of scope — those scripts use the Python
 callable hook instead (SURVEY §2.10 documented variant).
 """
@@ -71,7 +75,9 @@ def _lex(src: str):
 
 def _sql_str(painless_str: str) -> str:
     inner = painless_str[1:-1].replace("\\'", "'").replace('\\\\', '\\')
-    return "'" + inner.replace("'", "''") + "'"
+    # Spark's default string parser processes backslash escapes —
+    # double them so the emitted literal round-trips verbatim
+    return "'" + inner.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _lit(v) -> str:
@@ -81,7 +87,8 @@ def _lit(v) -> str:
         return "true" if v else "false"
     if isinstance(v, (int, float)):
         return repr(v)
-    return "'" + str(v).replace("'", "''") + "'"
+    return ("'" + str(v).replace("\\", "\\\\").replace("'", "''")
+            + "'")
 
 
 class _Parser:
@@ -131,8 +138,15 @@ class _Parser:
         op = self.peek()[1]
         if op in ("==", "!=", "<", "<=", ">", ">="):
             self.take()
+            right = self.add()
+            # Painless null equality is identity; SQL `= NULL` is never
+            # true — emit IS [NOT] NULL (either side may be the null)
+            if op in ("==", "!=") and "NULL" in (left, right):
+                other = right if left == "NULL" else left
+                neg = " NOT" if op == "!=" else ""
+                return f"({other} IS{neg} NULL)"
             sql_op = {"==": "=", "!=": "<>"}.get(op, op)
-            return f"({left} {sql_op} {self.add()})"
+            return f"({left} {sql_op} {right})"
         return left
 
     def add(self) -> str:

@@ -65,3 +65,24 @@ def test_engine_painless_script_score(spark, tmp_path):
     b = [(r["docId"], round(r["score"], 8))
          for r in eng.search(q_sql, k=10).collect()]
     assert a == b and a
+
+
+def test_null_comparisons_and_backslashes():
+    assert painless_to_sql("doc['s'].value == null") == "(`s` IS NULL)"
+    assert painless_to_sql("doc['s'].value != null") == "(`s` IS NOT NULL)"
+    assert painless_to_sql(
+        "null == doc['s'].value ? 1 : 2"
+    ) == "(CASE WHEN (`s` IS NULL) THEN 1 ELSE 2 END)"
+    # backslashes in literals survive Spark's escape processing
+    assert painless_to_sql(r"doc['s'].value == 'a\\b'") == r"(`s` = 'a\\b')"
+    assert painless_to_sql("params.p == 'x'", {"p": "a\\b"}).startswith(
+        r"('a\\b'")
+
+
+def test_script_source_validation():
+    from opensearch_spark.search.dsl import script_source
+
+    with pytest.raises(KeyError):
+        script_source({})
+    with pytest.raises(ValueError):
+        script_source(None)
