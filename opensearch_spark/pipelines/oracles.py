@@ -262,7 +262,7 @@ dropped AS (
   WHERE round(list_cosine_similarity(a.v, b.v), 5) >= {threshold}
 )
 SELECT av.centroid, count(*) AS n_vectors,
-       sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dropped
+       CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM av LEFT JOIN dropped d ON d.vec_id = av.vec_id
 GROUP BY av.centroid ORDER BY av.centroid
 """.strip()

@@ -1,8 +1,17 @@
 """Ad-hoc strict (bitwise) engine-vs-oracle check for named queries.
 
 Usage: python tests/strict_check.py <sf_dir> <query> [<query> ...]
+       python tests/strict_check.py --lint [<query> ...]
 Mimics the driver's hash-based compare: sorts columns by name, sorts
-rows, and requires EXACT value equality (no float tolerance).
+rows, and requires EXACT value equality (no float tolerance), PLUS a
+dtype-kind check (int vs float) because the driver's hash is
+dtype-sensitive: DuckDB types bare integer sum() as HUGEINT, which
+pandas fetchdf materializes as float64 while the engine returns int64
+— values equal, hash different (round-4 ft_flat_object/d_semdedup).
+
+--lint runs `DESCRIBE <oracle_sql>` in DuckDB (no Spark needed) over
+every registered oracle and flags any HUGEINT/INT128 column in the
+FINAL output schema: those must be CAST(... AS BIGINT) in the SQL.
 """
 
 import os
@@ -21,7 +30,83 @@ TABLES = [
 ]
 
 
+def lint(names=None) -> int:
+    """Flag oracle SQL whose final output schema contains HUGEINT.
+
+    DuckDB's DESCRIBE gives the output column types without running
+    the query against real data; tiny empty views stand in for the
+    parquet tables so every oracle parses.
+    """
+    con = duckdb.connect()
+    import pandas as pd  # noqa: F401
+
+    ddl = {
+        "region": "r_regionkey BIGINT, r_name VARCHAR, r_comment VARCHAR",
+        "nation": ("n_nationkey BIGINT, n_name VARCHAR, n_regionkey BIGINT,"
+                   " n_comment VARCHAR"),
+        "customer": ("c_custkey BIGINT, c_name VARCHAR, c_address VARCHAR,"
+                     " c_nationkey BIGINT, c_phone VARCHAR, c_acctbal DOUBLE,"
+                     " c_mktsegment VARCHAR, c_comment VARCHAR"),
+        "supplier": ("s_suppkey BIGINT, s_name VARCHAR, s_address VARCHAR,"
+                     " s_nationkey BIGINT, s_phone VARCHAR, s_acctbal DOUBLE,"
+                     " s_comment VARCHAR"),
+        "part": ("p_partkey BIGINT, p_name VARCHAR, p_mfgr VARCHAR,"
+                 " p_brand VARCHAR, p_type VARCHAR, p_size INTEGER,"
+                 " p_container VARCHAR, p_retailprice DOUBLE,"
+                 " p_comment VARCHAR"),
+        "orders": ("o_orderkey BIGINT, o_custkey BIGINT,"
+                   " o_orderstatus VARCHAR, o_totalprice DOUBLE,"
+                   " o_orderdate DATE, o_orderpriority VARCHAR,"
+                   " o_clerk VARCHAR, o_shippriority INTEGER,"
+                   " o_comment VARCHAR"),
+        "lineitem": ("l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,"
+                     " l_linenumber INTEGER, l_quantity DOUBLE,"
+                     " l_extendedprice DOUBLE, l_discount DOUBLE,"
+                     " l_tax DOUBLE, l_returnflag VARCHAR,"
+                     " l_linestatus VARCHAR, l_shipdate DATE,"
+                     " l_commitdate DATE, l_receiptdate DATE,"
+                     " l_shipinstruct VARCHAR, l_shipmode VARCHAR,"
+                     " l_comment VARCHAR"),
+        "events": ("event_id BIGINT, event_type VARCHAR, user_id BIGINT,"
+                   " ts TIMESTAMP, value DOUBLE, session_id VARCHAR,"
+                   " url VARCHAR, country VARCHAR, lat DOUBLE, lon DOUBLE,"
+                   " ip VARCHAR, user_agent VARCHAR, meta VARCHAR"),
+        "documents": ("doc_id BIGINT, title VARCHAR, text VARCHAR,"
+                      " lang VARCHAR, domain VARCHAR, url VARCHAR,"
+                      " published_at TIMESTAMP, quality_label VARCHAR"),
+        "embeddings": "vec_id BIGINT, doc_id BIGINT, v DOUBLE[]",
+    }
+    # Real-table fallback: DESCRIBE needs correct column NAMES/TYPES,
+    # use the actual sf0.001 parquet when present (exact schemas).
+    sf = os.environ.get("SPARK_GRAFT_LINT_SF", "/root/testdata/sf0.001")
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"create view {t} as select * from '{p}'")
+        else:
+            con.execute(f"create table {t} ({ddl[t]})")
+    sqls = E.oracle_sql()
+    rc = 0
+    items = [(n, sqls[n]) for n in (names or sorted(sqls))]
+    for name, sql in items:
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as exc:  # pragma: no cover - parse failure
+            print(f"{name}: DESCRIBE FAILED: {str(exc)[:120]}")
+            rc = 1
+            continue
+        bad = [(c, ty) for (c, ty, *_rest) in desc
+               if "HUGEINT" in ty.upper() or "INT128" in ty.upper()]
+        if bad:
+            print(f"{name}: HUGEINT OUTPUT {bad} — CAST(... AS BIGINT)")
+            rc = 1
+    print(f"lint: {len(items)} oracles checked, rc={rc}")
+    return rc
+
+
 def main() -> int:
+    if sys.argv[1] == "--lint":
+        return lint(sys.argv[2:] or None)
     sf_dir = sys.argv[1]
     names = sys.argv[2:]
     from opensearch_spark.session import get_spark
@@ -50,7 +135,13 @@ def main() -> int:
             rc = 1
             continue
         bad = []
+        kind_bad = []
         for c in cols:
+            gk = np.asarray(g[c].to_numpy()).dtype.kind
+            ek = np.asarray(e[c].to_numpy()).dtype.kind
+            num = {"i", "u", "f"}
+            if gk in num and ek in num and (gk == "f") != (ek == "f"):
+                kind_bad.append((c, str(g[c].dtype), str(e[c].dtype)))
             if str(g[c].dtype).startswith("datetime64"):
                 g[c] = g[c].astype("datetime64[ns]")
             if str(e[c].dtype).startswith("datetime64"):
@@ -69,6 +160,10 @@ def main() -> int:
                 bad.append((c, i, g[c].iloc[i], e[c].iloc[i]))
         if bad:
             print(f"{name}: VALUE MISMATCH {bad[:5]} ({len(bad)} cols)")
+            rc = 1
+        elif kind_bad:
+            print(f"{name}: DTYPE KIND MISMATCH {kind_bad} "
+                  "(driver hash is dtype-sensitive)")
             rc = 1
         else:
             print(f"{name}: OK ({len(g)} rows, exact)")
