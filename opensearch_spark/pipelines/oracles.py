@@ -235,15 +235,20 @@ WHERE round(list_cosine_similarity(a.v, b.v), 5) >= {threshold}
 
 
 
-def _semdedup_sql(shift: int = 1_000_000, threshold: float = 0.9) -> str:
-    """SemDeDup oracle: the planted near-dup corpus assigned to the 8
+def _semdedup_sql(shift: int = 1_000_000, threshold: float = 0.9,
+                  n_centroids: int = 8,
+                  max_cluster_docs: int = 5_000) -> str:
+    """SemDeDup oracle: the planted near-dup corpus assigned to the K
     deterministic IVF seed centroids (same tie rule as s_ivf_ann:
     cosine rounded 8dp desc, centroid asc), within-cluster cosine
     pairs at 5dp >= threshold, drop = appears as the higher id of any
-    pair; per-cluster counts. Mirrors similarity.semdedup."""
+    pair; per-cluster counts. Mirrors similarity.semdedup INCLUDING the
+    hot-cluster cut-and-account guard: clusters above
+    ``max_cluster_docs`` are cut from the pairwise join and re-covered
+    by exact-identity grouping only, with the cut flagged per row."""
     return f"""
 WITH {_planted_nd_ctes(shift)},
-c AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {n_centroids}),
 a0 AS (
   SELECT n.vec_id, c.cid, round(list_cosine_similarity(n.v, c.cv), 8) AS cs
   FROM nd n, c
@@ -256,15 +261,34 @@ assign AS (
   ) WHERE rn = 1
 ),
 av AS (SELECT a.vec_id, a.centroid, n.v FROM assign a JOIN nd n USING (vec_id)),
-dropped AS (
-  SELECT DISTINCT b.vec_id
-  FROM av a JOIN av b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
-  WHERE round(list_cosine_similarity(a.v, b.v), 5) >= {threshold}
+flags AS (
+  SELECT centroid, count(*) AS n_vectors,
+         count(*) > {max_cluster_docs} AS cut
+  FROM av GROUP BY centroid
+),
+cold AS (SELECT av.* FROM av JOIN flags f USING (centroid) WHERE NOT f.cut),
+pair_drops AS (
+  SELECT centroid, CAST(count(*) AS BIGINT) AS nd FROM (
+    SELECT DISTINCT b.centroid, b.vec_id
+    FROM cold a JOIN cold b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 5) >= {threshold}
+  ) GROUP BY centroid
+),
+ident_drops AS (
+  SELECT centroid, CAST(sum(cnt - 1) AS BIGINT) AS nd FROM (
+    SELECT av.centroid, count(*) AS cnt
+    FROM av JOIN flags f USING (centroid)
+    WHERE f.cut GROUP BY av.centroid, av.v
+  ) GROUP BY centroid
 )
-SELECT av.centroid, count(*) AS n_vectors,
-       CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-FROM av LEFT JOIN dropped d ON d.vec_id = av.vec_id
-GROUP BY av.centroid ORDER BY av.centroid
+SELECT f.centroid, f.n_vectors,
+       CAST(CASE WHEN f.cut THEN coalesce(i.nd, 0)
+                 ELSE coalesce(p.nd, 0) END AS BIGINT) AS n_dropped,
+       f.cut
+FROM flags f
+LEFT JOIN pair_drops p ON p.centroid = f.centroid
+LEFT JOIN ident_drops i ON i.centroid = f.centroid
+ORDER BY f.centroid
 """.strip()
 
 

@@ -179,51 +179,131 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
+def _semdedup_frame(nd: DataFrame, cents: List[tuple], threshold: float,
+                    max_cluster_docs: int | None) -> DataFrame:
+    """Core SemDeDup accounting over an already-assigned-able frame
+    ``nd`` = (vec_id, v) and literal centroids ``cents``. Returns
+    (centroid, n_vectors, n_dropped, cut) ordered by centroid.
+
+    Hot-cluster guard (cut-and-account, same contract as the simhash /
+    n-gram dedup guards): the within-cluster cosine self-join is
+    quadratic in cluster size, so clusters above ``max_cluster_docs``
+    are CUT from the pairwise join and re-covered by exact-identity
+    grouping only (identical vectors are cosine-1 duplicates — a linear
+    groupBy), with the cut reported in the output so coverage loss is
+    explicit, never silent. Pass ``max_cluster_docs=None`` to disable.
+    """
+    assigned = _assign_with_v(nd, cents)
+    sizes = assigned.groupBy("centroid").agg(
+        F.count(F.lit(1)).alias("n_vectors"))
+    cap = max_cluster_docs if max_cluster_docs is not None else (1 << 62)
+    flags = sizes.select(
+        "centroid", "n_vectors",
+        (F.col("n_vectors") > F.lit(int(cap))).alias("cut"))
+    cold = assigned.join(
+        F.broadcast(flags.where(~F.col("cut")).select("centroid")),
+        "centroid")
+    a = cold.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                    "centroid")
+    b = cold.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                    "centroid")
+    pairs = (
+        a.join(b, "centroid").where(F.col("a") < F.col("b"))
+        .select(
+            "centroid", "b",
+            F.round(_pair_cosine(F.col("va"), F.col("vb")), 5).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+    )
+    pair_drops = (
+        pairs.select("centroid", "b").distinct()
+        .groupBy("centroid").agg(F.count(F.lit(1)).alias("_pd"))
+    )
+    hot = assigned.join(
+        F.broadcast(flags.where(F.col("cut")).select("centroid")), "centroid")
+    ident_drops = (
+        hot.groupBy("centroid", "v").agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("centroid")
+        .agg(F.sum(F.col("_n") - F.lit(1)).alias("_id"))
+    )
+    return (
+        flags
+        .join(pair_drops, "centroid", "left")
+        .join(ident_drops, "centroid", "left")
+        .select(
+            "centroid", "n_vectors",
+            F.when(F.col("cut"), F.coalesce(F.col("_id"), F.lit(0)))
+            .otherwise(F.coalesce(F.col("_pd"), F.lit(0)))
+            .cast("long").alias("n_dropped"),
+            "cut",
+        )
+        .orderBy("centroid")
+    )
+
+
 def semdedup(spark: SparkSession, sf_dir: str,
-             threshold: float = EMBED_DUP_THRESHOLD) -> DataFrame:
+             threshold: float = EMBED_DUP_THRESHOLD,
+             n_centroids: int | None = None,
+             max_cluster_docs: int | None = None,
+             lloyd_iters: int = 0) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication", arXiv:2303.09540): cluster the embeddings with the
     deterministic IVF coarse quantizer, compute cosine pairs ONLY
     within each cluster, and drop every vector that has a
     more-canonical (lower-id) semantic duplicate in its cluster.
-    Returns per-cluster accounting (centroid, n_vectors, n_dropped).
+    Returns per-cluster accounting (centroid, n_vectors, n_dropped,
+    cut).
 
-    Scale shape: candidate pairs never cross clusters, so the pairwise
-    work is quadratic only within a cluster — the paper controls this
-    by scaling K with the corpus (50k clusters at 100M docs); here K=8
-    fixed seed centroids keep the assignment SQL-reproducible for the
-    oracle. Runs over the planted near-dup corpus so true positives
-    exist at test scale."""
+    Scale knobs (the paper scales K with the corpus — 50k clusters at
+    100M docs, §3): ``n_centroids`` sets K (default
+    ``N_IVF_CENTROIDS``); ``max_cluster_docs`` (default
+    ``SEMDEDUP_MAX_CLUSTER_DOCS``) is the hot-cluster cut-and-account
+    guard — see ``_semdedup_frame``; ``lloyd_iters`` optionally refines
+    the seed centroids with k-means iterations that keep the SAME plan
+    shape (literal/broadcast centroids -> map-side argmax -> k-row mean
+    collect, the coordinator-reduce pattern). The oracle-certified row
+    uses lloyd_iters=0 so DuckDB reproduces assignments exactly. Runs
+    over the planted near-dup corpus so true positives exist at test
+    scale."""
     e = _emb(spark, sf_dir).select("vec_id", _as_double().alias("v"))
     nd = embedding_dup_corpus(e)
-    assigned = _assign_with_v(nd, _centroid_vecs(e))
-    a = assigned.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
-                        "centroid")
-    b = assigned.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
-                        "centroid")
-    pairs = (
-        a.join(b, "centroid").where(F.col("a") < F.col("b"))
-        .select(
-            "b",
-            F.round(_pair_cosine(F.col("va"), F.col("vb")), 5).alias("cosine"),
+    k = n_centroids if n_centroids is not None else N_IVF_CENTROIDS
+    cap = (max_cluster_docs if max_cluster_docs is not None
+           else SEMDEDUP_MAX_CLUSTER_DOCS)
+    cents = _centroid_vecs(e, k)
+    if lloyd_iters:
+        cents = _lloyd_centroids(nd, cents, lloyd_iters)
+    return _semdedup_frame(nd, cents, threshold, cap)
+
+
+def _lloyd_centroids(nd: DataFrame, cents: List[tuple],
+                     iters: int) -> List[tuple]:
+    """Refine literal centroids with Lloyd iterations, preserving the
+    map-only assignment plan: each iteration is one argmax scan plus a
+    k-row per-centroid mean agg collected to the driver (KB-sized —
+    the coordinator-reduce pattern, same as the sketch aggs). Empty
+    clusters keep their previous centroid."""
+    dims = len(cents[0][1])
+    for _ in range(int(iters)):
+        a = _assign_with_v(nd, cents)
+        rows = (
+            a.groupBy("centroid")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dims)])
+            .collect()
         )
-        .where(F.col("cosine") >= F.lit(float(threshold)))
-    )
-    dropped = pairs.select("b").distinct()
-    return (
-        assigned.join(dropped, assigned["vec_id"] == dropped["b"], "left")
-        .groupBy("centroid")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.count(dropped["b"]).cast("long").alias("n_dropped"),
-        )
-        .orderBy("centroid")
-    )
+        means = {int(r["centroid"]): [float(r[f"c{i}"]) for i in range(dims)]
+                 for r in rows}
+        cents = [(cid, means.get(cid, cv)) for cid, cv in cents]
+    return cents
 
 
 N_IVF_CENTROIDS = 8
 IVF_NPROBE = 2
+# Within-cluster pairwise work is quadratic in cluster size; 5k docs is
+# ~1.25e7 pairs — the most one straggler task should carry (same sizing
+# logic as SIMHASH_MAX_BAND_DOCS / NGRAM_MAX_BUCKET_DOCS).
+SEMDEDUP_MAX_CLUSTER_DOCS = 5_000
 
 
 def _assign_with_v(e: DataFrame, cents: List[tuple]) -> DataFrame:
@@ -246,9 +326,9 @@ def _assign_with_v(e: DataFrame, cents: List[tuple]) -> DataFrame:
     )
 
 
-def _centroid_vecs(e: DataFrame) -> List[tuple]:
+def _centroid_vecs(e: DataFrame, k: int | None = None) -> List[tuple]:
     rows = (
-        e.where(F.col("vec_id") < N_IVF_CENTROIDS)
+        e.where(F.col("vec_id") < (k if k is not None else N_IVF_CENTROIDS))
         .select("vec_id", "v").orderBy("vec_id").collect()
     )
     return [(int(r["vec_id"]), list(r["v"])) for r in rows]

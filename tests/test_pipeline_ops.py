@@ -225,3 +225,67 @@ def test_simhash_band_accounting_marks_cut_buckets(spark, tmp_path):
     assert len(cut) >= 4
     assert all(r["n_docs"] > 10 for r in cut)
     assert all(r["n_docs"] <= 10 for r in acc if not r["cut"])
+
+
+def test_semdedup_hot_cluster_guard_cuts_and_accounts(spark):
+    """A planted hot cluster above max_cluster_docs is CUT from the
+    pairwise cosine join (bounded work) and re-covered by exact-identity
+    grouping, with cut=True in the accounting; the cold cluster keeps
+    full pairwise semantics. Mirrors the simhash/ngram guard contract."""
+    from opensearch_spark.pipelines.similarity import _semdedup_frame
+
+    # centroid 0 direction = x-axis, centroid 1 = y-axis
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    rows = []
+    # hot cluster (x-axis): 12 docs, 3 of them identical copies of one
+    # vector -> identity re-cover finds 2 drops; near-identical (but not
+    # equal) vectors are NOT dropped once the cluster is cut
+    for i in range(10, 19):
+        rows.append((i, [1.0, 0.0, 1e-6 * (i - 10)]))
+    for i in (19, 20, 21):
+        rows.append((i, [1.0, 0.0, 0.5]))
+    # cold cluster (y-axis): 3 docs, one exact near-dup pair
+    rows.append((30, [0.0, 1.0, 0.0]))
+    rows.append((31, [0.0, 1.0, 0.001]))
+    rows.append((32, [0.0, 1.0, 5.0]))  # cosine vs 30 ~= 0.196 -> kept
+    nd = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    out = {r["centroid"]: r for r in
+           _semdedup_frame(nd, cents, 0.9, max_cluster_docs=10).collect()}
+    hot, cold = out[0], out[1]
+    assert hot["cut"] and hot["n_vectors"] == 12
+    # identity-only re-cover: the 3 identical copies -> 2 drops; the 9
+    # near-identical-but-distinct vectors are the accounted recall loss
+    assert hot["n_dropped"] == 2
+    assert not cold["cut"] and cold["n_vectors"] == 3
+    assert cold["n_dropped"] == 1  # vec 31 dups 30; vec 32 kept
+
+    # unguarded (cap None) the hot cluster goes full pairwise: the 9
+    # near-identical vectors collapse to 1 (8 drops, cosine ~1) and the
+    # identical trio to 1 (2 drops); cosine([1,0,0],[1,0,.5])=.894<.9
+    # keeps the groups separate
+    full = {r["centroid"]: r for r in
+            _semdedup_frame(nd, cents, 0.9, max_cluster_docs=None).collect()}
+    assert not full[0]["cut"] and full[0]["n_dropped"] == 10
+
+
+def test_semdedup_lloyd_refinement_same_plan_shape(spark):
+    """Lloyd iterations refine literal centroids toward cluster means
+    (deterministic, k-row driver collect) and the refined centroids are
+    plain literals — the assignment stays the map-only argmax."""
+    from opensearch_spark.pipelines.similarity import (
+        _assign_with_v, _lloyd_centroids)
+
+    rows = [(i, [10.0 + 0.1 * i, 1.0, 0.0]) for i in range(5)]
+    rows += [(i, [0.0, 1.0, 7.0 + 0.1 * i]) for i in range(5, 10)]
+    nd = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    seeds = [(0, [10.0, 1.0, 0.0]), (1, [0.0, 1.0, 7.0])]
+    c1 = _lloyd_centroids(nd, seeds, 1)
+    c2 = _lloyd_centroids(nd, seeds, 1)
+    assert c1 == c2  # deterministic
+    assert c1[0][1][0] == pytest.approx(10.2)  # mean of 10.0..10.4
+    assert c1[1][1][2] == pytest.approx(7.7)
+    a = {r["vec_id"]: r["centroid"]
+         for r in _assign_with_v(nd, c1).collect()}
+    assert all(a[i] == 0 for i in range(5))
+    assert all(a[i] == 1 for i in range(5, 10))
