@@ -728,8 +728,8 @@ def sloppy_phrase_sql(query: str, slop: int) -> str:
     assert len(terms) == 2, "oracle covers 2-term sloppy phrases"
     t1, t2 = terms
     assert t1 != t2, (
-        "repeated-term sloppy phrases use the engine's chain-dp variant; "
-        "this oracle models the distinct-term walk only")
+        "repeated-term sloppy phrases: use sloppy_phrase_repeat_sql "
+        "(consecutive-pairs closed form of the repeat-group walk)")
     L = lcm(*range(1, slop + 2))
     idf_terms = " + ".join(
         f"(SELECT ln(1 + (gl.n - df + 0.5) / (df + 0.5)) FROM dfreq WHERE term = {_qlit(t)})"
@@ -781,6 +781,55 @@ pf AS (
 )
 SELECT pf.doc_id AS doc_id,
        round(({idf_terms}) * {K1 + 1.0!r}
+             * pf.pf / (pf.pf + {K1!r} * (1 - {B!r} + {B!r} * q.dlq / gl.avgdl)), 4) AS score
+FROM pf JOIN dlq q USING (doc_id) CROSS JOIN gl"""
+
+
+def sloppy_phrase_repeat_sql(query: str, slop: int) -> str:
+    """Sloppy phrase oracle for the 2-slot REPEATED-term phrase
+    "t t"~slop — the repeat-group walk's provable closed form.
+
+    With both slots on the same term, SloppyPhraseMatcher's init puts
+    slot 1 on occurrence 1 (advanceRepeatGroups), and every advance of
+    slot 0 onto occurrence i+1 collides with slot 1 (same token
+    position), pushing slot 1 to occurrence i+2 — so the walk emits
+    exactly the CONSECUTIVE occurrence pairs: for occurrences
+    q0 < q1 < ..., matchLength(i) = q[i+1] - q[i] - 1, emitted iff
+    <= slop, weight 1/(q[i+1] - q[i]). Property-verified against both
+    the engine walk and an independent Lucene transcription in
+    tests/test_wand.py (test_sloppy_rpt_two_slot_closed_form /
+    test_sloppy_rpt_walk_matches_reference).
+
+    Accumulation matches the engine bit-for-bit: integer numerators
+    lcm(1..slop+1)//gap summed (BIGINT-cast — DuckDB integer sum() is
+    HUGEINT), divided once as DOUBLE. Scored as a pseudo-term with
+    idf = 2 * idf(term) (the engine sums idfs per phrase SLOT)."""
+    from math import lcm
+
+    terms = tokenize(query)
+    assert len(terms) == 2 and terms[0] == terms[1], (
+        "this oracle models the 2-slot repeated-term walk")
+    t = terms[0]
+    L = lcm(*range(1, slop + 2))
+    idf = (f"2 * (SELECT ln(1 + (gl.n - df + 0.5) / (df + 0.5)) "
+           f"FROM dfreq WHERE term = {_qlit(t)})")
+    return f"""WITH {base_ctes()},
+occ AS (
+  SELECT doc_id, pos,
+         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS npos
+  FROM tok WHERE term = {_qlit(t)}
+),
+pf AS (
+  SELECT doc_id,
+         CAST(CAST(sum(CASE WHEN npos - pos - 1 <= {slop}
+                       THEN {L} // (npos - pos) ELSE 0 END) AS BIGINT)
+              AS DOUBLE) / {L} AS pf
+  FROM occ WHERE npos IS NOT NULL
+  GROUP BY doc_id
+  HAVING pf > 0
+)
+SELECT pf.doc_id AS doc_id,
+       round(({idf}) * {K1 + 1.0!r}
              * pf.pf / (pf.pf + {K1!r} * (1 - {B!r} + {B!r} * q.dlq / gl.avgdl)), 4) AS score
 FROM pf JOIN dlq q USING (doc_id) CROSS JOIN gl"""
 

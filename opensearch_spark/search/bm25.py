@@ -202,9 +202,15 @@ def sloppy_phrase_freq_in_segment(
     ``_sloppy_2term_boundary`` (property-tested against the walk in
     tests/test_wand.py), which vectorizes across docs.
 
-    Phrases with REPEATED terms keep the in-order chain-dp variant
-    (``_sloppy_chain_variant``) — Lucene's repeat-group bookkeeping is
-    intentionally out of scope (documented variant). Accumulation is
+    Phrases with REPEATED terms run the same walk with Lucene's
+    repeat-group bookkeeping (``_lucene_sloppy_walk_rpt``): slots of a
+    repeated term form a repeat group (sorted by phrase offset); at
+    init the j-th slot of a group is advanced j positions so each slot
+    starts on a distinct occurrence, and whenever two slots of a group
+    land on the same actual token position (a "collision", detected on
+    position + offset) the lesser one advances and displaced queue
+    entries are re-queued — SloppyPhraseMatcher.advanceRpts/collide/
+    lesser transcribed. Accumulation is
     exact: each emitted weight 1/(1+matchLength) is summed as the
     integer numerator lcm(1..slop+1)/(1+matchLength) and divided once
     at the end, so the result is association-order-free and bitwise
@@ -218,12 +224,11 @@ def sloppy_phrase_freq_in_segment(
     for t in phrase_terms:
         if t not in decoded:
             return empty
-    if len(set(phrase_terms)) < len(phrase_terms):
-        return _sloppy_chain_variant(decoded, phrase_terms, slop)
+    rpt_groups = _repeat_groups(phrase_terms)
 
     # candidate docs: present in all phrase terms (Lucene conjunction)
     cand = None
-    for t in phrase_terms:
+    for t in dict.fromkeys(phrase_terms):
         d = decoded[t][0]
         cand = d if cand is None else cand[np.isin(cand, d, assume_unique=True)]
         if cand.size == 0:
@@ -252,7 +257,7 @@ def sloppy_phrase_freq_in_segment(
     # Lucene's PhrasePositions priority-queue ordering
     order = np.lexsort((lbl_all, pos_all, doc_all))
     doc_s, pos_s, lbl_s = doc_all[order], pos_all[order], lbl_all[order]
-    if len(phrase_terms) == 2:
+    if len(phrase_terms) == 2 and not rpt_groups:
         freq = _sloppy_2term_boundary(doc_s, pos_s, lbl_s, slop, cand.size)
     else:
         freq = np.zeros(cand.size, dtype=np.float64)
@@ -262,7 +267,10 @@ def sloppy_phrase_freq_in_segment(
         for dord, pg, lg in zip(doc_ids, np.split(pos_s, cuts),
                                 np.split(lbl_s, cuts)):
             pls = [pg[lg == i] for i in range(k)]
-            freq[dord] = _lucene_sloppy_walk(pls, slop)
+            if rpt_groups:
+                freq[dord] = _lucene_sloppy_walk_rpt(pls, slop, rpt_groups)
+            else:
+                freq[dord] = _lucene_sloppy_walk(pls, slop)
 
     hit_ord = np.flatnonzero(freq > 0)
     return cand[hit_ord], freq[hit_ord], dl_for_cand[hit_ord]
@@ -399,50 +407,132 @@ def _lucene_sloppy_walk(poslists: Sequence[np.ndarray], slop: int) -> float:
             match_length = min(match_length, end - p)
 
 
-def _sloppy_chain_variant(
-    decoded: Dict[str, tuple], phrase_terms: Sequence[str], slop: int
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Documented deterministic variant for REPEATED-term sloppy
-    phrases (Lucene's repeat-group logic is out of scope): in-order
-    chains only, sloppy_freq = sum over chain endpoints of
-    1 / (1 + gap) via the vectorized chain-dp in spans.py."""
-    from opensearch_spark.search import spans as S
+def _repeat_groups(phrase_terms: Sequence[str]):
+    """Lucene SloppyPhraseMatcher repeat groups for a plain (single
+    term per position) phrase: the slots (phrase offsets) of each term
+    occurring more than once, in ascending-offset order — exactly what
+    gatherRptGroups/sortRptGroups produce for the non-multi-term case
+    (distinct terms can never share a token position, so tpPos-based
+    grouping reduces to same-term grouping). Empty list = no repeats."""
+    by_term: Dict[str, list] = {}
+    for off, t in enumerate(phrase_terms):
+        by_term.setdefault(t, []).append(off)
+    return [slots for slots in by_term.values() if len(slots) > 1]
 
-    uniq, span_map = S.ordinalize(decoded, list(phrase_terms))
-    if uniq.size == 0:
-        return (np.empty(0, np.int64), np.empty(0, np.float64),
-                np.empty(0, np.float64))
-    spansets = [S.term_spans(span_map, t) for t in phrase_terms]
-    sd, sst, sen = S.near_ordered(spansets, slop)
-    if sd.size == 0:
-        return (np.empty(0, np.int64), np.empty(0, np.float64),
-                np.empty(0, np.float64))
-    gap = (sen - sst) - len(phrase_terms)
-    L = _slop_lcm(slop, n_adds=int(sd.size) + 1)
-    if L is not None:
-        num = np.zeros(uniq.size, dtype=np.int64)
-        np.add.at(num, sd, L // (1 + gap))
-        freq = num / float(L)
-    else:
-        freq = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(freq, sd, 1.0 / (1.0 + gap.astype(np.float64)))
 
-    hit_ord = np.flatnonzero(freq > 0)
-    docs = uniq[hit_ord]
-    # dl_q per doc from any term's postings
-    t0 = phrase_terms[0]
-    d0, _tf0, dlq0, _p0 = decoded[t0]
-    pos_in = np.searchsorted(d0, docs)
-    in_t0 = (pos_in < d0.size) & (d0[np.clip(pos_in, 0, d0.size - 1)] == docs)
-    dl_out = np.zeros(docs.size, dtype=np.float64)
-    dl_out[in_t0] = dlq0[pos_in[in_t0]]
-    if not in_t0.all():
-        t1 = phrase_terms[1]
-        d1_, _tf1, dlq1, _p1 = decoded[t1]
-        rest = ~in_t0
-        p2 = np.searchsorted(d1_, docs[rest])
-        dl_out[rest] = dlq1[np.clip(p2, 0, d1_.size - 1)]
-    return docs, freq[hit_ord], dl_out
+def _lucene_sloppy_walk_rpt(
+    poslists: Sequence[np.ndarray], slop: int, rpt_groups
+) -> float:
+    """Lucene SloppyPhraseMatcher's greedy walk over ONE document WITH
+    repeat-group bookkeeping (phrase contains repeated terms; reference
+    reaches it via MatchQuery.java:329-331 -> Lucene SloppyPhraseMatcher
+    initComplex/advanceRpts/collide/lesser):
+
+    - init (advanceRepeatGroups, simple branch): the j-th slot of a
+      repeat group starts on the term's j-th occurrence, so no two
+      slots of one group share a token position; exhaustion here means
+      the doc has fewer occurrences than slots -> freq 0;
+    - the walk advances the minimum cursor (order: adjusted position,
+      then phrase offset — PhraseQueue's comparator); after each
+      advance, a COLLISION (two slots of one group on the same actual
+      token position, tpPos = adjusted pos + offset) is resolved by
+      advancing the LESSER of the two (by position then offset),
+      chasing the chain until collision-free or exhausted
+      (advanceRpts); Lucene's bit-marked partial re-queue is exactly
+      a re-heap of the moved cursors, which the linear-scan min here
+      performs implicitly;
+    - `next` is captured only at match boundaries (stale across
+      advanceRpts moves, as in Lucene), `end` is maintained by every
+      advance; emission and the final-exhaustion emit mirror
+      nextMatch()'s control flow.
+
+    Accumulation is the exact lcm(1..slop+1) integer numerator (see
+    _lucene_sloppy_walk). ``poslists[i]`` = slot i's ascending adjusted
+    positions (all non-empty); ``rpt_groups`` from _repeat_groups."""
+    from math import lcm
+
+    L = _slop_lcm(slop)
+    if L is None and slop >= 0:
+        L = lcm(*range(1, slop + 2))  # Python ints: no overflow
+    k = len(poslists)
+    idx = [0] * k
+    pos = [int(pl[0]) for pl in poslists]
+    grp = [-1] * k
+    for g, slots in enumerate(rpt_groups):
+        for s in slots:
+            grp[s] = g
+
+    # advanceRepeatGroups (simple branch): slot j advances j positions
+    for slots in rpt_groups:
+        for j in range(1, len(slots)):
+            s = slots[j]
+            if j >= len(poslists[s]):
+                return 0.0  # PPs exhausted at init -> not positioned
+            idx[s] = j
+            pos[s] = int(poslists[s][j])
+    end = max(pos)
+
+    def advance(i: int) -> bool:
+        """advancePP: next position for slot i, maintain end."""
+        nonlocal end
+        idx[i] += 1
+        if idx[i] >= len(poslists[i]):
+            return False
+        pos[i] = int(poslists[i][idx[i]])
+        if pos[i] > end:
+            end = pos[i]
+        return True
+
+    def advance_rpts(i: int) -> bool:
+        """Resolve repeater collisions caused by advancing slot i."""
+        g = grp[i]
+        if g < 0:
+            return True
+        slots = rpt_groups[g]
+        while True:
+            tp = pos[i] + i
+            other = -1
+            for s in slots:
+                if s != i and pos[s] + s == tp:
+                    other = s
+                    break
+            if other < 0:
+                return True
+            if (pos[other], other) < (pos[i], i):
+                i = other  # lesser: advance the lower (position, offset)
+            if not advance(i):
+                return False
+
+    in_queue = set(range(k))
+
+    def pop_min() -> int:
+        m = min(in_queue, key=lambda s: (pos[s], s))
+        in_queue.discard(m)
+        return m
+
+    total = 0
+    pp = pop_min()
+    match_length = end - pos[pp]
+    nxt = min(pos[s] for s in in_queue)
+    while True:
+        if not advance(pp):
+            break
+        if not advance_rpts(pp):
+            break
+        if pos[pp] > nxt:
+            in_queue.add(pp)
+            if match_length <= slop:
+                total += L // (1 + match_length)
+            pp = pop_min()
+            nxt = min(pos[s] for s in in_queue)
+            match_length = end - pos[pp]
+        else:
+            ml2 = end - pos[pp]
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        total += L // (1 + match_length)
+    return total / L
 
 
 def _ragged_arange(lens: np.ndarray) -> np.ndarray:

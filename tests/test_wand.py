@@ -351,3 +351,242 @@ def test_sloppy_kterm_segment_matches_walk():
         want = bm25._lucene_sloppy_walk(adj, 4)
         got = float(freq[0]) if docs.size else 0.0
         assert got == pytest.approx(want, abs=0.0)
+
+# --- repeated-term sloppy phrases: Lucene repeat-group bookkeeping ----------
+
+class _RefPP:
+    """Literal PhrasePositions transcription for the differential
+    reference below (object-per-cursor, as Lucene holds them)."""
+
+    __slots__ = ("pl", "idx", "position", "offset", "rpt_group", "rpt_ind")
+
+    def __init__(self, pl, offset):
+        self.pl = list(int(p) for p in pl)
+        self.idx = 0
+        self.position = self.pl[0]
+        self.offset = offset
+        self.rpt_group = -1
+        self.rpt_ind = -1
+
+    def next_position(self):
+        self.idx += 1
+        if self.idx >= len(self.pl):
+            return False
+        self.position = self.pl[self.idx]
+        return True
+
+
+def _ref_sloppy_rpt(poslists, slop, rpt_groups):
+    """Independent, un-vectorized transcription of Lucene
+    SloppyPhraseMatcher (initComplex + nextMatch + advanceRpts/collide/
+    lesser) with Fraction-exact accumulation — the differential oracle
+    for bm25._lucene_sloppy_walk_rpt. The queue is an explicit
+    priority set ordered by (position, offset); Lucene's bit-marked
+    partial re-queue restores exactly that ordering before any pop."""
+    from fractions import Fraction
+
+    pps = [_RefPP(pl, i) for i, pl in enumerate(poslists)]
+    groups = []
+    for g, slots in enumerate(rpt_groups):
+        rg = [pps[s] for s in slots]
+        for j, pp in enumerate(rg):
+            pp.rpt_group = g
+            pp.rpt_ind = j
+        groups.append(rg)
+
+    state = {"end": 0, "positioned": True, "match_length": 0}
+
+    def advance_pp(pp):
+        if not pp.next_position():
+            return False
+        if pp.position > state["end"]:
+            state["end"] = pp.position
+        return True
+
+    def tp_pos(pp):
+        return pp.position + pp.offset
+
+    def collide(pp):
+        rg = groups[pp.rpt_group]
+        tp = tp_pos(pp)
+        for other in rg:
+            if other is not pp and tp_pos(other) == tp:
+                return other
+        return None
+
+    def lesser(a, b):
+        if (a.position, a.offset) < (b.position, b.offset):
+            return a
+        return b
+
+    def advance_rpts(pp):
+        if pp.rpt_group < 0:
+            return True
+        while True:
+            other = collide(pp)
+            if other is None:
+                return True
+            pp = lesser(pp, other)
+            if not advance_pp(pp):
+                return False
+
+    # initComplex: placeFirstPositions (ctor) + advanceRepeatGroups
+    for rg in groups:
+        for j in range(1, len(rg)):
+            for _ in range(j):
+                if not rg[j].next_position():
+                    return 0.0
+    state["end"] = max(pp.position for pp in pps)
+    pq = set(pps)
+
+    def pop_min():
+        m = min(pq, key=lambda p: (p.position, p.offset))
+        pq.discard(m)
+        return m
+
+    def next_match():
+        if not state["positioned"] or len(pq) < 2:
+            return False
+        pp = pop_min()
+        state["match_length"] = state["end"] - pp.position
+        nxt = min(p.position for p in pq)
+        while advance_pp(pp):
+            if groups and not advance_rpts(pp):
+                break
+            if pp.position > nxt:
+                pq.add(pp)
+                if state["match_length"] <= slop:
+                    return True
+                pp = pop_min()
+                nxt = min(p.position for p in pq)
+                state["match_length"] = state["end"] - pp.position
+            else:
+                ml2 = state["end"] - pp.position
+                if ml2 < state["match_length"]:
+                    state["match_length"] = ml2
+        state["positioned"] = False
+        return state["match_length"] <= slop
+
+    freq = Fraction(0)
+    while next_match():
+        freq += Fraction(1, 1 + state["match_length"])
+    return float(freq)
+
+
+def test_sloppy_rpt_hand_examples():
+    """Hand-traced SloppyPhraseMatcher outcomes for repeated-term
+    phrases (adjusted position lists)."""
+    W = bm25._lucene_sloppy_walk_rpt
+    # doc "a b a", phrase "a b a" slop 0 -> exactly one exact match
+    assert W([np.array([0, 2]), np.array([0]), np.array([-2, 0])],
+             0, [[0, 2]]) == 1.0
+    # doc "a b a b a", phrase "a b a" slop 0 -> two overlapping matches
+    assert W([np.array([0, 2, 4]), np.array([0, 2]), np.array([-2, 0, 2])],
+             0, [[0, 2]]) == 2.0
+    # doc "a a", phrase "a a" slop 0 -> one match
+    assert W([np.array([0, 1]), np.array([-1, 0])], 0, [[0, 1]]) == 1.0
+    # doc "a a a", phrase "a a" slop 0 -> pairs (0,1),(1,2)
+    assert W([np.array([0, 1, 2]), np.array([-1, 0, 1])], 0, [[0, 1]]) == 2.0
+    # doc has ONE "a": phrase "a a" can never match (init exhaustion)
+    assert W([np.array([0]), np.array([-1])], 3, [[0, 1]]) == 0.0
+
+
+def test_sloppy_rpt_two_slot_closed_form():
+    """For phrase "t t"~slop the repeat walk provably reduces to
+    consecutive-occurrence pairs: sum over i of 1/(q[i+1]-q[i]) where
+    q[i+1]-q[i]-1 <= slop (init puts slot1 on occurrence 1; every
+    advance collides and pushes slot1 one occurrence ahead)."""
+    rng = np.random.default_rng(11)
+    for slop in (0, 1, 2, 4):
+        for _ in range(120):
+            m = int(rng.integers(1, 9))
+            q = np.unique(rng.integers(0, 30, size=m)).astype(np.int64)
+            pls = [q, q - 1]
+            want = sum(
+                1.0 / (q[i + 1] - q[i])
+                for i in range(len(q) - 1)
+                if q[i + 1] - q[i] - 1 <= slop
+            )
+            got = bm25._lucene_sloppy_walk_rpt(pls, slop, [[0, 1]])
+            assert got == pytest.approx(want, abs=1e-12), (q.tolist(), slop)
+
+
+def test_sloppy_rpt_walk_matches_reference():
+    """bm25._lucene_sloppy_walk_rpt equals the literal Lucene
+    transcription on random docs for repeat shapes a-a, a-b-a, a-a-b,
+    a-b-a-c-a and a-b-a-b across slops."""
+    rng = np.random.default_rng(23)
+    shapes = [
+        ("aa", ["a", "a"]),
+        ("aba", ["a", "b", "a"]),
+        ("aab", ["a", "a", "b"]),
+        ("abaca", ["a", "b", "a", "c", "a"]),
+        ("abab", ["a", "b", "a", "b"]),
+    ]
+    for _name, terms in shapes:
+        uniq = sorted(set(terms))
+        for slop in (0, 1, 2, 5):
+            for _ in range(80):
+                # distinct token positions per term (one token per slot)
+                used = set()
+                tokpos = {}
+                for t in uniq:
+                    n = int(rng.integers(1, 6))
+                    pl = []
+                    for _ in range(n):
+                        p = int(rng.integers(0, 24))
+                        while p in used:
+                            p = (p + 1) % 1000
+                        used.add(p)
+                        pl.append(p)
+                    tokpos[t] = np.array(sorted(pl), dtype=np.int64)
+                pls = [tokpos[t] - off for off, t in enumerate(terms)]
+                groups = bm25._repeat_groups(terms)
+                got = bm25._lucene_sloppy_walk_rpt(pls, slop, groups)
+                want = _ref_sloppy_rpt(pls, slop, groups)
+                assert got == pytest.approx(want, abs=1e-12), (
+                    terms, slop, {t: p.tolist() for t, p in tokpos.items()})
+
+
+def test_sloppy_rpt_segment_dispatch():
+    """sloppy_phrase_freq_in_segment routes repeated-term phrases
+    through the repeat walk (multi-doc segment, dl bookkeeping)."""
+    rng = np.random.default_rng(5)
+    n_docs = 40
+    docs_a, tfs_a, pos_a = [], [], []
+    docs_b, tfs_b, pos_b = [], [], []
+    per_doc = {}
+    for d in range(n_docs):
+        used = set()
+
+        def draw(n):
+            out = []
+            for _ in range(n):
+                p = int(rng.integers(0, 30))
+                while p in used:
+                    p = (p + 1) % 1000
+                used.add(p)
+                out.append(p)
+            return np.array(sorted(out), dtype=np.int64)
+
+        pa = draw(int(rng.integers(1, 5)))
+        pb = draw(int(rng.integers(1, 4)))
+        per_doc[d] = (pa, pb)
+        docs_a.append(d); tfs_a.append(pa.size); pos_a.append(pa)
+        docs_b.append(d); tfs_b.append(pb.size); pos_b.append(pb)
+    dlq = np.full(n_docs, 30.0)
+    decoded = {
+        "a": (np.arange(n_docs, dtype=np.int64),
+              np.array(tfs_a, dtype=np.int64), dlq, np.concatenate(pos_a)),
+        "b": (np.arange(n_docs, dtype=np.int64),
+              np.array(tfs_b, dtype=np.int64), dlq, np.concatenate(pos_b)),
+    }
+    terms = ["a", "b", "a"]
+    slop = 2
+    docs, freq, _dlq = bm25.sloppy_phrase_freq_in_segment(decoded, terms, slop)
+    got = dict(zip(docs.tolist(), freq.tolist()))
+    groups = bm25._repeat_groups(terms)
+    for d, (pa, pb) in per_doc.items():
+        pls = [pa - 0, pb - 1, pa - 2]
+        want = _ref_sloppy_rpt(pls, slop, groups)
+        assert got.get(d, 0.0) == pytest.approx(want, abs=1e-12), d
