@@ -67,8 +67,11 @@ def update_by_query(
     UpdateByQueryAction / TransportUpdateByQueryAction): rewrite every
     document matching ``query`` in place.
 
-    ``script``: either {column: SQL expression} applied with
-    ``withColumn`` (the Painless-script analog, pure Catalyst) or a
+    ``script``: {column: SQL expression} applied with ``withColumn``
+    (pure Catalyst), a Painless script spec ``{"lang": "painless",
+    "source": "ctx._source.f = ...", "params": {...}}`` transpiled by
+    ``search.painless.painless_update_to_sql`` to the same column map
+    (so the reference's update scripts run verbatim), or a
     DataFrame -> DataFrame callable. Implementation = the reference's
     own decomposition: snapshot the matched docs, transform, then
     delete+add via ``upsert_batch`` (Lucene updates are delete + re-add
@@ -113,6 +116,11 @@ def update_by_query(
                 "use delete_by_query to remove documents"
             )
     else:
+        if str(script.get("lang", "")).lower() == "painless":
+            from opensearch_spark.search.painless import painless_update_to_sql
+
+            script = painless_update_to_sql(
+                str(script["source"]), script.get("params") or {})
         for col, expr in script.items():
             docs = docs.withColumn(col, F.expr(str(expr)))
     # the engine's corpus always carries the derived docId column — it

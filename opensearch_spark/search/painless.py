@@ -1,12 +1,13 @@
-"""Painless EXPRESSION subset -> Spark SQL expression transpiler.
+"""Painless subset -> Spark SQL expression transpiler.
 
 The reference scripts aggregations/scoring/filters in Painless
 (``/root/reference/modules/lang-painless``). This repo's scripting
 surface is Spark SQL expressions and Python callables; this module
-closes the most common porting gap: single-expression Painless scripts
-(the overwhelming majority of script_score / script-filter /
-script-field bodies) transpile mechanically to Catalyst expressions,
-so they keep running verbatim with ``"lang": "painless"``.
+closes the most common porting gap: Painless script_score /
+script-filter / script-field bodies — single expressions AND the
+common statement shapes — transpile mechanically to Catalyst
+expressions, so they keep running verbatim with ``"lang":
+"painless"``.
 
 Supported subset (documented contract — anything else raises):
 - ``doc['field'].value`` / ``doc.field.value`` -> the corpus column
@@ -19,27 +20,38 @@ Supported subset (documented contract — anything else raises):
 - ``Math.log/log10/sqrt/abs/exp/floor/ceil/pow/min/max``, ``Math.E``,
   ``Math.PI``
 - number / single-quoted string / boolean / null literals
+- STATEMENTS (the Compiler.java shapes a porting user hits first):
+  local declarations ``def/double/float/int/long/short/byte/boolean/
+  String name = expr;`` (int-family declarations cast with Spark's
+  truncating CAST AS BIGINT — Painless's narrowing), re-assignment
+  (``=  +=  -=  *=  /=``), ``if (...) {...} else if ... else {...}``
+  chains (transpiled to CASE WHEN via symbolic per-branch
+  environments, branch-scoped declarations honoured), ``return expr;``
+  on any subset of paths (every path must return by script end), and
+  — through :func:`painless_update_to_sql`, used by update_by_query —
+  ``ctx._source.field = expr`` mutation with ``ctx._source`` reads.
 
 Numeric semantics follow Spark SQL, not Java: ``/`` is double
-division (Painless truncates for two integers — use Math.floor
-explicitly when porting integer-division scripts) and there is no
-integer overflow wrap-around. Statements (defs, loops, returns),
-field mutation, and the full
-Painless type system are out of scope — those scripts use the Python
-callable hook instead (SURVEY §2.10 documented variant).
+division (Painless truncates for two integers — declare the result
+``int``/``long`` or use Math.floor when porting integer-division
+scripts), there is no integer overflow wrap-around, and a NULL
+``if``/ternary condition takes the else path where Painless would
+throw. Loops, method calls on values, and the full Painless type
+system are out of scope — those scripts use the Python callable hook
+instead (SURVEY §2.10 documented variant).
 """
 
 from __future__ import annotations
 
 import re
-from typing import Mapping, Optional
+from typing import Dict, Mapping, Optional
 
 _TOKEN = re.compile(r"""
     \s*(?:
       (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
     | (?P<str>'(?:[^'\\]|\\.)*')
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op>\?:|&&|\|\||==|!=|<=|>=|[-+*/%<>!?:()\[\].,])
+    | (?P<op>\?:|&&|\|\||==|!=|<=|>=|\+=|-=|\*=|/=|[-+*/%<>!?:()\[\].,;{}=])
     )""", re.X)
 
 _MATH_FN = {
@@ -52,6 +64,28 @@ _MATH_CONST = {"E": "2.718281828459045", "PI": "3.141592653589793"}
 
 class PainlessError(ValueError):
     pass
+
+
+class _E(str):
+    """SQL fragment tagged with 'is this statically known to be a
+    String' — Painless overloads ``+`` as concatenation when either
+    operand is a String; Spark's ``+`` would numeric-coerce. Tags
+    originate at string literals, string params and ``String``
+    declarations and propagate through ``+``/``def`` assignment;
+    concatenating two UNTYPED doc values needs an explicit ``String``
+    declaration (documented subset)."""
+
+    is_str = False
+
+
+def _e(sql: str, is_str: bool = False) -> "_E":
+    out = _E(sql)
+    out.is_str = is_str
+    return out
+
+
+def _is_str(v) -> bool:
+    return getattr(v, "is_str", False)
 
 
 def _lex(src: str):
@@ -91,12 +125,28 @@ def _lit(v) -> str:
             + "'")
 
 
+# declaration keywords -> SQL cast applied on assignment (Painless's
+# narrowing conversion; Spark CAST(double AS BIGINT) truncates toward
+# zero exactly like a Java (long) cast)
+_DECL_CAST = {
+    "def": None, "boolean": None, "String": None,
+    "double": "DOUBLE", "float": "DOUBLE",
+    "int": "BIGINT", "long": "BIGINT", "short": "BIGINT", "byte": "BIGINT",
+}
+
+_CTX_PREFIX = "ctx._source."
+
+
 class _Parser:
-    def __init__(self, toks, params: Mapping, score_col: str):
+    def __init__(self, toks, params: Mapping, score_col: str,
+                 mode: str = "score"):
         self.toks = toks
         self.i = 0
         self.params = params
         self.score_col = score_col
+        self.mode = mode          # "score" | "update"
+        self.env: Dict[str, str] = {}   # local var -> SQL expr
+        self.ctx: Dict[str, str] = {}   # source field -> pending SQL expr
 
     def peek(self):
         return self.toks[self.i]
@@ -153,7 +203,11 @@ class _Parser:
         left = self.mul()
         while self.peek()[1] in ("+", "-"):
             _k, op = self.take()
-            left = f"({left} {op} {self.mul()})"
+            right = self.mul()
+            if op == "+" and (_is_str(left) or _is_str(right)):
+                left = _e(f"concat({left}, {right})", True)
+            else:
+                left = f"({left} {op} {right})"
         return left
 
     def mul(self) -> str:
@@ -178,7 +232,7 @@ class _Parser:
         if kind == "num":
             return val
         if kind == "str":
-            return _sql_str(val)
+            return _e(_sql_str(val), True)
         if kind == "name":
             if val in ("true", "false", "null"):
                 return {"null": "NULL"}.get(val, val)
@@ -190,8 +244,13 @@ class _Parser:
                 return self._param()
             if val == "Math":
                 return self._math()
+            if val == "ctx":
+                return self._ctx_read()
+            if val in self.env:
+                return self.env[val]
             raise PainlessError(f"painless: unknown identifier {val!r} "
-                                "(variables/defs are out of scope)")
+                                "(declare it first; loops/methods are "
+                                "out of scope)")
         if val == "(":
             e = self.expr()
             self.take(")")
@@ -234,7 +293,8 @@ class _Parser:
             raise PainlessError("painless: expected params.name")
         if name not in self.params:
             raise PainlessError(f"painless: missing param {name!r}")
-        return _lit(self.params[name])
+        v = self.params[name]
+        return _e(_lit(v), isinstance(v, str))
 
     def _math(self) -> str:
         self.take(".")
@@ -251,21 +311,316 @@ class _Parser:
         self.take(")")
         return f"{_MATH_FN[name]}({', '.join(args)})"
 
+    # ------------------------------------------------------------------
+    # ctx._source access (update_by_query scripts; mode == "update")
+
+    def _ctx_field(self) -> str:
+        """Consume ``._source.name`` / ``._source['name']`` after ``ctx``
+        and return the field name."""
+        self.take(".")
+        _k, part = self.take()
+        if part != "_source":
+            raise PainlessError(
+                f"painless: only ctx._source is supported, got ctx.{part}")
+        kind, val = self.take()
+        if val == ".":
+            _k, field = self.take()
+            return field
+        if val == "[":
+            k, field = self.take()
+            if k != "str":
+                raise PainlessError("painless: ctx._source[...] needs a "
+                                    "string key")
+            self.take("]")
+            return field[1:-1]
+        raise PainlessError("painless: expected ctx._source.field")
+
+    def _ctx_read(self) -> str:
+        if self.mode != "update":
+            raise PainlessError(
+                "painless: ctx._source is only available in update "
+                "scripts (update_by_query)")
+        field = self._ctx_field()
+        return self.ctx.get(_CTX_PREFIX + field, f"`{field}`")
+
+    # ------------------------------------------------------------------
+    # statements
+
+    def exec_script(self):
+        """Execute the whole script. Returns (pending, final): ``final``
+        is the SQL returned on every residual path (None if the script
+        falls off the end); ``pending`` is an ordered [(guard, sql)]
+        list of early returns (CASE WHEN chain)."""
+        pending, final = self._exec_stmts(top=True)
+        if self.peek()[0] != "eof":
+            raise PainlessError(
+                f"painless: trailing tokens at {self.peek()[1]!r}")
+        return pending, final
+
+    @staticmethod
+    def _fold(pending, final: Optional[str]) -> Optional[str]:
+        """Collapse early-return guards + the fall-through value into
+        one CASE expression."""
+        if not pending:
+            return final
+        if final is None:
+            return None
+        whens = " ".join(f"WHEN {g} THEN {v}" for g, v in pending)
+        return f"(CASE {whens} ELSE {final} END)"
+
+    def _exec_stmts(self, top: bool = False):
+        """Execute statements until ``}`` / eof. Returns (pending,
+        final) as in exec_script; mutates self.env / self.ctx to the
+        fall-through state."""
+        pending: list = []
+        while True:
+            kind, val = self.peek()
+            if kind == "eof" or val == "}":
+                return pending, None
+            if val == ";":          # stray empty statement
+                self.take()
+                continue
+            if val in ("for", "while", "do"):
+                raise PainlessError(
+                    "painless: loops are out of scope (use the Python "
+                    "callable hook)")
+            if val == "return":
+                if self.mode == "update":
+                    raise PainlessError(
+                        "painless: return inside an update script is "
+                        "out of scope")
+                self.take()
+                final = self.expr()
+                self._semi()
+                k2, v2 = self.peek()
+                if k2 != "eof" and v2 != "}":
+                    raise PainlessError(
+                        f"painless: unreachable code after return "
+                        f"(at {v2!r})")
+                return pending, final
+            if val == "if":
+                br_pending, br_final = self._exec_if()
+                pending.extend(br_pending)
+                if br_final is not None:
+                    k2, v2 = self.peek()
+                    if k2 != "eof" and v2 != "}":
+                        raise PainlessError(
+                            "painless: unreachable code after an "
+                            "if/else where every branch returns")
+                    return pending, br_final
+                continue
+            if val in _DECL_CAST and self.toks[self.i + 1][0] == "name":
+                self.take()
+                _k, name = self.take()
+                self.take("=")
+                e = self.expr()
+                self._semi()
+                cast = _DECL_CAST[val]
+                tagged = val == "String" or (val == "def" and _is_str(e))
+                self.env[name] = (_e(f"CAST({e} AS {cast})") if cast
+                                  else _e(f"({e})", tagged))
+                continue
+            if val == "ctx":
+                self.take()
+                field = self._ctx_field()
+                if self.mode != "update":
+                    raise PainlessError(
+                        "painless: ctx._source mutation needs an update "
+                        "script (update_by_query)")
+                self._assign(_CTX_PREFIX + field, is_ctx=True)
+                continue
+            if kind == "name" and self.toks[self.i + 1][1] in (
+                    "=", "+=", "-=", "*=", "/="):
+                self.take()
+                if val not in self.env:
+                    raise PainlessError(
+                        f"painless: assignment to undeclared variable "
+                        f"{val!r}")
+                self._assign(val, is_ctx=False)
+                continue
+            # expression statement: only meaningful as an implicit
+            # return in tail position (the historical bare-expression
+            # script form)
+            e = self.expr()
+            if self.peek()[1] == ";":
+                self.take()
+            k2, v2 = self.peek()
+            if top and k2 == "eof" and self.mode == "score":
+                return pending, e
+            raise PainlessError(
+                "painless: a bare expression is only allowed as the "
+                "final (implicitly returned) statement")
+
+    def _assign(self, key: str, is_ctx: bool):
+        """Consume ``(=|+=|-=|*=|/=) expr ;`` and bind into env/ctx."""
+        _k, op = self.take()
+        if op not in ("=", "+=", "-=", "*=", "/="):
+            raise PainlessError(f"painless: expected assignment, got {op!r}")
+        e = self.expr()
+        self._semi()
+        store = self.ctx if is_ctx else self.env
+        if op == "=":
+            store[key] = _e(f"({e})", _is_str(e))
+        else:
+            cur = (store.get(key, f"`{key[len(_CTX_PREFIX):]}`")
+                   if is_ctx else store[key])
+            if op == "+=" and (_is_str(cur) or _is_str(e)):
+                store[key] = _e(f"concat({cur}, {e})", True)
+            else:
+                store[key] = f"({cur} {op[0]} {e})"
+
+    def _semi(self):
+        """Statement terminator: ';' (optional before '}' / eof)."""
+        kind, val = self.peek()
+        if val == ";":
+            self.take()
+        elif kind != "eof" and val != "}":
+            raise PainlessError(f"painless: expected ';' before {val!r}")
+
+    def _exec_if(self):
+        """Execute one if/else-if/else chain. Returns (pending, final)
+        for the chain; self.env / self.ctx end in the merged
+        fall-through state (branch-local declarations dropped)."""
+        self.take()  # if
+        self.take("(")
+        cond = self.expr()
+        self.take(")")
+        snap_env, snap_ctx = dict(self.env), dict(self.ctx)
+        pend_t, final_t = self._exec_branch()
+        env_t, ctx_t = self.env, self.ctx
+        self.env, self.ctx = dict(snap_env), dict(snap_ctx)
+        pend_e, final_e = [], None
+        if self.peek()[1] == "else":
+            self.take()
+            if self.peek()[1] == "if":
+                pend_e, final_e = self._exec_if()
+            else:
+                pend_e, final_e = self._exec_branch()
+        env_e, ctx_e = self.env, self.ctx
+
+        if final_t is not None and final_e is not None:
+            # every branch returns: one closed CASE, nothing falls out
+            return [], (f"(CASE WHEN {cond} "
+                        f"THEN {self._fold(pend_t, final_t)} "
+                        f"ELSE {self._fold(pend_e, final_e)} END)")
+
+        pending: list = []
+        if final_t is not None:
+            pending.append((cond, self._fold(pend_t, final_t)))
+        else:
+            pending.extend(
+                (f"({cond} AND {g})", v) for g, v in pend_t)
+        if final_e is not None:
+            pending.append((f"(NOT coalesce({cond}, false))",
+                            self._fold(pend_e, final_e)))
+        else:
+            pending.extend(
+                (f"((NOT coalesce({cond}, false)) AND {g})", v)
+                for g, v in pend_e)
+
+        if final_t is None and final_e is None:
+            self.env = self._merge(cond, env_t, env_e, snap_env, False)
+            self.ctx = self._merge(cond, ctx_t, ctx_e, snap_ctx, True)
+        elif final_t is None:             # else returned: continue under cond
+            self.env = {k: v for k, v in env_t.items() if k in snap_env}
+            self.ctx = ctx_t
+        else:                             # then returned: continue under !cond
+            self.env = {k: v for k, v in env_e.items() if k in snap_env}
+            self.ctx = ctx_e
+        return pending, None
+
+    def _exec_branch(self):
+        """One if/else branch: a ``{...}`` block, or a single unbraced
+        return / assignment / nested if."""
+        kind, val = self.peek()
+        if val == "{":
+            self.take()
+            pending, final = self._exec_stmts()
+            self.take("}")
+            return pending, final
+        if val == "return":
+            if self.mode == "update":
+                raise PainlessError(
+                    "painless: return inside an update script is out "
+                    "of scope")
+            self.take()
+            e = self.expr()
+            self._semi()
+            return [], e
+        if val == "if":
+            return self._exec_if()
+        if val == "ctx":
+            self.take()
+            field = self._ctx_field()
+            if self.mode != "update":
+                raise PainlessError(
+                    "painless: ctx._source mutation needs an update "
+                    "script (update_by_query)")
+            self._assign(_CTX_PREFIX + field, is_ctx=True)
+            return [], None
+        if kind == "name" and self.toks[self.i + 1][1] in (
+                "=", "+=", "-=", "*=", "/="):
+            self.take()
+            if val not in self.env:
+                raise PainlessError(
+                    f"painless: assignment to undeclared variable {val!r}")
+            self._assign(val, is_ctx=False)
+            return [], None
+        raise PainlessError(
+            "painless: an unbraced if/else branch must be a return, an "
+            "assignment, or a nested if")
+
+    def _merge(self, cond: str, a: Dict[str, str], b: Dict[str, str],
+               snap: Dict[str, str], is_ctx: bool) -> Dict[str, str]:
+        """Merge two branch environments under ``cond``. Variables
+        declared inside a branch are block-scoped and dropped; ctx
+        fields default to the untouched column."""
+        out: Dict[str, str] = {}
+        for name in dict.fromkeys(list(a) + list(b)):
+            if not is_ctx and name not in snap:
+                continue  # branch-local declaration
+            default = (snap.get(name, f"`{name[len(_CTX_PREFIX):]}`")
+                       if is_ctx else snap[name])
+            va = a.get(name, default)
+            vb = b.get(name, default)
+            out[name] = (va if va == vb else
+                         f"(CASE WHEN {cond} THEN {va} ELSE {vb} END)")
+        return out
+
 
 def painless_to_sql(source: str, params: Mapping | None = None,
                     score_col: str = "score") -> str:
-    """Transpile a single Painless expression to a Spark SQL expression
-    string. ``params`` are bound as literals (the reference compiles a
-    script once per params set too); ``_score`` maps to ``score_col``.
-    Raises PainlessError on anything outside the documented subset."""
-    src = source.strip()
-    if src.startswith("return "):
-        src = src[len("return "):]
-    src = src.rstrip(";").strip()
-    p = _Parser(_lex(src), params or {}, score_col)
-    out = p.expr()
-    if p.peek()[0] != "eof":
+    """Transpile a Painless script (expression, or the statement subset
+    in the module docstring) to ONE Spark SQL expression string.
+    ``params`` are bound as literals (the reference compiles a script
+    once per params set too); ``_score`` maps to ``score_col``. Every
+    control path must produce a value (an explicit ``return``, or a
+    bare final expression). Raises PainlessError on anything outside
+    the documented subset."""
+    p = _Parser(_lex(source.strip()), params or {}, score_col)
+    pending, final = p.exec_script()
+    out = p._fold(pending, final)
+    if out is None:
         raise PainlessError(
-            f"painless: trailing tokens at {p.peek()[1]!r} "
-            "(multi-statement scripts are out of scope)")
+            "painless: not every path returns a value")
     return out
+
+
+def painless_update_to_sql(source: str,
+                           params: Mapping | None = None) -> Dict[str, str]:
+    """Transpile an update_by_query Painless script (``ctx._source``
+    mutations, local declarations, if/else) to a {column: SQL
+    expression} map — exactly the dict form ``index.reindex.
+    update_by_query`` applies with ``withColumn`` (reference: the
+    reindex module's UpdateByQueryAction runs the same script per doc
+    via Painless; here each field's final value is one Catalyst
+    expression, so the whole update is a single vectorized
+    projection)."""
+    p = _Parser(_lex(source.strip()), params or {}, "score", mode="update")
+    pending, final = p.exec_script()
+    if pending or final is not None:
+        raise PainlessError("painless: update scripts must not return")
+    if not p.ctx:
+        raise PainlessError(
+            "painless: update script assigns no ctx._source field")
+    return {field[len(_CTX_PREFIX):]: sql for field, sql in p.ctx.items()}

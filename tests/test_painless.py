@@ -32,11 +32,74 @@ def test_math_variants_and_constants():
 
 
 def test_rejects_out_of_scope():
-    for bad in ("int x = 1; return x", "for (i in list) {}",
+    for bad in ("for (i in list) {}", "while (true) { }",
                 "doc['f'].values", "ctx._source.f = 1",
-                "params.missing + 1"):
+                "params.missing + 1",
+                "if (_score > 1) { return 1; }",      # missing-return path
+                "x = 1; return x",                     # undeclared variable
+                "return 1; return 2;"):                # unreachable code
         with pytest.raises(PainlessError):
             painless_to_sql(bad, {})
+
+
+def test_statement_subset_declarations_and_if():
+    sql = painless_to_sql(
+        "def w = params.w * 2; "
+        "if (doc['lang'].value == 'en') { return _score * w; } "
+        "else if (doc['lang'].value == 'de') { return _score + w; } "
+        "return 0.0;", {"w": 3})
+    assert sql == (
+        "(CASE WHEN (`lang` = 'en') THEN (`score` * ((3 * 2))) "
+        "WHEN ((NOT coalesce((`lang` = 'en'), false)) AND (`lang` = 'de'))"
+        " THEN (`score` + ((3 * 2))) ELSE 0.0 END)")
+    # assignment merging across branches, branch-local decls dropped
+    sql = painless_to_sql(
+        "def b = 0; "
+        "if (doc['lang'].value == 'en') { b = 1; def local = 9; } "
+        "else { b += 2; } "
+        "return b;")
+    assert "local" not in sql
+    assert sql == ("(CASE WHEN (`lang` = 'en') THEN (1) "
+                   "ELSE ((0) + 2) END)")
+    # int declaration truncates like Painless's narrowing cast
+    assert painless_to_sql("int h = 5 / 2; return h;") == \
+        "CAST((5 / 2) AS BIGINT)"
+
+
+def test_statement_unbraced_and_implicit_tail():
+    assert painless_to_sql("if (_score > 1) return 2; return 1;") == \
+        "(CASE WHEN (`score` > 1) THEN 2 ELSE 1 END)"
+
+
+def test_string_concat_tagging():
+    # Painless + is concat when either side is a String
+    assert painless_to_sql("return 'v=' + doc['lang'].value;") == \
+        "concat('v=', `lang`)"
+    assert painless_to_sql(
+        "String s = 'v='; return s + doc['lang'].value;") == \
+        "concat(('v='), `lang`)"
+    assert painless_to_sql("return params.p + 1;", {"p": "x"}) == \
+        "concat('x', 1)"
+    # numeric + stays arithmetic
+    assert painless_to_sql("return 1 + 2;") == "(1 + 2)"
+
+
+def test_update_script_transpile():
+    from opensearch_spark.search.painless import painless_update_to_sql
+
+    m = painless_update_to_sql(
+        "def sfx = params.sfx; "
+        "if (ctx._source.n_chars % 2 == 0) "
+        "{ ctx._source.text = ctx._source.text + sfx; } "
+        "ctx._source.n_chars = ctx._source.n_chars + 12;",
+        {"sfx": " pmark"})
+    assert m["text"] == ("(CASE WHEN ((`n_chars` % 2) = 0) THEN "
+                         "(concat(`text`, (' pmark'))) ELSE `text` END)")
+    assert m["n_chars"] == "((`n_chars` + 12))"
+    for bad in ("return 1;", "def x = 1;",
+                "ctx._source.f = doc['g'].value; return 1;"):
+        with pytest.raises(PainlessError):
+            painless_update_to_sql(bad)
 
 
 def test_engine_painless_script_score(spark, tmp_path):
