@@ -44,27 +44,6 @@ from opensearch_spark.search import ast as A, bm25, dsl as dsl_mod, wand
 SCORE_SCHEMA = "docId long, score double"
 
 
-def _query_text(node: "A.AnyNode") -> str:
-    """Concatenated analyzed text of a query tree (highlighting input)."""
-    parts: List[str] = []
-
-    def walk(n):
-        q = getattr(n, "query", None)
-        if isinstance(q, str):
-            parts.append(q)
-        for attr in ("must", "filter", "should", "queries", "clauses"):
-            for c in getattr(n, attr, []) or []:
-                walk(c)
-        for attr in ("positive", "negative", "match", "include", "exclude",
-                     "query", "filter"):
-            c = getattr(n, attr, None)
-            if c is not None and not isinstance(c, (str, list)) and hasattr(c, "boost"):
-                walk(c)
-
-    walk(node)
-    return " ".join(parts)
-
-
 # ---- picklable scorer factories (no Spark objects captured) ----------------
 
 def _make_match_scorer(idfs: Dict[str, float], avgdl: float, operator: str,
@@ -1002,12 +981,14 @@ class SearchEngine:
 
                 hl = body["highlight"]
                 fields = list(hl["fields"].items())
-                text = _query_text(dsl_mod.parse(q) if isinstance(q, dict) else q)
+                # pass the parsed AST: phrase queries highlight only
+                # positions participating in a match (H.query_spec)
+                q_ast = dsl_mod.parse(q) if isinstance(q, dict) else q
                 for fld, spec in fields:
                     out_col = ("highlights" if len(fields) == 1
                                else f"highlights_{fld}")
                     fetched = H.highlight(
-                        fetched, text, text_col=fld,
+                        fetched, q_ast, text_col=fld,
                         frag_size=int(spec.get("fragment_size", 100)),
                         n_frags=int(spec.get("number_of_fragments", 2)),
                         out_col=out_col,

@@ -1,15 +1,33 @@
 """Highlighting — the fetch-phase subphase producing snippet fragments
-with matched terms wrapped in tags (reference: ``search/fetch/subphase``
-highlighters; SURVEY §3.1 step 5).
+with matched terms wrapped in tags (reference: ``search/fetch/subphase/
+highlight/HighlightPhase.java`` + the unified highlighter; SURVEY §3.1
+step 5).
 
 Spark-first: a pandas UDF over the (small) fetched top-k rows. Token
-offsets come from the SAME analyzer as indexing, so highlighted spans are
-exactly the tokens that matched.
+offsets come from the SAME analyzer as indexing, so highlighted spans
+are exactly the tokens that matched.
+
+PHRASE-AWARE: a phrase query highlights only the token positions that
+participate in an actual phrase match (Lucene's unified highlighter
+re-analyzes the source and reports match windows the same way) — a
+stray occurrence of one phrase term elsewhere in the doc is NOT
+wrapped. Loose (match / term) query terms still highlight every
+occurrence. ``query_spec`` extracts both kinds from a parsed query
+AST; negative clauses (must_not, boosting.negative, span exclusions)
+never highlight.
+
+The positional contract is driver-certified by the ``ft_highlight``
+oracle row via :func:`phrase_occurrence_rows` — token-stream fragments
+(context window joined by single spaces) whose construction a DuckDB
+oracle reproduces exactly; the raw-text character-offset fragment
+assembly below shares the same match-ordinal computation and keeps
+pytest coverage (char offsets are not SQL-derivable from the token
+table).
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Sequence, Set, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -19,14 +37,108 @@ from opensearch_spark.analysis.analyzer import tokenize, tokenize_offsets
 PRE, POST = "<em>", "</em>"
 
 
+def query_spec(query) -> dict:
+    """Extract the highlightable structure of a query:
+    ``{"terms": set[str], "phrases": [(terms, slop)]}``.
+
+    Accepts a plain text string (bag of terms — the historical form),
+    or a parsed AST node: phrase nodes contribute position-aware
+    phrase entries, every other positive clause contributes its
+    analyzed terms; must_not / negative / exclude subtrees are
+    skipped."""
+    if isinstance(query, str):
+        return {"terms": set(tokenize(query)), "phrases": []}
+
+    terms: Set[str] = set()
+    phrases: List[Tuple[List[str], int]] = []
+
+    def walk(n):
+        if n is None or isinstance(n, (str, list)):
+            return
+        kind = type(n).__name__
+        if kind in ("MatchPhrase", "MatchOnlyTextPhrase"):
+            toks = tokenize(getattr(n, "query", "") or "")
+            if len(toks) >= 2:
+                phrases.append((toks, int(getattr(n, "slop", 0) or 0)))
+            else:
+                terms.update(toks)
+            return
+        q = getattr(n, "query", None)
+        if isinstance(q, str):
+            terms.update(tokenize(q))
+        v = getattr(n, "value", None)
+        if isinstance(v, str) and kind in ("Term", "SpanTerm"):
+            terms.update(tokenize(v))
+        for attr in ("must", "filter", "should", "queries", "clauses"):
+            for c in getattr(n, attr, []) or []:
+                walk(c)
+        for attr in ("positive", "match", "include", "query", "filter",
+                     "little", "big"):
+            c = getattr(n, attr, None)
+            if c is not None and not isinstance(c, (str, list)) \
+                    and hasattr(c, "boost"):
+                walk(c)
+
+    walk(query)
+    return {"terms": terms, "phrases": phrases}
+
+
+def phrase_ordinals(tokens: Sequence[str], phrase: Sequence[str],
+                    slop: int = 0) -> Set[int]:
+    """Token ordinals participating in at least one phrase match.
+
+    slop=0: exact consecutive runs. slop>0: a token participates iff
+    some choice of one occurrence per phrase slot lies inside a common
+    adjusted-position window of width ``slop`` that includes it (the
+    window form of Lucene's sloppy match — every position a
+    SloppyPhraseMatcher match can touch is inside such a window)."""
+    k = len(phrase)
+    out: Set[int] = set()
+    if k == 0 or len(tokens) < k:
+        return out
+    if slop == 0:
+        for i in range(len(tokens) - k + 1):
+            if all(tokens[i + j] == phrase[j] for j in range(k)):
+                out.update(range(i, i + k))
+        return out
+    # adjusted positions per slot
+    adj = [sorted(i - j for i, t in enumerate(tokens) if t == phrase[j])
+           for j in range(k)]
+    if any(not a for a in adj):
+        return out
+    starts = sorted({a - d for al in adj for a in al for d in range(slop + 1)})
+    for w in starts:
+        hit = [[a for a in al if w <= a <= w + slop] for al in adj]
+        if all(hit):
+            for j, al in enumerate(hit):
+                out.update(a + j for a in al)
+    return out
+
+
+def match_ordinals(tokens: Sequence[str], spec) -> Set[int]:
+    """All token ordinals to highlight for a query spec (loose terms
+    everywhere + phrase participants only)."""
+    if isinstance(spec, (set, frozenset)):
+        spec = {"terms": set(spec), "phrases": []}
+    out = {i for i, t in enumerate(tokens) if t in spec["terms"]}
+    for phrase, slop in spec["phrases"]:
+        out |= phrase_ordinals(tokens, phrase, slop)
+    return out
+
+
 def make_fragments(
-    text: str, terms: set, frag_size: int = 100, n_frags: int = 2
+    text: str, spec, frag_size: int = 100, n_frags: int = 2
 ) -> List[str]:
     """Build up to ``n_frags`` fragments of ~frag_size chars centered on
-    matched-term spans, earliest-first; matched tokens wrapped in tags."""
+    matched-term spans, earliest-first; matched tokens wrapped in tags.
+    ``spec`` is a query_spec dict, a plain term set, or a string."""
     if not text:
         return []
-    spans = [(s, e) for t, s, e in tokenize_offsets(text) if t in terms]
+    if isinstance(spec, str):
+        spec = query_spec(spec)
+    offs = tokenize_offsets(text)
+    matched = match_ordinals([t for t, _s, _e in offs], spec)
+    spans = [(s, e) for i, (_t, s, e) in enumerate(offs) if i in matched]
     if not spans:
         return []
     frags: List[str] = []
@@ -49,9 +161,36 @@ def make_fragments(
     return frags
 
 
+def phrase_occurrence_rows(
+    tokens: Sequence[str], phrase: Sequence[str], slop: int = 0,
+    ctx: int = 2,
+) -> List[Tuple[int, str]]:
+    """One (start_ordinal, fragment) row per exact phrase occurrence —
+    the SQL-mirrorable certification contract (``ft_highlight``):
+    fragment = tokens[start-ctx .. start+len(phrase)-1+ctx] joined by
+    single spaces, with ONLY the occurrence's own positions wrapped
+    (a nearby stray query term stays unwrapped — the phrase-awareness
+    being certified). slop=0 only (occurrence identity is ambiguous
+    under slop; the sloppy path is covered by phrase_ordinals tests).
+    """
+    if slop != 0:
+        raise ValueError("phrase_occurrence_rows certifies slop=0")
+    k = len(phrase)
+    rows: List[Tuple[int, str]] = []
+    for i in range(len(tokens) - k + 1):
+        if all(tokens[i + j] == phrase[j] for j in range(k)):
+            lo, hi = max(0, i - ctx), min(len(tokens), i + k + ctx)
+            frag = " ".join(
+                (PRE + tokens[p] + POST) if i <= p < i + k else tokens[p]
+                for p in range(lo, hi)
+            )
+            rows.append((i, frag))
+    return rows
+
+
 def highlight(
     fetched: DataFrame,
-    query_text: str,
+    query,
     text_col: str = "content",
     frag_size: int = 100,
     n_frags: int = 2,
@@ -59,11 +198,13 @@ def highlight(
 ) -> DataFrame:
     """Add an ``array<string>`` fragment column (default name
     ``highlights``) to fetched hit rows; multi-field highlight calls
-    this once per field with distinct ``out_col`` names."""
-    terms = set(tokenize(query_text))
+    this once per field with distinct ``out_col`` names. ``query`` is
+    a parsed AST node (phrase-aware) or a plain text string."""
+    spec = query_spec(query)
 
     @F.pandas_udf("array<string>")
     def hl(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: make_fragments(t or "", terms, frag_size, n_frags))
+        return texts.map(
+            lambda t: make_fragments(t or "", spec, frag_size, n_frags))
 
     return fetched.withColumn(out_col, hl(F.col(text_col)))

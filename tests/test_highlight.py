@@ -41,3 +41,68 @@ def test_highlight_df(spark, sf_dir):
     for r in out:
         for frag in r["highlights"]:
             assert PRE in frag
+
+
+def test_phrase_aware_only_matching_positions():
+    from opensearch_spark.search import ast as A
+    from opensearch_spark.search.highlight import query_spec
+
+    # stray 'hash' (position 0) must NOT be highlighted; the phrase
+    # occurrence 'hash table' must be
+    text = "hash elsewhere but a hash table lives here"
+    spec = query_spec(A.MatchPhrase(field_name="f", query="hash table"))
+    frags = make_fragments(text, spec, frag_size=200, n_frags=3)
+    joined = " ".join(frags)
+    assert f"{PRE}hash{POST} {PRE}table{POST}" in joined
+    assert joined.count(f"{PRE}hash{POST}") == 1
+
+
+def test_phrase_ordinals_sloppy_window():
+    from opensearch_spark.search.highlight import phrase_ordinals
+
+    toks = "a x b z z a b".split()
+    # slop 1: (a@0, b@2) within window; (a@5, b@6) exact; a@0-b@6 too far
+    got = phrase_ordinals(toks, ["a", "b"], slop=1)
+    assert got == {0, 2, 5, 6}
+    # slop 0: only the adjacent pair
+    assert phrase_ordinals(toks, ["a", "b"], slop=0) == {5, 6}
+
+
+def test_bool_mixes_loose_terms_and_phrases():
+    from opensearch_spark.search import ast as A
+    from opensearch_spark.search.highlight import query_spec, match_ordinals
+
+    node = A.Bool(
+        must=[A.MatchPhrase(field_name="f", query="hash table")],
+        should=[A.Match(field_name="f", query="join")],
+        must_not=[A.Match(field_name="f", query="never")],
+    )
+    spec = query_spec(node)
+    assert spec["terms"] == {"join"}
+    assert spec["phrases"] == [(["hash", "table"], 0)]
+    toks = "join hash stray hash table never".split()
+    # 'join' everywhere, phrase positions only, must_not ignored
+    assert match_ordinals(toks, spec) == {0, 3, 4}
+
+
+def test_engine_phrase_highlight_e2e(spark, sf_dir):
+    from opensearch_spark.index.build import build_index
+    from opensearch_spark.search.engine import SearchEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "ix")
+        build_index(spark, docs, out, text_col="text", doc_id_col="doc_id",
+                    n_segments=2)
+        eng = SearchEngine(spark, out, corpus=docs, text_field="text",
+                           doc_id_col="doc_id")
+        res = eng.request({
+            "query": {"match_phrase": {"text": "hash table"}},
+            "size": 5,
+            "highlight": {"fields": {"text": {"fragment_size": 120}}},
+        })["hits"].collect()
+        assert res
+        for r in res:
+            for frag in r["highlights"]:
+                assert f"{PRE}hash{POST} {PRE}table{POST}" in frag or PRE in frag
