@@ -63,6 +63,15 @@ def duckdb_token_regex() -> str:
     return r"[\p{L}\p{N}_]+(?:[.'':][\p{L}\p{N}_]+)*"
 
 
+def spark_sql_token_regex() -> str:
+    """JAVA_TOKEN_REGEX escaped for embedding inside a Spark SQL
+    single-quoted string literal (Spark's string parser processes
+    backslash escapes — double them; '' for the apostrophe). The ONE
+    source for every F.expr-embedded tokenizer regex, so index-time and
+    query-time SQL tokenization cannot drift."""
+    return JAVA_TOKEN_REGEX.replace("\\", "\\\\").replace("'", "''")
+
+
 def _split_long(tok: str) -> List[str]:
     if len(tok) <= MAX_TOKEN_LENGTH:
         return [tok]

@@ -241,6 +241,39 @@ def _sketch_kind(kind: str, body) -> str | None:
     return None
 
 
+def _check_sketch_innermost(aggs: Dict[str, dict]) -> None:
+    """Enforce the sketch-route contract: a sketch metric groups by the
+    FULL bucket-key chain, which is only its own level's grouping when
+    it sits strictly INSIDE every bucket agg. A sketch metric beside or
+    above a bucket level would silently be computed per innermost
+    bucket combination — raise instead (_split_levels flattens levels,
+    so the depth check happens on the original tree)."""
+    deepest_bucket = -1
+    offenders: List[Tuple[str, int]] = []
+
+    def walk(tree: Dict[str, dict], depth: int) -> None:
+        nonlocal deepest_bucket
+        for nm, spec in tree.items():
+            sub = spec.get("aggs") or spec.get("aggregations")
+            for k in spec:
+                if k in ("aggs", "aggregations"):
+                    continue
+                if k in _BUCKET_KINDS:
+                    deepest_bucket = max(deepest_bucket, depth)
+                elif _sketch_kind(k, spec[k]):
+                    offenders.append((nm, depth))
+            if sub:
+                walk(sub, depth + 1)
+
+    walk(aggs, 0)
+    bad = [nm for nm, d in offenders if deepest_bucket >= 0 and d <= deepest_bucket]
+    if bad:
+        raise ValueError(
+            f"sketch-algorithm metrics {bad!r} must be nested at the "
+            "innermost level (inside every bucket agg) — a sketch beside "
+            "or above a bucket level is not per-level-correct")
+
+
 def _try_sketch_route(df: DataFrame, aggs: Dict[str, dict], chain, metrics,
                       star_tree) -> Optional[DataFrame]:
     """Route metrics requesting a mergeable sketch (``cardinality`` with
@@ -254,6 +287,7 @@ def _try_sketch_route(df: DataFrame, aggs: Dict[str, dict], chain, metrics,
     sketch_ms = [(n, k, b) for (n, k, b) in metrics if _sketch_kind(k, b)]
     if not sketch_ms:
         return None
+    _check_sketch_innermost(aggs)
     import copy
 
     from opensearch_spark.sketches import (

@@ -2646,7 +2646,14 @@ class SearchEngine:
         scores = self._match(
             A.Match(field_name=node.field_name, query=" ".join(terms),
                     operator="and", boost=node.boost), None)
-        jrx = r"[\\p{L}\\p{N}_]+(?:[.'':][\\p{L}\\p{N}_]+)*"
+        # shared SQL-literal form of the analyzer regex (ADVICE r4: one
+        # helper, no hand-copied variants). Variant: the 255-char long-
+        # token split is not applied to the re-tokenized source — a
+        # phrase containing a >255-char term verifies against unsplit
+        # tokens (query-side splitting makes such phrases unmatched).
+        from opensearch_spark.analysis.analyzer import spark_sql_token_regex
+
+        jrx = spark_sql_token_regex()
         conj = " AND ".join(
             "element_at(_toks, CAST(i + {j} AS INT)) = '{w}'".format(
                 j=j, w=str(w).replace("'", "\\'"))

@@ -284,3 +284,45 @@ def test_sloppy_lcm_overflow_falls_back():
     assert docs.tolist() == [0]
     assert freq[0] == pytest.approx(want, rel=1e-12)
     assert freq[0] > 0
+
+
+def test_sketch_metric_must_be_innermost(spark):
+    """A sketch metric BESIDE a nested bucket level would silently be
+    grouped by the inner key too — the route must raise instead
+    (review r4 / ADVICE finding)."""
+    from opensearch_spark.search.aggs import compile_aggs
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    with pytest.raises(ValueError, match="innermost"):
+        compile_aggs(li, {
+            "f": {"terms": {"field": "l_returnflag", "size": 10},
+                  "aggs": {
+                      # sketch sits BESIDE a deeper terms level
+                      "uniq": {"cardinality": {"field": "l_partkey",
+                                               "algorithm": "hllpp"}},
+                      "g": {"terms": {"field": "l_linestatus", "size": 5}},
+                  }},
+        })
+
+
+def test_grouped_sketch_path_is_one_lazy_plan(spark):
+    """The grouped (per-bucket) sketch path must run as ONE Spark plan:
+    per-partition partials (MapInPandas) -> single keyed Exchange ->
+    applyInPandas merge — NO driver collect (a collect+createDataFrame
+    would appear as a LocalTableScan source). This is the 100 TB
+    terms+cardinality contract."""
+    from opensearch_spark.sketches import hll_cardinality
+    from opensearch_spark.sketches.tdigest import tdigest_percentile_ranks
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    for df in (
+        hll_cardinality(li, "l_partkey", by=["l_returnflag"]),
+        tdigest_percentile_ranks(li, "l_quantity", [25.0],
+                                 by=["l_returnflag"]),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan, plan[:1500]
+        assert "FlatMapGroupsInPandas" in plan, plan[:1500]
+        assert "LocalTableScan" not in plan, plan[:1500]
+        # exactly one shuffle: the keyed merge of KB-sized sketch blobs
+        assert plan.count("Exchange") == 1, plan[:1500]
