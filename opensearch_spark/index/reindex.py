@@ -115,12 +115,27 @@ def update_by_query(
                 "update_by_query script must preserve row count; "
                 "use delete_by_query to remove documents"
             )
-    else:
-        if str(script.get("lang", "")).lower() == "painless":
-            from opensearch_spark.search.painless import painless_update_to_sql
+    elif str(script.get("lang", "")).lower() == "painless":
+        from opensearch_spark.search.painless import painless_update_to_sql
 
-            script = painless_update_to_sql(
-                str(script["source"]), script.get("params") or {})
+        colmap = painless_update_to_sql(
+            str(script["source"]), script.get("params") or {})
+        # ONE projection with every expression bound to the ORIGINAL
+        # row: the transpiler already inlined intermediate ctx._source
+        # reads into each field's final expression (over pre-update
+        # columns), so sequential withColumn would apply an earlier
+        # field's update twice when a later expression references it
+        # (review r5 finding)
+        exprs = [
+            (F.expr(str(colmap[c])).alias(c) if c in colmap else F.col(c))
+            for c in docs.columns
+        ]
+        exprs += [F.expr(str(v)).alias(c) for c, v in colmap.items()
+                  if c not in docs.columns]
+        docs = docs.select(*exprs)
+    else:
+        # raw {column: SQL} form: applied sequentially as documented
+        # (a later expression sees earlier updates)
         for col, expr in script.items():
             docs = docs.withColumn(col, F.expr(str(expr)))
     # the engine's corpus always carries the derived docId column — it

@@ -241,10 +241,13 @@ def _semdedup_frame(nd: DataFrame, cents: List[tuple], threshold: float,
     )
 
 
+_DEFAULT_CAP = object()  # sentinel: None must mean DISABLE, not default
+
+
 def semdedup(spark: SparkSession, sf_dir: str,
              threshold: float = EMBED_DUP_THRESHOLD,
              n_centroids: int | None = None,
-             max_cluster_docs: int | None = None,
+             max_cluster_docs=_DEFAULT_CAP,
              lloyd_iters: int = 0) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -258,7 +261,9 @@ def semdedup(spark: SparkSession, sf_dir: str,
     Scale knobs (the paper scales K with the corpus — 50k clusters at
     100M docs, §3): ``n_centroids`` sets K (default
     ``N_IVF_CENTROIDS``); ``max_cluster_docs`` (default
-    ``SEMDEDUP_MAX_CLUSTER_DOCS``) is the hot-cluster cut-and-account
+    ``SEMDEDUP_MAX_CLUSTER_DOCS``; pass ``None`` explicitly to DISABLE
+    the guard — review r5 fixed None being swallowed into the default)
+    is the hot-cluster cut-and-account
     guard — see ``_semdedup_frame``; ``lloyd_iters`` optionally refines
     the seed centroids with k-means iterations that keep the SAME plan
     shape (literal/broadcast centroids -> map-side argmax -> k-row mean
@@ -269,8 +274,8 @@ def semdedup(spark: SparkSession, sf_dir: str,
     e = _emb(spark, sf_dir).select("vec_id", _as_double().alias("v"))
     nd = embedding_dup_corpus(e)
     k = n_centroids if n_centroids is not None else N_IVF_CENTROIDS
-    cap = (max_cluster_docs if max_cluster_docs is not None
-           else SEMDEDUP_MAX_CLUSTER_DOCS)
+    cap = (SEMDEDUP_MAX_CLUSTER_DOCS if max_cluster_docs is _DEFAULT_CAP
+           else max_cluster_docs)
     cents = _centroid_vecs(e, k)
     if lloyd_iters:
         cents = _lloyd_centroids(nd, cents, lloyd_iters)

@@ -88,10 +88,15 @@ def phrase_ordinals(tokens: Sequence[str], phrase: Sequence[str],
     """Token ordinals participating in at least one phrase match.
 
     slop=0: exact consecutive runs. slop>0: a token participates iff
-    some choice of one occurrence per phrase slot lies inside a common
-    adjusted-position window of width ``slop`` that includes it (the
-    window form of Lucene's sloppy match — every position a
-    SloppyPhraseMatcher match can touch is inside such a window)."""
+    some choice of one occurrence per phrase slot — DISTINCT
+    occurrences for repeated-term slots (review r5: one lone occurrence
+    can never satisfy two slots; Lucene's repeat groups enforce the
+    same) — lies inside a common adjusted-position window of width
+    ``slop`` that includes it (the window form of Lucene's sloppy
+    match — every position a SloppyPhraseMatcher match can touch is
+    inside such a window)."""
+    from itertools import product
+
     k = len(phrase)
     out: Set[int] = set()
     if k == 0 or len(tokens) < k:
@@ -101,17 +106,59 @@ def phrase_ordinals(tokens: Sequence[str], phrase: Sequence[str],
             if all(tokens[i + j] == phrase[j] for j in range(k)):
                 out.update(range(i, i + k))
         return out
-    # adjusted positions per slot
-    adj = [sorted(i - j for i, t in enumerate(tokens) if t == phrase[j])
-           for j in range(k)]
-    if any(not a for a in adj):
+    terms = set(phrase)
+    pos_by_term: dict = {}
+    for i, t in enumerate(tokens):
+        if t in terms:
+            pos_by_term.setdefault(t, []).append(i)
+    if any(t not in pos_by_term for t in terms):
         return out
-    starts = sorted({a - d for al in adj for a in al for d in range(slop + 1)})
+    slots_by_term: dict = {}
+    for j, t in enumerate(phrase):
+        slots_by_term.setdefault(t, []).append(j)
+    starts = sorted({
+        q - j - d
+        for t, js in slots_by_term.items()
+        for q in pos_by_term[t] for j in js for d in range(slop + 1)
+    })
     for w in starts:
-        hit = [[a for a in al if w <= a <= w + slop] for al in adj]
-        if all(hit):
-            for j, al in enumerate(hit):
-                out.update(a + j for a in al)
+        cand: dict = {}
+        ok = True
+        for t, js in slots_by_term.items():
+            qs = pos_by_term[t]
+            for j in js:
+                c = [q for q in qs if w + j <= q <= w + slop + j]
+                if not c:
+                    ok = False
+                    break
+                cand[j] = c
+            if not ok:
+                break
+        if not ok:
+            continue
+        marks: dict = {}
+        feasible = True
+        for t, js in slots_by_term.items():
+            if len(js) == 1:
+                marks[js[0]] = set(cand[js[0]])
+                continue
+            good = {j: set() for j in js}
+            any_assign = False
+            # repeat group: one DISTINCT occurrence per slot (group
+            # sizes are tiny — candidate lists are <= slop+1 long)
+            for combo in product(*[cand[j] for j in js]):
+                if len(set(combo)) == len(combo):
+                    any_assign = True
+                    for j, q in zip(js, combo):
+                        good[j].add(q)
+            if not any_assign:
+                feasible = False
+                break
+            marks.update(good)
+        if not feasible:
+            continue
+        for qs in marks.values():
+            out.update(qs)
     return out
 
 

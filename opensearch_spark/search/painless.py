@@ -147,6 +147,7 @@ class _Parser:
         self.mode = mode          # "score" | "update"
         self.env: Dict[str, str] = {}   # local var -> SQL expr
         self.ctx: Dict[str, str] = {}   # source field -> pending SQL expr
+        self.types: Dict[str, str] = {}  # local var -> declared keyword
 
     def peek(self):
         return self.toks[self.i]
@@ -166,7 +167,8 @@ class _Parser:
             a = self.expr()
             self.take(":")
             b = self.expr()
-            return f"(CASE WHEN {cond} THEN {a} ELSE {b} END)"
+            return _e(f"(CASE WHEN {cond} THEN {a} ELSE {b} END)",
+                      _is_str(a) and _is_str(b))
         return cond
 
     def or_(self) -> str:
@@ -412,11 +414,16 @@ class _Parser:
             if val in _DECL_CAST and self.toks[self.i + 1][0] == "name":
                 self.take()
                 _k, name = self.take()
+                if name in self.env:
+                    raise PainlessError(
+                        f"painless: variable {name!r} is already declared "
+                        "(Painless forbids redeclaration/shadowing)")
                 self.take("=")
                 e = self.expr()
                 self._semi()
+                self.types[name] = val
                 cast = _DECL_CAST[val]
-                tagged = val == "String" or (val == "def" and _is_str(e))
+                tagged = val == "String" or _is_str(e)
                 self.env[name] = (_e(f"CAST({e} AS {cast})") if cast
                                   else _e(f"({e})", tagged))
                 continue
@@ -459,15 +466,22 @@ class _Parser:
         e = self.expr()
         self._semi()
         store = self.ctx if is_ctx else self.env
+        # the declared type persists across re-assignment: int-family
+        # re-applies the truncating cast, String keeps + as concat
+        # (review r5 findings)
+        decl = None if is_ctx else self.types.get(key)
+        cast = _DECL_CAST.get(decl) if decl else None
         if op == "=":
-            store[key] = _e(f"({e})", _is_str(e))
+            new, tag = f"({e})", decl == "String" or _is_str(e)
         else:
             cur = (store.get(key, f"`{key[len(_CTX_PREFIX):]}`")
                    if is_ctx else store[key])
-            if op == "+=" and (_is_str(cur) or _is_str(e)):
-                store[key] = _e(f"concat({cur}, {e})", True)
+            if op == "+=" and (decl == "String" or _is_str(cur)
+                               or _is_str(e)):
+                new, tag = f"concat({cur}, {e})", True
             else:
-                store[key] = f"({cur} {op[0]} {e})"
+                new, tag = f"({cur} {op[0]} {e})", False
+        store[key] = _e(f"CAST({new} AS {cast})") if cast else _e(new, tag)
 
     def _semi(self):
         """Statement terminator: ';' (optional before '}' / eof)."""
@@ -584,7 +598,8 @@ class _Parser:
             va = a.get(name, default)
             vb = b.get(name, default)
             out[name] = (va if va == vb else
-                         f"(CASE WHEN {cond} THEN {va} ELSE {vb} END)")
+                         _e(f"(CASE WHEN {cond} THEN {va} ELSE {vb} END)",
+                            _is_str(va) and _is_str(vb)))
         return out
 
 

@@ -40,41 +40,33 @@ def lint(names=None) -> int:
     con = duckdb.connect()
     import pandas as pd  # noqa: F401
 
+    # EXACT copies of the /root/testdata parquet schemas (verified with
+    # DESCRIBE; review r5 found the previous guesses diverged and broke
+    # the no-testdata lint path). Keep INTEGER where the data really is
+    # INTEGER — sum(INTEGER) -> HUGEINT is precisely what the lint must
+    # catch.
     ddl = {
-        "region": "r_regionkey BIGINT, r_name VARCHAR, r_comment VARCHAR",
-        "nation": ("n_nationkey BIGINT, n_name VARCHAR, n_regionkey BIGINT,"
-                   " n_comment VARCHAR"),
-        "customer": ("c_custkey BIGINT, c_name VARCHAR, c_address VARCHAR,"
-                     " c_nationkey BIGINT, c_phone VARCHAR, c_acctbal DOUBLE,"
-                     " c_mktsegment VARCHAR, c_comment VARCHAR"),
-        "supplier": ("s_suppkey BIGINT, s_name VARCHAR, s_address VARCHAR,"
-                     " s_nationkey BIGINT, s_phone VARCHAR, s_acctbal DOUBLE,"
-                     " s_comment VARCHAR"),
-        "part": ("p_partkey BIGINT, p_name VARCHAR, p_mfgr VARCHAR,"
-                 " p_brand VARCHAR, p_type VARCHAR, p_size INTEGER,"
-                 " p_container VARCHAR, p_retailprice DOUBLE,"
-                 " p_comment VARCHAR"),
+        "region": "r_regionkey INTEGER, r_name VARCHAR",
+        "nation": "n_nationkey INTEGER, n_name VARCHAR, n_regionkey INTEGER",
+        "customer": ("c_custkey BIGINT, c_name VARCHAR, c_nationkey INTEGER,"
+                     " c_acctbal DOUBLE, c_mktsegment VARCHAR"),
+        "supplier": ("s_suppkey BIGINT, s_name VARCHAR, s_nationkey INTEGER,"
+                     " s_acctbal DOUBLE"),
+        "part": ("p_partkey BIGINT, p_name VARCHAR, p_brand VARCHAR,"
+                 " p_type VARCHAR, p_size INTEGER, p_retailprice DOUBLE"),
         "orders": ("o_orderkey BIGINT, o_custkey BIGINT,"
                    " o_orderstatus VARCHAR, o_totalprice DOUBLE,"
-                   " o_orderdate DATE, o_orderpriority VARCHAR,"
-                   " o_clerk VARCHAR, o_shippriority INTEGER,"
-                   " o_comment VARCHAR"),
+                   " o_orderdate TIMESTAMP, o_orderpriority VARCHAR"),
         "lineitem": ("l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,"
                      " l_linenumber INTEGER, l_quantity DOUBLE,"
                      " l_extendedprice DOUBLE, l_discount DOUBLE,"
                      " l_tax DOUBLE, l_returnflag VARCHAR,"
-                     " l_linestatus VARCHAR, l_shipdate DATE,"
-                     " l_commitdate DATE, l_receiptdate DATE,"
-                     " l_shipinstruct VARCHAR, l_shipmode VARCHAR,"
-                     " l_comment VARCHAR"),
-        "events": ("event_id BIGINT, event_type VARCHAR, user_id BIGINT,"
-                   " ts TIMESTAMP, value DOUBLE, session_id VARCHAR,"
-                   " url VARCHAR, country VARCHAR, lat DOUBLE, lon DOUBLE,"
-                   " ip VARCHAR, user_agent VARCHAR, meta VARCHAR"),
-        "documents": ("doc_id BIGINT, title VARCHAR, text VARCHAR,"
-                      " lang VARCHAR, domain VARCHAR, url VARCHAR,"
-                      " published_at TIMESTAMP, quality_label VARCHAR"),
-        "embeddings": "vec_id BIGINT, doc_id BIGINT, v DOUBLE[]",
+                     " l_linestatus VARCHAR, l_shipdate TIMESTAMP"),
+        "events": ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+                   " event_type VARCHAR, value DOUBLE, props VARCHAR"),
+        "documents": ("doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+                      " source VARCHAR, n_chars BIGINT"),
+        "embeddings": "vec_id BIGINT, embedding FLOAT[], label INTEGER",
     }
     # Real-table fallback: DESCRIBE needs correct column NAMES/TYPES,
     # use the actual sf0.001 parquet when present (exact schemas).

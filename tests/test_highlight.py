@@ -106,3 +106,19 @@ def test_engine_phrase_highlight_e2e(spark, sf_dir):
         for r in res:
             for frag in r["highlights"]:
                 assert f"{PRE}hash{POST} {PRE}table{POST}" in frag or PRE in frag
+
+
+def test_phrase_ordinals_repeated_term_needs_distinct_occurrences():
+    """review r5: one lone occurrence can never satisfy two slots of a
+    repeated-term phrase — the stray trailing 'a' must not be marked."""
+    from opensearch_spark.search.highlight import phrase_ordinals
+
+    toks = "a a x x x x a".split()
+    assert phrase_ordinals(toks, ["a", "a"], slop=1) == {0, 1}
+    # a single 'a' anywhere: no match at all
+    assert phrase_ordinals("x a x".split(), ["a", "a"], slop=3) == set()
+    # two far-apart 'a's within slop window DO match
+    assert phrase_ordinals("a x a".split(), ["a", "a"], slop=1) == {0, 2}
+    # distinct-term behavior unchanged
+    assert phrase_ordinals("a x b z z a b".split(), ["a", "b"], slop=1) \
+        == {0, 2, 5, 6}

@@ -149,3 +149,58 @@ def test_script_source_validation():
         script_source({})
     with pytest.raises(ValueError):
         script_source(None)
+
+
+def test_declared_type_persists_across_reassignment():
+    # review r5: String declaration keeps + as concat after reassignment
+    assert painless_to_sql(
+        "String s = doc['lang'].value; s = doc['lang'].value; "
+        "return s + doc['lang'].value;") == "concat((`lang`), `lang`)"
+    # ... including through branch merges
+    sql = painless_to_sql(
+        "String s = 'a'; if (_score > 1) { s = 'b'; } else { s = 'c'; } "
+        "return s + doc['lang'].value;")
+    assert sql.startswith("concat((CASE WHEN")
+    # int-family re-applies the truncating cast on re-assignment
+    assert painless_to_sql("int h = 5; h = 7 / 2; return h;") == \
+        "CAST(((7 / 2)) AS BIGINT)"
+    assert "CAST" in painless_to_sql("int h = 5; h += 1; return h;")
+    # redeclaration raises (Painless forbids shadowing)
+    with pytest.raises(PainlessError, match="already declared"):
+        painless_to_sql("def x = 1; def x = 2; return x;")
+    # ternary of two strings is a string
+    assert painless_to_sql(
+        "return (_score > 1 ? 'a' : 'b') + doc['lang'].value;"
+    ).startswith("concat(")
+
+
+def test_update_script_sequential_reads_see_pending_writes(spark, tmp_path):
+    """Painless ctx._source reads after a write must see the PENDING
+    value exactly once — single-projection application (review r5:
+    sequential withColumn double-applied the earlier update)."""
+    from opensearch_spark.index.build import build_index
+    from opensearch_spark.index.reindex import update_by_query
+    from opensearch_spark.search.engine import SearchEngine
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", i * 10) for i in range(20)],
+        "doc_id long, text string, n_chars long")
+    out = str(tmp_path / "ix")
+    build_index(spark, df, out, text_col="text", doc_id_col="doc_id",
+                n_segments=2)
+    eng = SearchEngine(spark, out, corpus=df, text_field="text",
+                       doc_id_col="doc_id")
+    res = update_by_query(
+        spark, eng, out, {"match_all": {}},
+        {"lang": "painless",
+         "source": ("ctx._source.n_chars = ctx._source.n_chars + 1; "
+                    "ctx._source.text = ctx._source.text + ' n=' + "
+                    "ctx._source.n_chars;")},
+        text_col="text")
+    rows = {r["docId"]: (r["n_chars"], r["text"])
+            for r in res["corpus"].collect()}
+    # Painless truth: n_chars = 10i + 1, text suffixed with that value
+    for i in range(20):
+        n, t = rows[i]
+        assert n == i * 10 + 1
+        assert t == f"doc {i} n={i * 10 + 1}", t
