@@ -149,4 +149,9 @@ def update_by_query(
     engine._search_plans.clear()
     engine._msearch_plans.clear()
     engine._term_df_map = None
-    return {"updated": int(n), "corpus": untouched.unionByName(docs)}
+    # allowMissingColumns: a script may ADD a source field (ctx._source
+    # mutation of a new name, or a new raw column) — untouched docs get
+    # NULL for it, matching the reference's sparse-source semantics
+    # (review r5: plain unionByName raised AFTER the index was mutated)
+    return {"updated": int(n),
+            "corpus": untouched.unionByName(docs, allowMissingColumns=True)}

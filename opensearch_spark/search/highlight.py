@@ -94,8 +94,18 @@ def phrase_ordinals(tokens: Sequence[str], phrase: Sequence[str],
     same) — lies inside a common adjusted-position window of width
     ``slop`` that includes it (the window form of Lucene's sloppy
     match — every position a SloppyPhraseMatcher match can touch is
-    inside such a window)."""
-    from itertools import product
+    inside such a window). Repeat-group distinctness is decided in
+    polynomial time: slot intervals within one window form a ladder
+    ([w+j, w+slop+j], both ends increasing with j), so an
+    ORDER-PRESERVING perfect matching exists whenever any does
+    (exchange argument), and per-occurrence participation reduces to a
+    greedy prefix/suffix index DP — no assignment enumeration (review
+    r5: the product form was exponential in the repeat count, a
+    query-time DoS). A work guard caps windows x slots (the
+    max_analyzed_offset idea from the reference's highlighters) and
+    falls back to term-set marking for pathological docs — never
+    hangs, only over-highlights."""
+    from bisect import bisect_left, bisect_right
 
     k = len(phrase)
     out: Set[int] = set()
@@ -121,44 +131,71 @@ def phrase_ordinals(tokens: Sequence[str], phrase: Sequence[str],
         for t, js in slots_by_term.items()
         for q in pos_by_term[t] for j in js for d in range(slop + 1)
     })
+    if len(starts) * k > 250_000:  # pathological doc/slop: bounded work
+        for t in terms:
+            out.update(pos_by_term[t])
+        return out
     for w in starts:
-        cand: dict = {}
+        # per-slot candidate index ranges [lo, hi) into the term's
+        # sorted occurrence list (interval = [w+j, w+slop+j])
+        ranges: dict = {}
         ok = True
         for t, js in slots_by_term.items():
             qs = pos_by_term[t]
             for j in js:
-                c = [q for q in qs if w + j <= q <= w + slop + j]
-                if not c:
+                lo = bisect_left(qs, w + j)
+                hi = bisect_right(qs, w + slop + j)
+                if lo >= hi:
                     ok = False
                     break
-                cand[j] = c
+                ranges[j] = (lo, hi)
             if not ok:
                 break
         if not ok:
             continue
-        marks: dict = {}
+        marks: list = []
         feasible = True
         for t, js in slots_by_term.items():
+            qs = pos_by_term[t]
             if len(js) == 1:
-                marks[js[0]] = set(cand[js[0]])
+                lo, hi = ranges[js[0]]
+                marks.append((qs, range(lo, hi)))
                 continue
-            good = {j: set() for j in js}
-            any_assign = False
-            # repeat group: one DISTINCT occurrence per slot (group
-            # sizes are tiny — candidate lists are <= slop+1 long)
-            for combo in product(*[cand[j] for j in js]):
-                if len(set(combo)) == len(combo):
-                    any_assign = True
-                    for j, q in zip(js, combo):
-                        good[j].add(q)
-            if not any_assign:
-                feasible = False
+            m = len(js)
+            # F[x] = smallest max-occurrence-index for an order-
+            # preserving match of slots js[:x]; B[x] = largest
+            # min-index for a match of slots js[x:]
+            F = [-1] * (m + 1)
+            for x in range(1, m + 1):
+                lo, hi = ranges[js[x - 1]]
+                i = max(F[x - 1] + 1, lo)
+                if i >= hi:
+                    feasible = False
+                    break
+                F[x] = i
+            if not feasible:
                 break
-            marks.update(good)
+            B = [len(qs)] * (m + 2)
+            for x in range(m, 0, -1):
+                lo, hi = ranges[js[x - 1]]
+                i = min(B[x + 1] - 1, hi - 1)
+                if i < lo:
+                    feasible = False
+                    break
+                B[x] = i
+            if not feasible:
+                break
+            for x in range(1, m + 1):
+                lo, hi = ranges[js[x - 1]]
+                a = max(lo, F[x - 1] + 1)
+                b = min(hi, B[x + 1])
+                if a < b:
+                    marks.append((qs, range(a, b)))
         if not feasible:
             continue
-        for qs in marks.values():
-            out.update(qs)
+        for qs, rng in marks:
+            for i in rng:
+                out.add(qs[i])
     return out
 
 

@@ -122,3 +122,53 @@ def test_phrase_ordinals_repeated_term_needs_distinct_occurrences():
     # distinct-term behavior unchanged
     assert phrase_ordinals("a x b z z a b".split(), ["a", "b"], slop=1) \
         == {0, 2, 5, 6}
+
+
+def test_phrase_ordinals_dp_equals_bruteforce():
+    """The order-preserving matching DP equals exhaustive enumeration
+    of distinct per-slot assignments (review r5 replaced the
+    exponential product with this DP)."""
+    import itertools
+    import random
+
+    from opensearch_spark.search.highlight import phrase_ordinals
+
+    def brute(tokens, phrase, slop):
+        k = len(phrase)
+        out = set()
+        pos = {}
+        for i, t in enumerate(tokens):
+            pos.setdefault(t, []).append(i)
+        if any(t not in pos for t in set(phrase)):
+            return out
+        for combo in itertools.product(*[pos[t] for t in phrase]):
+            if any(phrase[j1] == phrase[j2] and combo[j1] == combo[j2]
+                   for j1 in range(k) for j2 in range(j1 + 1, k)):
+                continue
+            adj = [combo[j] - j for j in range(k)]
+            if max(adj) - min(adj) <= slop:
+                out.update(combo)
+        return out
+
+    rng = random.Random(13)
+    for _ in range(200):
+        n = rng.randint(2, 12)
+        alpha = "ab" if rng.random() < 0.6 else "abc"
+        tokens = [rng.choice(alpha) for _ in range(n)]
+        phrase = [rng.choice(alpha) for _ in range(rng.randint(2, 4))]
+        slop = rng.randint(1, 4)
+        got = phrase_ordinals(tokens, phrase, slop)
+        assert got == brute(tokens, phrase, slop), (tokens, phrase, slop)
+
+
+def test_phrase_ordinals_pathological_doc_is_fast():
+    """Repetitive doc + repeated-term sloppy phrase must complete in
+    milliseconds (review r5: product enumeration was exponential)."""
+    import time
+
+    from opensearch_spark.search.highlight import phrase_ordinals
+
+    t0 = time.time()
+    r = phrase_ordinals(["a"] * 200, ["a", "a", "a", "a"], 30)
+    assert time.time() - t0 < 2.0
+    assert r  # everything participates in this doc

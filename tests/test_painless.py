@@ -204,3 +204,29 @@ def test_update_script_sequential_reads_see_pending_writes(spark, tmp_path):
         n, t = rows[i]
         assert n == i * 10 + 1
         assert t == f"doc {i} n={i * 10 + 1}", t
+
+
+def test_update_script_can_add_new_source_field(spark, tmp_path):
+    """A ctx._source assignment to a NEW field must not break the
+    returned corpus view — untouched docs carry NULL (review r5:
+    unionByName raised after the index was already mutated)."""
+    from opensearch_spark.index.build import build_index
+    from opensearch_spark.index.reindex import update_by_query
+    from opensearch_spark.search.engine import SearchEngine
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", "en" if i % 2 else "de") for i in range(10)],
+        "doc_id long, text string, lang string")
+    out = str(tmp_path / "ix")
+    build_index(spark, df, out, text_col="text", doc_id_col="doc_id",
+                n_segments=2)
+    eng = SearchEngine(spark, out, corpus=df, text_field="text",
+                       doc_id_col="doc_id")
+    res = update_by_query(
+        spark, eng, out, {"term": {"lang": "de"}},
+        {"lang": "painless", "source": "ctx._source.flag = 1;"},
+        text_col="text")
+    rows = {r["docId"]: r["flag"] for r in res["corpus"].collect()}
+    assert res["updated"] == 5
+    for i in range(10):
+        assert rows[i] == (None if i % 2 else 1)
