@@ -119,7 +119,12 @@ def _lit(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # Painless floats are doubles; a bare 2.5 literal is DECIMAL in
+        # Spark SQL and decimal arithmetic diverges (found by the
+        # differential property test) — force DOUBLE
+        return f"CAST({v!r} AS DOUBLE)"
+    if isinstance(v, int):
         return repr(v)
     return ("'" + str(v).replace("\\", "\\\\").replace("'", "''")
             + "'")
@@ -232,6 +237,11 @@ class _Parser:
     def atom(self) -> str:
         kind, val = self.take()
         if kind == "num":
+            # fractional/exponent literals are doubles in Painless; a
+            # bare 2.5 is DECIMAL in Spark SQL (decimal division/
+            # rounding semantics differ) — force DOUBLE
+            if "." in val or "e" in val or "E" in val:
+                return f"CAST({val} AS DOUBLE)"
             return val
         if kind == "str":
             return _e(_sql_str(val), True)

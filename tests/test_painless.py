@@ -9,10 +9,11 @@ def test_doc_params_math_ternary():
     sql = painless_to_sql(
         "doc['n_chars'].value * params.f + Math.log(_score + 1)",
         {"f": 2.5})
-    assert sql == "((`n_chars` * 2.5) + ln((`score` + 1)))"
+    assert sql == "((`n_chars` * CAST(2.5 AS DOUBLE)) + ln((`score` + 1)))"
     sql = painless_to_sql(
         "doc['lang'].value == 'en' ? 2.0 : 0.5")
-    assert sql == "(CASE WHEN (`lang` = 'en') THEN 2.0 ELSE 0.5 END)"
+    assert sql == ("(CASE WHEN (`lang` = 'en') THEN CAST(2.0 AS DOUBLE) "
+                   "ELSE CAST(0.5 AS DOUBLE) END)")
 
 
 def test_doc_size_and_bool_ops():
@@ -51,7 +52,7 @@ def test_statement_subset_declarations_and_if():
     assert sql == (
         "(CASE WHEN (`lang` = 'en') THEN (`score` * ((3 * 2))) "
         "WHEN ((NOT coalesce((`lang` = 'en'), false)) AND (`lang` = 'de'))"
-        " THEN (`score` + ((3 * 2))) ELSE 0.0 END)")
+        " THEN (`score` + ((3 * 2))) ELSE CAST(0.0 AS DOUBLE) END)")
     # assignment merging across branches, branch-local decls dropped
     sql = painless_to_sql(
         "def b = 0; "
