@@ -474,11 +474,12 @@ WHERE NOT EXISTS (
 
 # ---- multi-field (multi_match) oracles -------------------------------------
 
-def base_ctes_field(p: str, text_col: str) -> str:
+def base_ctes_field(p: str, text_col: str, table: str = TABLE) -> str:
     """Suffixed per-field CTE chain (tok{p}, dl{p}, qz{p}, dlq{p},
-    gl{p}, tf{p}, dfreq{p}) so two fields' statistics coexist in one
-    query — each field has its own df/norms/avgdl, mirroring the
-    engine's index-per-field layout."""
+    gl{p}, tf{p}, dfreq{p}) so two fields' — or, via ``table``, two
+    INDEXES' — statistics coexist in one query: each chain has its own
+    df/norms/avgdl, mirroring the engine's index-per-field layout and
+    the per-index local statistics of cross-index (alias) search."""
     rx = _qlit(duckdb_token_regex())
     from opensearch_spark.analysis.smallfloat import quantize_breakpoints
 
@@ -489,7 +490,7 @@ tok{p} AS (
   SELECT {ID} AS doc_id,
          unnest(regexp_extract_all(lower({text_col}), {rx})) AS term,
          generate_subscripts(regexp_extract_all(lower({text_col}), {rx}), 1) - 1 AS pos
-  FROM {TABLE}
+  FROM {table}
 ),
 dl{p} AS (SELECT doc_id, count(*) AS dl FROM tok{p} GROUP BY doc_id),
 qz{p}(q_val) AS (VALUES {qvals}),
