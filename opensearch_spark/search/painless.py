@@ -59,7 +59,10 @@ _MATH_FN = {
     "exp": "exp", "floor": "floor", "ceil": "ceil", "pow": "power",
     "min": "least", "max": "greatest",
 }
-_MATH_CONST = {"E": "2.718281828459045", "PI": "3.141592653589793"}
+# cast like every other fractional literal: a bare decimal is DECIMAL
+# in Spark SQL and decimal arithmetic diverges from Painless doubles
+_MATH_CONST = {"E": "CAST(2.718281828459045 AS DOUBLE)",
+               "PI": "CAST(3.141592653589793 AS DOUBLE)"}
 
 
 class PainlessError(ValueError):
@@ -122,7 +125,14 @@ def _lit(v) -> str:
     if isinstance(v, float):
         # Painless floats are doubles; a bare 2.5 literal is DECIMAL in
         # Spark SQL and decimal arithmetic diverges (found by the
-        # differential property test) — force DOUBLE
+        # differential property test) — force DOUBLE. Non-finite values
+        # need the string form (a bare `inf` parses as a column ref).
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
         return f"CAST({v!r} AS DOUBLE)"
     if isinstance(v, int):
         return repr(v)

@@ -29,7 +29,15 @@ def test_return_and_semicolon_stripped():
 
 def test_math_variants_and_constants():
     sql = painless_to_sql("Math.pow(Math.E, Math.min(1, 2))")
-    assert sql.startswith("power(2.718281828459045, least(1, 2)")
+    assert sql.startswith(
+        "power(CAST(2.718281828459045 AS DOUBLE), least(1, 2)")
+    # Math constants are DOUBLE, not DECIMAL (review r5)
+    assert painless_to_sql("Math.PI / 2") == \
+        "(CAST(3.141592653589793 AS DOUBLE) / 2)"
+    # non-finite params bind as doubles, not column refs (review r5)
+    assert painless_to_sql("params.f * 2", {"f": float("inf")}) == \
+        "(CAST('Infinity' AS DOUBLE) * 2)"
+    assert "NaN" in painless_to_sql("params.f", {"f": float("nan")})
 
 
 def test_rejects_out_of_scope():

@@ -53,6 +53,7 @@ class Gen:
         num_vars = [v for v, t in env_types.items() if t == "num"]
         if num_vars:
             choices += ["var"] * 2
+        choices += ["mconst"]
         if depth < 3:
             choices += ["add", "sub", "mul", "div", "rem", "tern",
                         "mmin", "mabs", "mfloor"]
@@ -73,6 +74,10 @@ class Gen:
             return "doc['x'].value", lambda row, env: row["x"]
         if c == "score":
             return "_score", lambda row, env: row["score"]
+        if c == "mconst":
+            if r.random() < 0.5:
+                return "Math.PI", lambda row, env: math.pi
+            return "Math.E", lambda row, env: math.e
         if c == "param":
             k = r.choice([k for k, v in self.params.items()
                           if isinstance(v, (int, float))
