@@ -50,6 +50,35 @@ _BANDS = " UNION ALL ".join(
     for bi in range(N_MINHASH // BAND_SIZE)
 )
 
+# shared CTE chain ending in pairs(a, b, jaccard): the verified
+# MinHash-LSH near-dup pairs over the near-dup corpus (matches
+# dedup.minhash_lsh_pairs). Used by d_minhash_lsh and d_dedup_clusters.
+_MINHASH_PAIRS_CTES = f"""{_ND},
+        {_SHINGLES},
+        sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+        bands AS ({_BANDS}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT c.a, c.b, count(*) AS inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.a
+          JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+          GROUP BY c.a, c.b
+        ),
+        pairs AS (
+          SELECT s.a, s.b,
+                 round(s.inter / (za.sz + zb.sz - s.inter), 4) AS jaccard
+          FROM shared s
+          JOIN sizes za ON za.doc_id = s.a
+          JOIN sizes zb ON zb.doc_id = s.b
+          WHERE round(s.inter / (za.sz + zb.sz - s.inter), 4) >= {JACCARD_THRESHOLD}
+        )"""
+
 
 def _simhash_sql() -> str:
     sums = ",\n           ".join(
@@ -299,29 +328,30 @@ ORACLES: dict[str, str] = {
         FROM documents GROUP BY sha256(text)
     """,
     "d_minhash_lsh": f"""
-        WITH {_ND},
-        {_SHINGLES},
-        sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
-        bands AS ({_BANDS}),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        WITH {_MINHASH_PAIRS_CTES}
+        SELECT a, b, jaccard FROM pairs
+    """,
+    # pairs -> connected components -> canonical representative per
+    # cluster (dedup.dedup_clusters). The recursive CTE enumerates every
+    # reachable node per node (clusters are tiny stars, so the closure
+    # is small); rep = min reachable id, matching the Spark min-label
+    # propagation fixpoint exactly.
+    "d_dedup_clusters": f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+        edges AS (
+          SELECT a AS s, b AS d FROM pairs
+          UNION
+          SELECT b, a FROM pairs
         ),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        shared AS (
-          SELECT c.a, c.b, count(*) AS inter
-          FROM cand c
-          JOIN sh sa ON sa.doc_id = c.a
-          JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
-          GROUP BY c.a, c.b
+        reach(id, r) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT rc.id, e.d FROM reach rc JOIN edges e ON e.s = rc.r
         )
-        SELECT s.a, s.b,
-               round(s.inter / (za.sz + zb.sz - s.inter), 4) AS jaccard
-        FROM shared s
-        JOIN sizes za ON za.doc_id = s.a
-        JOIN sizes zb ON zb.doc_id = s.b
-        WHERE round(s.inter / (za.sz + zb.sz - s.inter), 4) >= {JACCARD_THRESHOLD}
+        SELECT id AS doc_id,
+               least(id, min(r)) AS rep_id,
+               least(id, min(r)) = id AS is_rep
+        FROM reach GROUP BY id
     """,
     "d_simhash": _simhash_sql(),
     "d_simhash_pairs": _simhash_pairs_sql(),

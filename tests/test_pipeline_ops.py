@@ -289,3 +289,84 @@ def test_semdedup_lloyd_refinement_same_plan_shape(spark):
          for r in _assign_with_v(nd, c1).collect()}
     assert all(a[i] == 0 for i in range(5))
     assert all(a[i] == 1 for i in range(5, 10))
+
+
+# ---- connected-components cluster resolution --------------------------------
+
+
+def _brute_components(edges):
+    """Union-find ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_chain_star_and_isolated_pairs(spark):
+    from opensearch_spark.pipelines.dedup import connected_components
+
+    # a 6-node chain (worst diameter), a star, a triangle, a lone pair
+    edges = [
+        (10, 11), (11, 12), (12, 13), (13, 14), (14, 15),   # chain
+        (20, 21), (20, 22), (20, 23),                        # star
+        (30, 31), (31, 32), (30, 32),                        # triangle
+        (40, 41),                                            # pair
+    ]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["id"]: r["rep"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _brute_components(edges)
+
+
+def test_connected_components_pointer_jump_beats_diameter(spark):
+    """A 40-node chain resolves within max_iter=8: plain min-label
+    propagation would need ~40 rounds; the pointer jump makes it
+    logarithmic. This is the property that keeps the loop bounded on a
+    pathological near-dup chain at scale."""
+    from opensearch_spark.pipelines.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(100, 140)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r["rep"] for r in connected_components(df, max_iter=8).collect()}
+    assert set(got.values()) == {100}
+    assert len(got) == 41
+
+
+def test_connected_components_raises_without_convergence(spark):
+    from opensearch_spark.pipelines.dedup import connected_components
+    import pytest as _pytest
+
+    edges = [(i, i + 1) for i in range(200, 230)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_iter=1)
+
+
+def test_dedup_clusters_reps_are_cluster_minima(spark):
+    """Every near-dup cluster elects its min doc_id; non-reps are exactly
+    the drop set; reps referenced by non-reps are present as rep rows."""
+    import os as _os
+    from opensearch_spark.pipelines.dedup import dedup_clusters
+
+    sf = _os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    rows = dedup_clusters(spark, sf).collect()
+    assert rows, "expected near-dup clusters in the synthetic corpus"
+    by_rep = {}
+    for r in rows:
+        by_rep.setdefault(r["rep_id"], []).append(r)
+    for rep, members in by_rep.items():
+        ids = [m["doc_id"] for m in members]
+        assert min(ids) == rep
+        assert sum(m["is_rep"] for m in members) == 1
