@@ -31,18 +31,38 @@ Supported subset (documented contract — anything else raises):
   — through :func:`painless_update_to_sql`, used by update_by_query —
   ``ctx._source.field = expr`` mutation with ``ctx._source`` reads.
 
+- COUNTED LOOPS: ``for (init; cond; update) { ... }`` and
+  ``while (cond) { ... }`` whose CONTROL (condition + update) depends
+  only on compile-time constants — literals, params, and variables
+  assigned from them. The symbolic executor tracks constness through
+  arithmetic/comparison/boolean operators and unrolls the loop at
+  transpile time (bounded by ``LOOP_UNROLL_LIMIT``), so the whole
+  script is still ONE Catalyst expression; body statements may read
+  doc values freely. ``i++``/``i--``/``++i`` statements are
+  supported. Data-dependent loop conditions, for-each, break/continue
+  and ``return`` inside a loop raise (those scripts use the Python
+  callable hook). A const-condition ``if``/ternary executes only the
+  taken branch's effects (no dead CASE arms in the unrolled SQL).
+- VALUE METHOD CALLS: the common String methods — ``length contains
+  startsWith endsWith indexOf toLowerCase toUpperCase trim isEmpty
+  replace substring equals`` — plus numeric ``intValue/longValue/
+  doubleValue/floatValue`` map 1:1 to Spark SQL functions; explicit
+  primitive casts ``(int) expr`` etc. apply the same narrowing CAST
+  as declarations.
+
 Numeric semantics follow Spark SQL, not Java: ``/`` is double
 division (Painless truncates for two integers — declare the result
-``int``/``long`` or use Math.floor when porting integer-division
-scripts), there is no integer overflow wrap-around, and a NULL
-``if``/ternary condition takes the else path where Painless would
-throw. Loops, method calls on values, and the full Painless type
-system are out of scope — those scripts use the Python callable hook
-instead (SURVEY §2.10 documented variant).
+``int``/``long``, cast ``(int)``, or use Math.floor when porting
+integer-division scripts), there is no integer overflow wrap-around,
+and a NULL ``if``/ternary/loop condition takes the else/exit path
+where Painless would throw. The full Painless type system, for-each,
+and user-defined functions are out of scope — those scripts use the
+Python callable hook instead (SURVEY §2.10 documented variant).
 """
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Dict, Mapping, Optional
 
@@ -51,7 +71,7 @@ _TOKEN = re.compile(r"""
       (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
     | (?P<str>'(?:[^'\\]|\\.)*')
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op>\?:|&&|\|\||==|!=|<=|>=|\+=|-=|\*=|/=|[-+*/%<>!?:()\[\].,;{}=])
+    | (?P<op>\?:|&&|\|\||\+\+|--|==|!=|<=|>=|\+=|-=|\*=|/=|[-+*/%<>!?:()\[\].,;{}=])
     )""", re.X)
 
 _MATH_FN = {
@@ -69,26 +89,109 @@ class PainlessError(ValueError):
     pass
 
 
+_NO = object()   # sentinel: "not a compile-time constant"
+
 class _E(str):
-    """SQL fragment tagged with 'is this statically known to be a
+    """SQL fragment tagged with (a) 'is this statically known to be a
     String' — Painless overloads ``+`` as concatenation when either
-    operand is a String; Spark's ``+`` would numeric-coerce. Tags
-    originate at string literals, string params and ``String``
-    declarations and propagate through ``+``/``def`` assignment;
-    concatenating two UNTYPED doc values needs an explicit ``String``
-    declaration (documented subset)."""
+    operand is a String; Spark's ``+`` would numeric-coerce — and (b)
+    its compile-time constant value when one is known (literals,
+    params, and arithmetic over them). Constants are what make counted
+    loops transpilable: the unroller decides the loop condition from
+    them. Tags originate at literals, params and ``String``
+    declarations and propagate through operators; concatenating two
+    UNTYPED doc values needs an explicit ``String`` declaration
+    (documented subset)."""
 
     is_str = False
+    const = _NO
 
 
-def _e(sql: str, is_str: bool = False) -> "_E":
+def _e(sql: str, is_str: bool = False, const=_NO) -> "_E":
     out = _E(sql)
     out.is_str = is_str
+    out.const = const
     return out
 
 
 def _is_str(v) -> bool:
     return getattr(v, "is_str", False)
+
+
+def _const(v):
+    return getattr(v, "const", _NO)
+
+
+def _fold_bin(op: str, left, right):
+    """Compile-time value of ``left op right`` under the module's
+    documented numeric semantics (Spark double ``/``, Java-sign ``%``),
+    or _NO. NULL operands never fold (SQL three-valued logic)."""
+    lc, rc = _const(left), _const(right)
+    if lc is _NO or rc is _NO or lc is None or rc is None:
+        return _NO
+    try:
+        if op == "+":
+            if isinstance(lc, str) or isinstance(rc, str):
+                # fold concat only when BOTH sides are strings (Java
+                # number->string formatting is not replicated here)
+                return lc + rc if isinstance(lc, str) \
+                    and isinstance(rc, str) else _NO
+            return lc + rc
+        if op == "-":
+            return lc - rc
+        if op == "*":
+            return lc * rc
+        if op == "/":
+            return lc / rc          # Spark SQL: always double division
+        if op == "%":               # remainder keeps the dividend's sign
+            r = math.fmod(lc, rc)
+            return r if isinstance(lc, float) or isinstance(rc, float) \
+                else int(r)
+        if op == "<":
+            return lc < rc
+        if op == "<=":
+            return lc <= rc
+        if op == ">":
+            return lc > rc
+        if op == ">=":
+            return lc >= rc
+        if op == "==":
+            return lc == rc
+        if op == "!=":
+            return lc != rc
+        if op == "&&":
+            return bool(lc) and bool(rc)
+        if op == "||":
+            return bool(lc) or bool(rc)
+    except Exception:
+        return _NO
+    return _NO
+
+
+def _apply_cast_const(cast: Optional[str], c):
+    """Apply a declaration cast to a known constant (_NO passes
+    through; CAST(NULL AS x) is NULL)."""
+    if c is _NO or c is None or cast is None:
+        return c
+    try:
+        if cast == "BIGINT":
+            return int(math.trunc(c))
+        if cast == "DOUBLE":
+            return float(c)
+    except Exception:
+        return _NO
+    return c
+
+
+def _with_const(sql: str, is_str: bool, c) -> "_E":
+    """Build the _E stored in a variable environment. When the value is
+    a known scalar constant, store the LITERAL as the SQL instead of
+    the accumulated expression — this is what keeps an unrolled loop
+    variable O(1) in the emitted SQL (``i`` appears as ``3``, not as a
+    tower of CAST((... + 1)) fragments)."""
+    if c is not _NO and (c is None or isinstance(c, (bool, int, float, str))):
+        return _e(_lit(c), isinstance(c, str), c)
+    return _e(sql, is_str, c)
 
 
 def _lex(src: str):
@@ -151,6 +254,12 @@ _DECL_CAST = {
 
 _CTX_PREFIX = "ctx._source."
 
+# hard bound on transpile-time loop unrolling: the emitted SQL grows
+# with every doc-dependent accumulation, and Catalyst expression trees
+# a few thousand nodes deep stop being the right tool — a loop that
+# long belongs in the Python callable hook (or an agg)
+LOOP_UNROLL_LIMIT = 1000
+
 
 class _Parser:
     def __init__(self, toks, params: Mapping, score_col: str,
@@ -182,6 +291,11 @@ class _Parser:
             a = self.expr()
             self.take(":")
             b = self.expr()
+            cc = _const(cond)
+            if cc is not _NO and cc is not None:
+                # const condition: the taken branch IS the expression
+                # (both consumed above; no dead CASE arm emitted)
+                return a if cc else b
             return _e(f"(CASE WHEN {cond} THEN {a} ELSE {b} END)",
                       _is_str(a) and _is_str(b))
         return cond
@@ -190,14 +304,18 @@ class _Parser:
         left = self.and_()
         while self.peek()[1] == "||":
             self.take()
-            left = f"({left} OR {self.and_()})"
+            right = self.and_()
+            left = _e(f"({left} OR {right})",
+                      const=_fold_bin("||", left, right))
         return left
 
     def and_(self) -> str:
         left = self.cmp()
         while self.peek()[1] == "&&":
             self.take()
-            left = f"({left} AND {self.cmp()})"
+            right = self.cmp()
+            left = _e(f"({left} AND {right})",
+                      const=_fold_bin("&&", left, right))
         return left
 
     def cmp(self) -> str:
@@ -211,9 +329,13 @@ class _Parser:
             if op in ("==", "!=") and "NULL" in (left, right):
                 other = right if left == "NULL" else left
                 neg = " NOT" if op == "!=" else ""
-                return f"({other} IS{neg} NULL)"
+                oc = _const(other)
+                return _e(f"({other} IS{neg} NULL)",
+                          const=_NO if oc is _NO else
+                          ((oc is None) if op == "==" else (oc is not None)))
             sql_op = {"==": "=", "!=": "<>"}.get(op, op)
-            return f"({left} {sql_op} {right})"
+            return _e(f"({left} {sql_op} {right})",
+                      const=_fold_bin(op, left, right))
         return left
 
     def add(self) -> str:
@@ -222,26 +344,37 @@ class _Parser:
             _k, op = self.take()
             right = self.mul()
             if op == "+" and (_is_str(left) or _is_str(right)):
-                left = _e(f"concat({left}, {right})", True)
+                left = _e(f"concat({left}, {right})", True,
+                          const=_fold_bin("+", left, right))
             else:
-                left = f"({left} {op} {right})"
+                left = _e(f"({left} {op} {right})",
+                          const=_fold_bin(op, left, right))
         return left
 
     def mul(self) -> str:
         left = self.unary()
         while self.peek()[1] in ("*", "/", "%"):
             _k, op = self.take()
-            left = f"({left} {op} {self.unary()})"
+            right = self.unary()
+            left = _e(f"({left} {op} {right})",
+                      const=_fold_bin(op, left, right))
         return left
 
     def unary(self) -> str:
         kind, val = self.peek()
         if val == "!":
             self.take()
-            return f"(NOT {self.unary()})"
+            e = self.unary()
+            c = _const(e)
+            return _e(f"(NOT {e})",
+                      const=_NO if c is _NO or c is None else not c)
         if val == "-":
             self.take()
-            return f"(- {self.unary()})"
+            e = self.unary()
+            c = _const(e)
+            return _e(f"(- {e})",
+                      const=_NO if c is _NO or c is None
+                      or isinstance(c, (str, bool)) else -c)
         return self.atom()
 
     def atom(self) -> str:
@@ -251,33 +384,137 @@ class _Parser:
             # bare 2.5 is DECIMAL in Spark SQL (decimal division/
             # rounding semantics differ) — force DOUBLE
             if "." in val or "e" in val or "E" in val:
-                return f"CAST({val} AS DOUBLE)"
-            return val
+                return self._postfix(
+                    _e(f"CAST({val} AS DOUBLE)", const=float(val)))
+            return self._postfix(_e(val, const=int(val)))
         if kind == "str":
-            return _e(_sql_str(val), True)
+            return self._postfix(_e(_sql_str(val), True, const=val[1:-1]
+                                    .replace("\\'", "'")
+                                    .replace("\\\\", "\\")))
         if kind == "name":
             if val in ("true", "false", "null"):
-                return {"null": "NULL"}.get(val, val)
+                return _e({"null": "NULL"}.get(val, val),
+                          const={"true": True, "false": False,
+                                 "null": None}[val])
             if val == "_score":
-                return f"`{self.score_col}`"
+                return self._postfix(_e(f"`{self.score_col}`"))
             if val == "doc":
-                return self._doc()
+                return self._postfix(self._doc())
             if val == "params":
-                return self._param()
+                return self._postfix(self._param())
             if val == "Math":
                 return self._math()
             if val == "ctx":
-                return self._ctx_read()
+                return self._postfix(self._ctx_read())
             if val in self.env:
-                return self.env[val]
+                return self._postfix(self.env[val])
             raise PainlessError(f"painless: unknown identifier {val!r} "
-                                "(declare it first; loops/methods are "
-                                "out of scope)")
+                                "(declare it first; for-each loops and "
+                                "user functions are out of scope)")
         if val == "(":
+            # explicit primitive cast: (int) expr — same narrowing CAST
+            # as declarations
+            k2, v2 = self.peek()
+            if (k2 == "name" and v2 in _DECL_CAST
+                    and self.toks[self.i + 1][1] == ")"):
+                self.take()
+                self.take(")")
+                operand = self.unary()
+                cast = _DECL_CAST[v2]
+                if cast is None:
+                    return operand
+                return _e(f"CAST({operand} AS {cast})",
+                          const=_apply_cast_const(cast, _const(operand)))
             e = self.expr()
             self.take(")")
-            return e
+            return self._postfix(e)
         raise PainlessError(f"painless: unexpected token {val!r}")
+
+    # value method calls: the common String/number methods map 1:1 to
+    # Spark SQL functions (reference: Painless's allowlisted
+    # java.lang.String methods in modules/lang-painless/src/main/
+    # resources/.../java.lang.txt)
+    def _postfix(self, e):
+        while (self.peek()[1] == "."
+               and self.toks[self.i + 1][0] == "name"
+               and self.toks[self.i + 2][1] == "("):
+            self.take(".")
+            _k, m = self.take()
+            self.take("(")
+            args = []
+            if self.peek()[1] != ")":
+                args.append(self.expr())
+                while self.peek()[1] == ",":
+                    self.take(",")
+                    args.append(self.expr())
+            self.take(")")
+            e = self._method(e, m, args)
+        return e
+
+    def _method(self, r, m: str, args):
+        def fold(fn, *vals):
+            cs = [_const(v) for v in vals]
+            if any(c is _NO or c is None for c in cs):
+                return _NO
+            try:
+                return fn(*cs)
+            except Exception:
+                return _NO
+
+        n = len(args)
+        if m == "length" and n == 0:
+            return _e(f"length({r})", const=fold(len, r))
+        if m == "contains" and n == 1:
+            return _e(f"contains({r}, {args[0]})",
+                      const=fold(lambda a, b: b in a, r, args[0]))
+        if m == "startsWith" and n == 1:
+            return _e(f"startswith({r}, {args[0]})",
+                      const=fold(str.startswith, r, args[0]))
+        if m == "endsWith" and n == 1:
+            return _e(f"endswith({r}, {args[0]})",
+                      const=fold(str.endswith, r, args[0]))
+        if m == "indexOf" and n == 1:
+            # Java indexOf is 0-based with -1 absent; instr is 1-based
+            # with 0 absent
+            return _e(f"(instr({r}, {args[0]}) - 1)",
+                      const=fold(str.find, r, args[0]))
+        if m == "toLowerCase" and n == 0:
+            return _e(f"lower({r})", True, const=fold(str.lower, r))
+        if m == "toUpperCase" and n == 0:
+            return _e(f"upper({r})", True, const=fold(str.upper, r))
+        if m == "trim" and n == 0:
+            return _e(f"trim({r})", True, const=fold(str.strip, r))
+        if m == "isEmpty" and n == 0:
+            return _e(f"(length({r}) = 0)",
+                      const=fold(lambda a: len(a) == 0, r))
+        if m == "replace" and n == 2:
+            # Java String.replace is LITERAL, like Spark's replace()
+            return _e(f"replace({r}, {args[0]}, {args[1]})", True,
+                      const=fold(str.replace, r, args[0], args[1]))
+        if m == "equals" and n == 1:
+            return _e(f"({r} = {args[0]})",
+                      const=fold(lambda a, b: a == b, r, args[0]))
+        if m == "substring" and n in (1, 2):
+            # Java: 0-based begin, end-exclusive; Spark substring is
+            # 1-based with a LENGTH third argument
+            b = args[0]
+            if n == 1:
+                return _e(f"substring({r}, ({b}) + 1)", True,
+                          const=fold(lambda s, i: s[i:], r, b))
+            return _e(f"substring({r}, ({b}) + 1, ({args[1]}) - ({b}))",
+                      True,
+                      const=fold(lambda s, i, j: s[i:j], r, b, args[1]))
+        if m in ("intValue", "longValue") and n == 0:
+            return _e(f"CAST({r} AS BIGINT)",
+                      const=_apply_cast_const("BIGINT", _const(r)))
+        if m in ("doubleValue", "floatValue") and n == 0:
+            return _e(f"CAST({r} AS DOUBLE)",
+                      const=_apply_cast_const("DOUBLE", _const(r)))
+        raise PainlessError(
+            f"painless: unsupported method .{m}/{n} (supported: length, "
+            "contains, startsWith, endsWith, indexOf, toLowerCase, "
+            "toUpperCase, trim, isEmpty, replace, equals, substring, "
+            "intValue, longValue, doubleValue, floatValue)")
 
     def _doc(self) -> str:
         kind, val = self.take()
@@ -316,7 +553,9 @@ class _Parser:
         if name not in self.params:
             raise PainlessError(f"painless: missing param {name!r}")
         v = self.params[name]
-        return _e(_lit(v), isinstance(v, str))
+        return _e(_lit(v), isinstance(v, str),
+                  const=v if v is None
+                  or isinstance(v, (bool, int, float, str)) else _NO)
 
     def _math(self) -> str:
         self.take(".")
@@ -402,10 +641,30 @@ class _Parser:
             if val == ";":          # stray empty statement
                 self.take()
                 continue
-            if val in ("for", "while", "do"):
+            if val in ("for", "while"):
+                self._exec_loop()
+                continue
+            if val == "do":
                 raise PainlessError(
-                    "painless: loops are out of scope (use the Python "
-                    "callable hook)")
+                    "painless: do-while loops are out of scope (rewrite "
+                    "as while, or use the Python callable hook)")
+            if val in ("break", "continue"):
+                raise PainlessError(
+                    "painless: break/continue are out of scope (loops "
+                    "unroll at transpile time — hoist the condition "
+                    "into the loop bound, or use the Python hook)")
+            if val in ("++", "--"):
+                self.take()
+                _k, name = self.take()
+                self._incdec(name, val)
+                self._semi()
+                continue
+            if kind == "name" and self.toks[self.i + 1][1] in ("++", "--"):
+                self.take()
+                _k, op = self.take()
+                self._incdec(val, op)
+                self._semi()
+                continue
             if val == "return":
                 if self.mode == "update":
                     raise PainlessError(
@@ -432,20 +691,7 @@ class _Parser:
                     return pending, br_final
                 continue
             if val in _DECL_CAST and self.toks[self.i + 1][0] == "name":
-                self.take()
-                _k, name = self.take()
-                if name in self.env:
-                    raise PainlessError(
-                        f"painless: variable {name!r} is already declared "
-                        "(Painless forbids redeclaration/shadowing)")
-                self.take("=")
-                e = self.expr()
-                self._semi()
-                self.types[name] = val
-                cast = _DECL_CAST[val]
-                tagged = val == "String" or _is_str(e)
-                self.env[name] = (_e(f"CAST({e} AS {cast})") if cast
-                                  else _e(f"({e})", tagged))
+                self._exec_decl()
                 continue
             if val == "ctx":
                 self.take()
@@ -478,13 +724,46 @@ class _Parser:
                 "painless: a bare expression is only allowed as the "
                 "final (implicitly returned) statement")
 
-    def _assign(self, key: str, is_ctx: bool):
-        """Consume ``(=|+=|-=|*=|/=) expr ;`` and bind into env/ctx."""
+    def _exec_decl(self):
+        """Consume one ``<type> name = expr ;`` declaration."""
+        _k, kw = self.take()
+        _k2, name = self.take()
+        if name in self.env:
+            raise PainlessError(
+                f"painless: variable {name!r} is already declared "
+                "(Painless forbids redeclaration/shadowing)")
+        self.take("=")
+        e = self.expr()
+        self._semi()
+        self.types[name] = kw
+        cast = _DECL_CAST[kw]
+        tagged = kw == "String" or _is_str(e)
+        c = _apply_cast_const(cast, _const(e))
+        self.env[name] = (_with_const(f"CAST({e} AS {cast})", False, c)
+                          if cast else _with_const(f"({e})", tagged, c))
+
+    def _incdec(self, name: str, op: str):
+        """``name++`` / ``name--`` (statement or for-update position)."""
+        if name not in self.env:
+            raise PainlessError(
+                f"painless: increment of undeclared variable {name!r}")
+        cur = self.env[name]
+        decl = self.types.get(name)
+        cast = _DECL_CAST.get(decl) if decl else None
+        one = _e("1", const=1)
+        c = _apply_cast_const(cast, _fold_bin(op[0], cur, one))
+        self.env[name] = _with_const(
+            f"CAST(({cur} {op[0]} 1) AS {cast})" if cast
+            else f"({cur} {op[0]} 1)", False, c)
+
+    def _assign(self, key: str, is_ctx: bool, semi: bool = True):
+        """Consume ``(=|+=|-=|*=|/=) expr [;]`` and bind into env/ctx."""
         _k, op = self.take()
         if op not in ("=", "+=", "-=", "*=", "/="):
             raise PainlessError(f"painless: expected assignment, got {op!r}")
         e = self.expr()
-        self._semi()
+        if semi:
+            self._semi()
         store = self.ctx if is_ctx else self.env
         # the declared type persists across re-assignment: int-family
         # re-applies the truncating cast, String keeps + as concat
@@ -492,16 +771,22 @@ class _Parser:
         decl = None if is_ctx else self.types.get(key)
         cast = _DECL_CAST.get(decl) if decl else None
         if op == "=":
-            new, tag = f"({e})", decl == "String" or _is_str(e)
+            new, tag, c = f"({e})", decl == "String" or _is_str(e), _const(e)
         else:
             cur = (store.get(key, f"`{key[len(_CTX_PREFIX):]}`")
                    if is_ctx else store[key])
             if op == "+=" and (decl == "String" or _is_str(cur)
                                or _is_str(e)):
                 new, tag = f"concat({cur}, {e})", True
+                c = _fold_bin("+", cur, e)
+                if c is not _NO and not isinstance(c, str):
+                    c = _NO
             else:
-                new, tag = f"({cur} {op[0]} {e})", False
-        store[key] = _e(f"CAST({new} AS {cast})") if cast else _e(new, tag)
+                new, tag, c = f"({cur} {op[0]} {e})", False, \
+                    _fold_bin(op[0], cur, e)
+        c = _apply_cast_const(cast, c)
+        store[key] = (_with_const(f"CAST({new} AS {cast})", False, c)
+                      if cast else _with_const(new, tag, c))
 
     def _semi(self):
         """Statement terminator: ';' (optional before '}' / eof)."""
@@ -510,6 +795,166 @@ class _Parser:
             self.take()
         elif kind != "eof" and val != "}":
             raise PainlessError(f"painless: expected ';' before {val!r}")
+
+    # ------------------------------------------------------------------
+    # counted loops: unrolled at transpile time
+
+    def _skip_balanced(self):
+        """self.i at an opening bracket; advance past its match."""
+        opens = []
+        while True:
+            kind, val = self.take()
+            if kind == "eof":
+                raise PainlessError("painless: unbalanced brackets")
+            if val in "([{":
+                opens.append({"(": ")", "[": "]", "{": "}"}[val])
+            elif opens and val == opens[-1]:
+                opens.pop()
+                if not opens:
+                    return
+
+    def _skip_stmt(self):
+        """Advance past one ';'-terminated simple statement."""
+        depth = 0
+        while True:
+            kind, val = self.take()
+            if kind == "eof":
+                raise PainlessError(
+                    "painless: unterminated loop-body statement")
+            if val in "([{":
+                depth += 1
+            elif val in ")]}":
+                depth -= 1
+            elif val == ";" and depth == 0:
+                return
+
+    def _skip_to_close_paren(self):
+        """Advance past the ')' matching an already-consumed '('."""
+        depth = 1
+        while True:
+            kind, val = self.take()
+            if kind == "eof":
+                raise PainlessError("painless: unbalanced loop header")
+            if val in "([{":
+                depth += 1
+            elif val in ")]}":
+                depth -= 1
+                if depth == 0:
+                    return
+
+    def _exec_update_clause(self):
+        """The third clause of a for header: empty | name++ | name-- |
+        ++name | assignment. Ends at the header's ')'."""
+        kind, val = self.peek()
+        if val != ")":
+            if val in ("++", "--"):
+                self.take()
+                _k, name = self.take()
+                self._incdec(name, val)
+            elif kind == "name":
+                self.take()
+                nxt = self.peek()[1]
+                if nxt in ("++", "--"):
+                    self.take()
+                    self._incdec(val, nxt)
+                elif nxt in ("=", "+=", "-=", "*=", "/="):
+                    if val not in self.env:
+                        raise PainlessError(
+                            f"painless: assignment to undeclared "
+                            f"variable {val!r}")
+                    self._assign(val, is_ctx=False, semi=False)
+                else:
+                    raise PainlessError(
+                        "painless: unsupported for-loop update clause")
+            else:
+                raise PainlessError(
+                    "painless: unsupported for-loop update clause")
+        self.take(")")
+
+    def _exec_loop(self):
+        """``for``/``while`` with compile-time-decidable control:
+        symbolically execute the body once per iteration by resetting
+        the token cursor (the unrolled result is still one Catalyst
+        expression). The loop CONDITION (and for-update) must fold to
+        constants — literals, params, and variables assigned from them;
+        body statements may use doc values freely."""
+        _k, kw = self.take()
+        self.take("(")
+        outer = set(self.env)      # for-init declarations are loop-scoped
+        upd_start = None
+        if kw == "for":
+            kind, val = self.peek()
+            if val == ";":
+                self.take()
+            elif val in _DECL_CAST and self.toks[self.i + 1][0] == "name":
+                if self.toks[self.i + 2][1] == ":":
+                    raise PainlessError(
+                        "painless: for-each loops are out of scope "
+                        "(use the Python callable hook)")
+                self._exec_decl()          # consumes the header's ';'
+            elif kind == "name" and self.toks[self.i + 1][1] in (
+                    "=", "+=", "-=", "*=", "/="):
+                self.take()
+                if val not in self.env:
+                    raise PainlessError(
+                        f"painless: assignment to undeclared variable "
+                        f"{val!r}")
+                self._assign(val, is_ctx=False)   # consumes ';'
+            else:
+                raise PainlessError(
+                    "painless: unsupported for-loop initializer")
+            cond_start = self.i
+            self.expr()
+            self.take(";")
+            upd_start = self.i
+            self._skip_to_close_paren()
+        else:
+            cond_start = self.i
+            self.expr()
+            self.take(")")
+        body_start = self.i
+        kind, val = self.peek()
+        if val == "{":
+            self._skip_balanced()
+        elif val in ("if", "for", "while", "do"):
+            raise PainlessError(
+                "painless: brace compound loop bodies ({ ... })")
+        else:
+            self._skip_stmt()
+        body_end = self.i
+
+        n = 0
+        while True:
+            self.i = cond_start
+            c = self.expr()
+            cc = _const(c)
+            if cc is _NO:
+                raise PainlessError(
+                    "painless: loop condition must be compile-time "
+                    "decidable (literals, params, and variables assigned "
+                    "from them) — data-dependent loops use the Python "
+                    "callable hook")
+            if cc is None or not cc:
+                break
+            n += 1
+            if n > LOOP_UNROLL_LIMIT:
+                raise PainlessError(
+                    f"painless: loop exceeds the {LOOP_UNROLL_LIMIT}-"
+                    "iteration unroll limit")
+            self.i = body_start
+            snap = set(self.env)
+            pend, fin = self._exec_branch()
+            if pend or fin is not None:
+                raise PainlessError(
+                    "painless: return inside a loop is out of scope "
+                    "(assign to a declared variable instead)")
+            # body-local declarations are block-scoped per iteration
+            self.env = {k: v for k, v in self.env.items() if k in snap}
+            if upd_start is not None:
+                self.i = upd_start
+                self._exec_update_clause()
+        self.i = body_end
+        self.env = {k: v for k, v in self.env.items() if k in outer}
 
     def _exec_if(self):
         """Execute one if/else-if/else chain. Returns (pending, final)
@@ -520,6 +965,29 @@ class _Parser:
         cond = self.expr()
         self.take(")")
         snap_env, snap_ctx = dict(self.env), dict(self.ctx)
+        cc = _const(cond)
+        if cc is not _NO:
+            # compile-time condition (common in unrolled loop bodies:
+            # `if (i % 2 == 0) ...`): execute only the taken branch's
+            # EFFECTS — both branches still consume their tokens — and
+            # emit no dead CASE arm. A null condition takes else, the
+            # documented variant of Painless's throw.
+            pend_t, final_t = self._exec_branch()
+            env_t, ctx_t = self.env, self.ctx
+            self.env, self.ctx = dict(snap_env), dict(snap_ctx)
+            pend_e, final_e = [], None
+            if self.peek()[1] == "else":
+                self.take()
+                if self.peek()[1] == "if":
+                    pend_e, final_e = self._exec_if()
+                else:
+                    pend_e, final_e = self._exec_branch()
+            env_e, ctx_e = self.env, self.ctx
+            taken = cc is not None and cc
+            env, ctx = (env_t, ctx_t) if taken else (env_e, ctx_e)
+            self.env = {k: v for k, v in env.items() if k in snap_env}
+            self.ctx = ctx
+            return (pend_t, final_t) if taken else (pend_e, final_e)
         pend_t, final_t = self._exec_branch()
         env_t, ctx_t = self.env, self.ctx
         self.env, self.ctx = dict(snap_env), dict(snap_ctx)
@@ -600,9 +1068,24 @@ class _Parser:
                     f"painless: assignment to undeclared variable {val!r}")
             self._assign(val, is_ctx=False)
             return [], None
+        if val in ("++", "--"):
+            self.take()
+            _k, name = self.take()
+            self._incdec(name, val)
+            self._semi()
+            return [], None
+        if kind == "name" and self.toks[self.i + 1][1] in ("++", "--"):
+            self.take()
+            _k, op = self.take()
+            self._incdec(val, op)
+            self._semi()
+            return [], None
+        if val in ("for", "while"):
+            self._exec_loop()
+            return [], None
         raise PainlessError(
             "painless: an unbraced if/else branch must be a return, an "
-            "assignment, or a nested if")
+            "assignment, an increment, a loop, or a nested if")
 
     def _merge(self, cond: str, a: Dict[str, str], b: Dict[str, str],
                snap: Dict[str, str], is_ctx: bool) -> Dict[str, str]:

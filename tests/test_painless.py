@@ -57,10 +57,12 @@ def test_statement_subset_declarations_and_if():
         "if (doc['lang'].value == 'en') { return _score * w; } "
         "else if (doc['lang'].value == 'de') { return _score + w; } "
         "return 0.0;", {"w": 3})
+    # const locals store as their folded literal (keeps unrolled loops
+    # compact): w = params.w * 2 = 6
     assert sql == (
-        "(CASE WHEN (`lang` = 'en') THEN (`score` * ((3 * 2))) "
+        "(CASE WHEN (`lang` = 'en') THEN (`score` * 6) "
         "WHEN ((NOT coalesce((`lang` = 'en'), false)) AND (`lang` = 'de'))"
-        " THEN (`score` + ((3 * 2))) ELSE CAST(0.0 AS DOUBLE) END)")
+        " THEN (`score` + 6) ELSE CAST(0.0 AS DOUBLE) END)")
     # assignment merging across branches, branch-local decls dropped
     sql = painless_to_sql(
         "def b = 0; "
@@ -68,11 +70,13 @@ def test_statement_subset_declarations_and_if():
         "else { b += 2; } "
         "return b;")
     assert "local" not in sql
-    assert sql == ("(CASE WHEN (`lang` = 'en') THEN (1) "
-                   "ELSE ((0) + 2) END)")
+    assert sql == "(CASE WHEN (`lang` = 'en') THEN 1 ELSE 2 END)"
     # int declaration truncates like Painless's narrowing cast
-    assert painless_to_sql("int h = 5 / 2; return h;") == \
-        "CAST((5 / 2) AS BIGINT)"
+    # (folded at transpile time: trunc(5 / 2) = 2)
+    assert painless_to_sql("int h = 5 / 2; return h;") == "2"
+    assert painless_to_sql(
+        "int h = doc['n_chars'].value / 2; return h;") == \
+        "CAST((`n_chars` / 2) AS BIGINT)"
 
 
 def test_statement_unbraced_and_implicit_tail():
@@ -86,7 +90,7 @@ def test_string_concat_tagging():
         "concat('v=', `lang`)"
     assert painless_to_sql(
         "String s = 'v='; return s + doc['lang'].value;") == \
-        "concat(('v='), `lang`)"
+        "concat('v=', `lang`)"
     assert painless_to_sql("return params.p + 1;", {"p": "x"}) == \
         "concat('x', 1)"
     # numeric + stays arithmetic
@@ -103,7 +107,7 @@ def test_update_script_transpile():
         "ctx._source.n_chars = ctx._source.n_chars + 12;",
         {"sfx": " pmark"})
     assert m["text"] == ("(CASE WHEN ((`n_chars` % 2) = 0) THEN "
-                         "(concat(`text`, (' pmark'))) ELSE `text` END)")
+                         "(concat(`text`, ' pmark')) ELSE `text` END)")
     assert m["n_chars"] == "((`n_chars` + 12))"
     for bad in ("return 1;", "def x = 1;",
                 "ctx._source.f = doc['g'].value; return 1;"):
@@ -171,9 +175,12 @@ def test_declared_type_persists_across_reassignment():
         "return s + doc['lang'].value;")
     assert sql.startswith("concat((CASE WHEN")
     # int-family re-applies the truncating cast on re-assignment
-    assert painless_to_sql("int h = 5; h = 7 / 2; return h;") == \
-        "CAST(((7 / 2)) AS BIGINT)"
-    assert "CAST" in painless_to_sql("int h = 5; h += 1; return h;")
+    # (const-folded here: trunc(7 / 2) = 3)
+    assert painless_to_sql("int h = 5; h = 7 / 2; return h;") == "3"
+    assert painless_to_sql(
+        "int h = doc['n_chars'].value; h = h / 2; return h;") == \
+        "CAST(((CAST(`n_chars` AS BIGINT) / 2)) AS BIGINT)"
+    assert painless_to_sql("int h = 5; h += 1; return h;") == "6"
     # redeclaration raises (Painless forbids shadowing)
     with pytest.raises(PainlessError, match="already declared"):
         painless_to_sql("def x = 1; def x = 2; return x;")
@@ -239,3 +246,99 @@ def test_update_script_can_add_new_source_field(spark, tmp_path):
     assert res["updated"] == 5
     for i in range(10):
         assert rows[i] == (None if i % 2 else 1)
+
+
+def test_counted_loop_unrolls_to_one_expression():
+    # for with const bound: unrolled, loop var emitted as literals
+    sql = painless_to_sql(
+        "double total = 0; "
+        "for (int i = 1; i <= 3; i++) { total += _score / i; } "
+        "return total;")
+    assert "`score` / 1" in sql and "`score` / 3" in sql
+    assert "CASE" not in sql
+    # param-bound while with body increment
+    sql = painless_to_sql(
+        "int i = 0; double t = 0; "
+        "while (i < params.n) { t += doc['x'].value * i; i++; } return t;",
+        {"n": 3})
+    assert "(`x` * 0)" in sql and "(`x` * 2)" in sql
+    # zero-iteration loop: body skipped entirely
+    assert painless_to_sql(
+        "double t = 5.0; for (int i = 0; i < 0; i++) { t += _score; } "
+        "return t;") == "CAST(5.0 AS DOUBLE)"
+    # const-if inside the body prunes dead arms per iteration
+    sql = painless_to_sql(
+        "double t = 0; for (int i = 0; i < 4; i++) "
+        "{ if (i % 2 == 0) { t += doc['x'].value; } } return t;")
+    assert sql.count("`x`") == 2 and "CASE" not in sql
+    # the loop variable is loop-scoped (Java/Painless)
+    with pytest.raises(PainlessError, match="unknown identifier"):
+        painless_to_sql(
+            "for (int i = 0; i < 2; i++) { } return i;")
+
+
+def test_loop_error_paths():
+    cases = [
+        "for (int i = 0; i < doc['n_chars'].value; i++) { } return 1;",
+        "for (int i = 0; i < 2000; i++) { } return 1;",
+        "for (def v : doc['s']) { } return 1;",
+        "for (int i = 0; i < 3; i++) { break; } return 1;",
+        "for (int i = 0; i < 3; i++) { return i; } return 1;",
+        "do { } while (false); return 1;",
+    ]
+    for bad in cases:
+        with pytest.raises(PainlessError):
+            painless_to_sql(bad)
+
+
+def test_string_methods_transpile():
+    assert painless_to_sql(
+        "return doc['lang'].value.toLowerCase().contains('n') ? 1 : 0;"
+    ) == "(CASE WHEN contains(lower(`lang`), 'n') THEN 1 ELSE 0 END)"
+    assert painless_to_sql("return doc['text'].value.length();") == \
+        "length(`text`)"
+    assert painless_to_sql("return doc['text'].value.substring(1, 3);") == \
+        "substring(`text`, (1) + 1, (3) - (1))"
+    assert painless_to_sql("return doc['text'].value.indexOf('x');") == \
+        "(instr(`text`, 'x') - 1)"
+    assert painless_to_sql(
+        "return doc['lang'].value.startsWith(params.p);", {"p": "e"}) == \
+        "startswith(`lang`, 'e')"
+    # const receivers fold (usable in loop bounds)
+    sql = painless_to_sql(
+        "int n = params.t.length(); double s = 0; "
+        "for (int i = 0; i < n; i++) { s += _score; } return s;",
+        {"t": "abc"})
+    assert sql.count("`score`") == 3
+    with pytest.raises(PainlessError, match="unsupported method"):
+        painless_to_sql("return doc['text'].value.hashCode();")
+
+
+def test_explicit_primitive_cast():
+    # (int) truncates like a declaration; (def)/(String) are no-ops
+    assert painless_to_sql("return (int)(_score * 2);") == \
+        "CAST((`score` * 2) AS BIGINT)"
+    assert painless_to_sql("return (int)(7.9);") == \
+        "CAST(CAST(7.9 AS DOUBLE) AS BIGINT)"
+    assert painless_to_sql("return (def)(_score);") == "`score`"
+
+
+def test_loop_and_method_values(spark):
+    """Value-level check through Catalyst: harmonic sum loop + method
+    predicate computed by Spark equals the Python reference."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 4.0, "Node"), (2, 10.0, "leaf")],
+        "id long, score double, s string")
+    sql = painless_to_sql(
+        "double total = 0; "
+        "for (int i = 1; i <= 4; i++) { total += _score / i; } "
+        "if (doc['s'].value.toLowerCase().startsWith('n')) "
+        "{ total = total * 2; } "
+        "return total;")
+    got = {r["id"]: r["v"] for r in
+           df.select("id", F.expr(sql).alias("v")).collect()}
+    h = 1 + 1 / 2 + 1 / 3 + 1 / 4
+    assert got[1] == pytest.approx(4.0 * h * 2, rel=1e-12)
+    assert got[2] == pytest.approx(10.0 * h, rel=1e-12)

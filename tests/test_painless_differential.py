@@ -338,3 +338,121 @@ def test_painless_update_differential(spark):
             ctx["m"] = ctx["n"] * 2 + b_f(base, {})
             assert row["n"] == pytest.approx(ctx["n"], rel=1e-9), src
             assert row["m"] == pytest.approx(ctx["m"], rel=1e-9), src
+
+
+def test_painless_loops_differential(spark):
+    """Counted-loop differential: randomly generated accumulation loops
+    (const bounds, doc-dependent bodies, optional const-guarded if)
+    transpile-unroll to one expression that matches a direct Python
+    execution of the loop."""
+    rng = random.Random(777)
+    params = {"p": 3, "q": 2.5, "t": "zz"}
+    rows = []
+    for i in range(10):
+        rows.append((i - 3, (i * 5) % 9 - 2, round(rng.uniform(-2, 5), 3),
+                     rng.choice(STR_POOL), round(rng.uniform(0.1, 4), 4)))
+    df = spark.createDataFrame(
+        rows, "n long, m long, x double, s string, score double")
+    pdf_rows = [dict(zip(["n", "m", "x", "s", "score"], t)) for t in rows]
+
+    gen = Gen(rng, params)
+    scripts = []
+    for _ in range(25):
+        a = rng.randint(0, 2)
+        b = a + rng.randint(0, 4)
+        env_types = {"acc": "num", "i": "num"}
+        init_s, init_f = gen.num(0, {})
+        body_s, body_f = gen.num(0, env_types)
+        use_if = rng.random() < 0.5
+        use_while = rng.random() < 0.3
+        if use_while:
+            header = (f"int i = {a}; double acc = {init_s}; "
+                      f"while (i < {b})")
+            update = " i++; "
+        else:
+            header = (f"double acc = {init_s}; "
+                      f"for (int i = {a}; i < {b}; i++)")
+            update = ""
+        if use_if:
+            body = (f"{{ if (i % 2 == 0) {{ acc += {body_s}; }} "
+                    f"else {{ acc -= {body_s}; }}{update} }}")
+        else:
+            body = f"{{ acc += {body_s};{update} }}"
+        src = f"{header} {body} return acc;"
+
+        def run(row, a=a, b=b, init_f=init_f, body_f=body_f,
+                use_if=use_if):
+            env = {"acc": float(init_f(row, {}))}
+            for i in range(a, b):
+                env["i"] = i
+                v = body_f(row, env)
+                if use_if and i % 2 == 1:
+                    env["acc"] = float(env["acc"] - v)
+                else:
+                    env["acc"] = float(env["acc"] + v)
+            return env["acc"]
+
+        scripts.append((src, run))
+
+    from pyspark.sql import functions as F
+
+    sqls = [painless_to_sql(src, params) for src, _run in scripts]
+    out = df.select(
+        *[F.expr(sql).alias(f"e{i}") for i, sql in enumerate(sqls)]
+    ).collect()
+    for ri, row in enumerate(out):
+        for i, (src, run) in enumerate(scripts):
+            want = run(pdf_rows[ri])
+            got = row[f"e{i}"]
+            assert got == pytest.approx(want, rel=1e-9, abs=1e-9), (
+                src, sqls[i], pdf_rows[ri], got, want)
+
+
+def test_painless_methods_differential(spark):
+    """String/number method calls: Catalyst evaluation equals the Java
+    semantics (0-based indexOf, end-exclusive substring, literal
+    replace, truncating casts)."""
+    import math as _math
+
+    cases = [
+        ("doc['s'].value.contains('a') ? 1 : 0",
+         lambda r: 1 if "a" in r["s"] else 0),
+        ("doc['s'].value.startsWith('b') ? 1 : 0",
+         lambda r: 1 if r["s"].startswith("b") else 0),
+        ("doc['s'].value.endsWith('c') ? 1 : 0",
+         lambda r: 1 if r["s"].endswith("c") else 0),
+        ("doc['s'].value.length() + 1", lambda r: len(r["s"]) + 1),
+        ("doc['s'].value.indexOf('b')", lambda r: r["s"].find("b")),
+        ("doc['s'].value.toUpperCase()", lambda r: r["s"].upper()),
+        ("doc['s'].value.substring(1)", lambda r: r["s"][1:]),
+        ("doc['s'].value.substring(0, 1)", lambda r: r["s"][0:1]),
+        ("doc['s'].value.replace('a', 'xy')",
+         lambda r: r["s"].replace("a", "xy")),
+        ("doc['s'].value.isEmpty() ? 1 : 0",
+         lambda r: 1 if len(r["s"]) == 0 else 0),
+        ("doc['s'].value.equals('aa') ? 3 : 4",
+         lambda r: 3 if r["s"] == "aa" else 4),
+        ("('  ' + doc['s'].value).trim()", lambda r: r["s"].strip()),
+        ("(int)(doc['x'].value)", lambda r: int(_math.trunc(r["x"]))),
+        ("doc['x'].value.intValue()", lambda r: int(_math.trunc(r["x"]))),
+        ("doc['n'].value.doubleValue() / 2", lambda r: r["n"] / 2),
+    ]
+    rows = [(i - 3, round((i * 1.7) - 4.3, 3), s)
+            for i, s in enumerate(STR_POOL + ["", "abc", "aXa", "cba"])]
+    df = spark.createDataFrame(rows, "n long, x double, s string")
+    pdf_rows = [dict(zip(["n", "x", "s"], t)) for t in rows]
+
+    from pyspark.sql import functions as F
+
+    sqls = [painless_to_sql(src) for src, _f in cases]
+    out = df.select(
+        *[F.expr(sql).alias(f"e{i}") for i, sql in enumerate(sqls)]
+    ).collect()
+    for ri, row in enumerate(out):
+        for i, (src, f) in enumerate(cases):
+            want = f(pdf_rows[ri])
+            got = row[f"e{i}"]
+            if isinstance(want, float):
+                assert got == pytest.approx(want, rel=1e-12), (src, got)
+            else:
+                assert got == want, (src, sqls[i], pdf_rows[ri], got, want)
