@@ -527,10 +527,12 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
     (Kiveris et al., "Connected Components in MapReduce and Beyond").
 
     Scale notes (100 TB):
-    - each round is two hash joins + one groupBy on node id — all
-      shuffles on the same key, so AQE reuses the exchange layout;
-      nothing is ever collected to the driver except the 1-row
-      convergence count.
+    - the edge set (the big frame) is hash-partitioned ONCE on ``d`` —
+      the per-round neighbor-join key — and localCheckpoint preserves
+      that layout, so each round only shuffles the node-sized label
+      frame (to ``d`` for the join, to ``s`` for the min, to ``rep``
+      for the pointer jump); the edges never move again. Nothing is
+      collected to the driver except the 1-row convergence count.
     - lineage is truncated every round with ``localCheckpoint`` —
       REQUIRED for iterative DataFrame loops (an unchecked loop builds
       a plan tree that grows exponentially with rounds and stalls the
@@ -545,7 +547,7 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b",
     sym = edges.select(F.col(a).alias("s"), F.col(b).alias("d")).unionByName(
         edges.select(F.col(b).alias("s"), F.col(a).alias("d"))
     )
-    sym = sym.repartition("s").localCheckpoint(eager=True)
+    sym = sym.repartition("d").localCheckpoint(eager=True)
     lab = (
         sym.select(F.col("s").alias("id")).distinct()
         .select("id", F.col("id").alias("rep"))

@@ -115,6 +115,13 @@ def combine_scores(
         )
         tagged = t if tagged is None else tagged.unionByName(t)
 
+    # The retrieved set is traversed twice (stats reduce + normalize
+    # join); without a persist every sub-query's full retrieval plan
+    # executes twice. Size is bounded by the retrieved sets, and Spark
+    # evicts LRU cache blocks under pressure, so this degrades
+    # gracefully rather than leaking.
+    tagged = tagged.persist()
+
     stats = tagged.groupBy("qid").agg(
         F.min("score").alias("mn"),
         F.max("score").alias("mx"),
@@ -135,9 +142,13 @@ def combine_scores(
     if combination == "arithmetic_mean":
         combined = F.sum(F.col("w") * F.col("nscore")) / F.lit(total_w)
     elif combination == "geometric_mean":
+        # pos_w is NULL when no nscore is positive, and 0.0 (non-null!)
+        # when every positive-scored sub-query carries weight 0 — both
+        # must short-circuit to 0.0 or the division aborts the job
+        # under ANSI mode.
         pos_w = F.sum(F.when(F.col("nscore") > 0, F.col("w")))
         combined = F.when(
-            pos_w.isNull(), F.lit(0.0)
+            pos_w.isNull() | (pos_w == 0.0), F.lit(0.0)
         ).otherwise(
             F.exp(
                 F.sum(
@@ -149,7 +160,7 @@ def combine_scores(
     else:  # harmonic_mean
         pos_w = F.sum(F.when(F.col("nscore") > 0, F.col("w")))
         combined = F.when(
-            pos_w.isNull(), F.lit(0.0)
+            pos_w.isNull() | (pos_w == 0.0), F.lit(0.0)
         ).otherwise(
             pos_w / F.sum(
                 F.when(F.col("nscore") > 0, F.col("w") / F.col("nscore"))

@@ -147,21 +147,36 @@ def _fold_bin(op: str, left, right):
             r = math.fmod(lc, rc)
             return r if isinstance(lc, float) or isinstance(rc, float) \
                 else int(r)
-        if op == "<":
-            return lc < rc
-        if op == "<=":
-            return lc <= rc
-        if op == ">":
-            return lc > rc
-        if op == ">=":
-            return lc >= rc
-        if op == "==":
-            return lc == rc
-        if op == "!=":
+        if op in ("<", "<=", ">", ">=", "==", "!="):
+            # Fold comparisons only on like-kinded operands: Spark SQL
+            # COERCES a mixed string/number comparison to numeric
+            # (1 = '1' is true) while Python says False — folding there
+            # would silently change the emitted answer. Strings fold
+            # only for (in)equality (ordering is locale/byte-order
+            # territory); everything else must be both-numeric/bool.
+            ls, rs = isinstance(lc, str), isinstance(rc, str)
+            if ls != rs:
+                return _NO
+            if ls and op not in ("==", "!="):
+                return _NO
+            if op == "<":
+                return lc < rc
+            if op == "<=":
+                return lc <= rc
+            if op == ">":
+                return lc > rc
+            if op == ">=":
+                return lc >= rc
+            if op == "==":
+                return lc == rc
             return lc != rc
         if op == "&&":
+            if isinstance(lc, str) or isinstance(rc, str):
+                return _NO
             return bool(lc) and bool(rc)
         if op == "||":
+            if isinstance(lc, str) or isinstance(rc, str):
+                return _NO
             return bool(lc) or bool(rc)
     except Exception:
         return _NO
@@ -269,6 +284,10 @@ class _Parser:
         self.params = params
         self.score_col = score_col
         self.mode = mode          # "score" | "update"
+        self.unrolled = 0         # TOTAL body executions across ALL
+        #                           loops incl. nesting (a per-loop
+        #                           bound lets nested loops multiply
+        #                           to unbounded transpile work)
         self.env: Dict[str, str] = {}   # local var -> SQL expr
         self.ctx: Dict[str, str] = {}   # source field -> pending SQL expr
         self.types: Dict[str, str] = {}  # local var -> declared keyword
@@ -937,10 +956,12 @@ class _Parser:
             if cc is None or not cc:
                 break
             n += 1
-            if n > LOOP_UNROLL_LIMIT:
+            self.unrolled += 1
+            if self.unrolled > LOOP_UNROLL_LIMIT:
                 raise PainlessError(
-                    f"painless: loop exceeds the {LOOP_UNROLL_LIMIT}-"
-                    "iteration unroll limit")
+                    f"painless: script exceeds the {LOOP_UNROLL_LIMIT}-"
+                    "iteration total unroll budget (nested loop trip "
+                    "counts multiply)")
             self.i = body_start
             snap = set(self.env)
             pend, fin = self._exec_branch()
@@ -987,7 +1008,16 @@ class _Parser:
             env, ctx = (env_t, ctx_t) if taken else (env_e, ctx_e)
             self.env = {k: v for k, v in env.items() if k in snap_env}
             self.ctx = ctx
-            return (pend_t, final_t) if taken else (pend_e, final_e)
+            pend, fin = (pend_t, final_t) if taken else (pend_e, final_e)
+            if fin is not None and (final_t is None or final_e is None):
+                # Const-folding must not tighten reachability: when the
+                # chain does NOT structurally return on every branch
+                # (e.g. a const-true if with no else), Painless still
+                # allows trailing code. Keep the taken return as an
+                # always-true early-return guard; Catalyst's
+                # SimplifyConditionals folds the CASE away.
+                return pend + [("true", fin)], None
+            return pend, fin
         pend_t, final_t = self._exec_branch()
         env_t, ctx_t = self.env, self.ctx
         self.env, self.ctx = dict(snap_env), dict(snap_ctx)

@@ -128,3 +128,17 @@ def test_knn_requires_embedding_frame(spark, sf_dir):
     eng = entry._engine(spark, sf_dir)
     with pytest.raises(ValueError):
         hybrid_search(eng, [], knn={"query_vector": [1.0], "k": 5})
+
+
+def test_zero_weight_positive_scores_combine_to_zero(spark):
+    """Review r5 round 2: pos_w can be 0.0 (non-null) when every
+    positive-scored sub-query carries weight 0 — must yield 0.0, not a
+    DIVIDE_BY_ZERO abort under ANSI mode."""
+    a = _scored(spark, [(1, 1.0), (2, 2.0)])   # min_max: 1->0, 2->1
+    b = _scored(spark, [(2, 1.0), (3, 3.0), (9, 5.0)])
+    for comb in ("geometric_mean", "harmonic_mean"):
+        out = _as_map(
+            combine_scores([a, b], weights=[0.0, 1.0], combination=comb))
+        # doc2 is positive ONLY in zero-weight a (b min_max -> 0)
+        assert out[2] == pytest.approx(0.0)
+        assert out[9] == pytest.approx(1.0)

@@ -342,3 +342,57 @@ def test_loop_and_method_values(spark):
     h = 1 + 1 / 2 + 1 / 3 + 1 / 4
     assert got[1] == pytest.approx(4.0 * h * 2, rel=1e-12)
     assert got[2] == pytest.approx(10.0 * h, rel=1e-12)
+
+
+def test_const_taken_return_allows_trailing_code():
+    """Review r5 round 2: const-folding an if whose taken branch
+    returns must not reject structurally-reachable trailing code."""
+    sql = painless_to_sql(
+        "if (params.debug) { return 0.0; } return _score;",
+        {"debug": True})
+    assert "CASE WHEN true THEN" in sql and "`score`" in sql
+    # const-false with an else that returns: same shape
+    sql = painless_to_sql(
+        "if (params.debug) { return 0.0; } else { return 1.0; } ",
+        {"debug": False})
+    assert sql == "CAST(1.0 AS DOUBLE)"
+    # structural both-branches-return + trailing code is STILL an error
+    with pytest.raises(PainlessError, match="unreachable"):
+        painless_to_sql(
+            "if (params.debug) { return 0.0; } else { return 1.0; } "
+            "return 2.0;", {"debug": True})
+    # a script that can fall off the end still fails
+    with pytest.raises(PainlessError, match="not every path"):
+        painless_to_sql("if (params.debug) { return 0.0; }",
+                        {"debug": True})
+
+
+def test_mixed_type_comparison_never_folds():
+    """Review r5 round 2: Python 1 == '1' is False but Spark coerces
+    the string and says true — mixed-kind comparisons must reach
+    Catalyst unfolded so const and non-const paths agree."""
+    sql = painless_to_sql("return params.a == '1' ? 10 : 20;", {"a": 1})
+    assert "(1 = '1')" in sql
+    sql = painless_to_sql("return params.a < '10' ? 1 : 2;", {"a": 9})
+    assert "(9 < '10')" in sql
+    # string ordering never folds either (both-string equality does)
+    sql = painless_to_sql("return params.a < params.b ? 1 : 2;",
+                          {"a": "x", "b": "y"})
+    assert "'x' < 'y'" in sql
+    assert painless_to_sql("return params.a == params.b ? 1 : 2;",
+                           {"a": "x", "b": "x"}) == "1"
+
+
+def test_nested_loop_total_unroll_budget():
+    """Review r5 round 2: the unroll limit counts TOTAL iterations
+    across nesting — 100x100 must raise, not transpile 10^4 bodies."""
+    with pytest.raises(PainlessError, match="total unroll budget"):
+        painless_to_sql(
+            "double t = 0; for (int a = 0; a < 100; a++) "
+            "{ for (int b = 0; b < 100; b++) { t += _score; } } "
+            "return t;")
+    # a single loop at the limit still works
+    sql = painless_to_sql(
+        "double t = 0; for (int i = 0; i < 50; i++) { t += _score; } "
+        "return t;")
+    assert sql.count("`score`") == 50
