@@ -713,8 +713,12 @@ class SearchEngine:
             if cached is not None:
                 return cached
         node = dsl_mod.parse(query) if isinstance(query, dict) else dsl_mod.normalize(query)
+        # terminate_after selects per-segment docId-order heads from the
+        # FULL matched set; the pruned top-k program over-fetches only
+        # score-ordered heads, so it must not feed it
         prune = (sort is None and search_after is None and from_ == 0
-                 and collapse is None and slice_ is None)
+                 and collapse is None and slice_ is None
+                 and terminate_after is None)
         df = self._search_topk_program(node, k) if prune else None
         if df is None:
             df = self.compile(node, topk=k if prune else None)
@@ -730,7 +734,23 @@ class SearchEngine:
                 F.pmod(F.xxhash64(F.col("docId")), F.lit(smax)) == F.lit(sid)
             )
         if terminate_after is not None:
-            df = df.limit(int(terminate_after))
+            # Deterministic early termination (reference:
+            # EarlyTerminatingCollector, wired through terminate_after
+            # in SearchSourceBuilder): each SEGMENT collects its
+            # matching docs in docId order and stops after N — exactly
+            # Lucene's per-leaf collection order, so the result is
+            # reproducible (and SQL-expressible) instead of an
+            # arbitrary LIMIT sample. Total hits can reach
+            # N * n_segments, matching the reference's per-shard cap.
+            from pyspark.sql import Window
+
+            w_ta = Window.partitionBy("seg").orderBy(F.asc("docId"))
+            df = (
+                df.join(self.docstats.select("docId", "seg"), "docId")
+                .withColumn("_ta", F.row_number().over(w_ta))
+                .where(F.col("_ta") <= int(terminate_after))
+                .drop("_ta", "seg")
+            )
         if collapse is not None:
             from pyspark.sql import Window
 
@@ -1650,6 +1670,37 @@ class SearchEngine:
         )
         with ThreadPoolExecutor(max_workers=int(max_concurrent)) as pool:
             return list(pool.map(run, batches))
+
+    def count_frame(self, query: dict | A.AnyNode) -> DataFrame:
+        """``_count`` as a 1-row DataFrame ``(total: bigint)`` —
+        the count of live docs matching ``query`` (reference: the
+        `_count` endpoint, RestCountAction.java). The DataFrame form of
+        :meth:`count` for callers composing plans: the match predicate
+        + a partial-aggregated COUNT — no top-k heap, no fetch phase,
+        nothing driver-side but the single row. (:meth:`count` itself
+        additionally takes a no-scoring postings shortcut for plain
+        match queries and returns the int.)"""
+        node = (dsl_mod.parse(query) if isinstance(query, dict)
+                else dsl_mod.normalize(query))
+        return self.compile(node).agg(
+            F.count(F.lit(1)).cast("long").alias("total"))
+
+    def mget(self, ids: Sequence[int],
+             source_includes: Sequence[str] | None = None) -> DataFrame:
+        """``_mget`` — fetch live docs by id (reference: the `_mget`
+        endpoint, ``action/get/TransportMultiGetAction.java``). Returns
+        one row per FOUND id with ``docId`` + the requested source
+        columns (default: all); deleted and unknown ids produce no row
+        (the reference marks them ``found: false``). The id set is a
+        broadcast-able literal IN-list, so the corpus scan prunes on
+        docId min/max — a point-lookup, not a shuffle."""
+        if self.corpus is None:
+            raise ValueError("mget needs an attached corpus")
+        cols = list(source_includes) if source_includes is not None else [
+            c for c in self.corpus.columns if c != "docId"]
+        df = self.corpus.where(
+            F.col("docId").isin([int(i) for i in ids]))
+        return self._live(df).select("docId", *cols)
 
     def _msearch_build(self, queries: Sequence[dict], k: int) -> DataFrame:
         from pyspark.sql import Window

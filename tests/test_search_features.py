@@ -82,8 +82,26 @@ def test_scroll_is_exhaustive_and_disjoint(eng):
 
 
 def test_terminate_after_bounds_work(eng):
-    n = eng.search(Q, k=10000, terminate_after=7).count()
-    assert n <= 7
+    # per-SEGMENT early termination in docId order (deterministic):
+    # each segment contributes its N smallest matching docIds
+    full = {int(r["docId"])
+            for r in eng.search(Q, k=10000).collect()}
+    got = [int(r["docId"])
+           for r in eng.search(Q, k=10000, terminate_after=7).collect()]
+    n_segs = eng.docstats.select("seg").distinct().count()
+    assert 0 < len(got) <= 7 * n_segs
+    assert set(got) <= full
+    seg_of = {int(r["docId"]): int(r["seg"])
+              for r in eng.docstats.select("docId", "seg").collect()}
+    per_seg: dict = {}
+    for d in sorted(full):
+        per_seg.setdefault(seg_of[d], []).append(d)
+    expect = {d for ds in per_seg.values() for d in ds[:7]}
+    assert set(got) == expect
+    # deterministic across runs
+    again = [int(r["docId"])
+             for r in eng.search(Q, k=10000, terminate_after=7).collect()]
+    assert sorted(got) == sorted(again)
 
 
 def test_explain_breakdown(eng):
@@ -701,3 +719,29 @@ def test_match_only_text_docs_index(spark, tmp_path):
     with pytest.raises(ValueError):
         eng.search({"match_phrase": {"text": {"query": "beta alpha",
                                               "slop": 1}}}, k=10)
+
+
+def test_count_matches_search_total(eng):
+    total = eng.count(Q)
+    assert total == eng.search(Q, k=10000).count() > 0
+    frame = eng.count_frame(Q)
+    assert frame.columns == ["total"]
+    assert int(frame.collect()[0]["total"]) == total
+
+
+def test_mget_point_lookup_and_deletes(spark, tmp_path):
+    pdf = generate_corpus(200, seed=11)
+    corpus = spark.createDataFrame(pdf)
+    out = str(tmp_path / "mgetix")
+    build_index(spark, corpus, out, n_segments=4, shuffle_partitions=8)
+    eng = SearchEngine(spark, out, corpus=corpus)
+    ids = sorted(int(r["docId"])
+                 for r in eng.docstats.select("docId").limit(4).collect())
+    got = eng.mget(ids + [123], source_includes=["lang"]).collect()
+    # unknown ids produce no row; source filtering applies
+    assert {int(r["docId"]) for r in got} == set(ids)
+    assert set(got[0].asDict()) == {"docId", "lang"}
+    # deleted docs drop out of mget (the live filter)
+    eng.delete(ids[:1])
+    left = {int(r["docId"]) for r in eng.mget(ids).collect()}
+    assert left == set(ids[1:])
