@@ -105,7 +105,9 @@ WHITESPACE_PATTERN = re.compile(r"\S+")
 def duckdb_tokens_expr(analyzer: str = "standard", col: str = "content") -> str:
     """DuckDB SQL expression producing the token LIST for ``col`` under
     the named analyzer (used by the segment-local index build and the
-    SQL oracles — one dialect, same tokens as ``tokenize``)."""
+    SQL oracles — one dialect, same tokens as ``tokenize``, INCLUDING
+    the 255-char max_token_length split, so the zero-shuffle build path
+    and the Python/wave path index long tokens identically)."""
     if analyzer == "keyword":
         # empty/NULL content -> NO tokens (matching tokenize/tokens_udf),
         # not a one-element ['']/[NULL] list
@@ -113,7 +115,30 @@ def duckdb_tokens_expr(analyzer: str = "standard", col: str = "content") -> str:
                 f"ELSE [{col}] END")
     if analyzer == "whitespace":
         return f"regexp_extract_all({col}, '\\S+')"
-    return f"regexp_extract_all(lower({col}), '{duckdb_token_regex()}')"
+    raw = f"regexp_extract_all(lower({col}), '{duckdb_token_regex()}')"
+    m = MAX_TOKEN_LENGTH
+    return (
+        f"flatten(list_transform({raw}, t -> "
+        f"CASE WHEN length(t) <= {m} THEN [t] "
+        f"ELSE list_transform(range(CAST(ceil(length(t) / {m}.0) AS BIGINT)), "
+        f"i -> substring(t, CAST(1 + i * {m} AS BIGINT), {m})) END))"
+    )
+
+
+def spark_sql_tokens_expr(col: str) -> str:
+    """Spark SQL expression producing the standard-analyzer token LIST
+    for ``col`` — regex from :func:`spark_sql_token_regex` plus the
+    same 255-char long-token split as ``tokenize``. The ONE source for
+    every F.expr-embedded re-tokenization (source-verified phrases),
+    kept in lockstep with the index build."""
+    m = MAX_TOKEN_LENGTH
+    raw = f"regexp_extract_all(lower({col}), '{spark_sql_token_regex()}', 0)"
+    return (
+        f"flatten(transform({raw}, t -> "
+        f"CASE WHEN length(t) <= {m} THEN array(t) "
+        f"ELSE transform(sequence(0, CAST((length(t) - 1) / {m} AS INT)), "
+        f"i -> substring(t, i * {m} + 1, {m})) END))"
+    )
 
 
 def tokenize_pandas(texts: pd.Series) -> pd.Series:

@@ -16,7 +16,11 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
-from opensearch_spark.analysis.analyzer import duckdb_token_regex, tokenize
+from opensearch_spark.analysis.analyzer import (
+    duckdb_token_regex,
+    duckdb_tokens_expr,
+    tokenize,
+)
 from opensearch_spark.analysis.smallfloat import quantize_breakpoints
 
 K1 = 1.2
@@ -34,16 +38,17 @@ def _qlit(s: str) -> str:
 def base_ctes(table: str = TABLE) -> str:
     """Shared CTEs: tok (doc_id, term, pos), dl, dlq (quantized), gl
     (docCount N + avgdl), tf, dfreq. ``table`` may name a prior CTE
-    (e.g. a filtered corpus for reindex oracles)."""
-    rx = _qlit(duckdb_token_regex())
+    (e.g. a filtered corpus for reindex oracles). The token list comes
+    from :func:`duckdb_tokens_expr`, so the 255-char max_token_length
+    split matches the index build exactly (positions re-number over
+    the split stream, as in ``tokenize``)."""
+    tl = duckdb_tokens_expr("standard", col=TEXT)
     bps = quantize_breakpoints(1 << 20)
     qvals = ", ".join(f"({v})" for v in bps)
     return f"""
 tok AS (
-  SELECT {ID} AS doc_id,
-         unnest(regexp_extract_all(lower({TEXT}), {rx})) AS term,
-         generate_subscripts(regexp_extract_all(lower({TEXT}), {rx}), 1) - 1 AS pos
-  FROM {table}
+  SELECT doc_id, unnest(tl) AS term, generate_subscripts(tl, 1) - 1 AS pos
+  FROM (SELECT {ID} AS doc_id, {tl} AS tl FROM {table})
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
 qz(q_val) AS (VALUES {qvals}),
@@ -480,17 +485,15 @@ def base_ctes_field(p: str, text_col: str, table: str = TABLE) -> str:
     INDEXES' — statistics coexist in one query: each chain has its own
     df/norms/avgdl, mirroring the engine's index-per-field layout and
     the per-index local statistics of cross-index (alias) search."""
-    rx = _qlit(duckdb_token_regex())
+    tl = duckdb_tokens_expr("standard", col=text_col)
     from opensearch_spark.analysis.smallfloat import quantize_breakpoints
 
     bps = quantize_breakpoints(1 << 20)
     qvals = ", ".join(f"({v})" for v in bps)
     return f"""
 tok{p} AS (
-  SELECT {ID} AS doc_id,
-         unnest(regexp_extract_all(lower({text_col}), {rx})) AS term,
-         generate_subscripts(regexp_extract_all(lower({text_col}), {rx}), 1) - 1 AS pos
-  FROM {table}
+  SELECT doc_id, unnest(tl) AS term, generate_subscripts(tl, 1) - 1 AS pos
+  FROM (SELECT {ID} AS doc_id, {tl} AS tl FROM {table})
 ),
 dl{p} AS (SELECT doc_id, count(*) AS dl FROM tok{p} GROUP BY doc_id),
 qz{p}(q_val) AS (VALUES {qvals}),

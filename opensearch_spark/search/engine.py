@@ -2697,14 +2697,12 @@ class SearchEngine:
         scores = self._match(
             A.Match(field_name=node.field_name, query=" ".join(terms),
                     operator="and", boost=node.boost), None)
-        # shared SQL-literal form of the analyzer regex (ADVICE r4: one
-        # helper, no hand-copied variants). Variant: the 255-char long-
-        # token split is not applied to the re-tokenized source — a
-        # phrase containing a >255-char term verifies against unsplit
-        # tokens (query-side splitting makes such phrases unmatched).
-        from opensearch_spark.analysis.analyzer import spark_sql_token_regex
+        # shared analyzer token-list expression (ADVICE r4: one helper,
+        # no hand-copied variants) — includes the 255-char
+        # max_token_length split, so source re-verification sees
+        # exactly the index's token stream even for >255-char terms
+        from opensearch_spark.analysis.analyzer import spark_sql_tokens_expr
 
-        jrx = spark_sql_token_regex()
         conj = " AND ".join(
             "element_at(_toks, CAST(i + {j} AS INT)) = '{w}'".format(
                 j=j, w=str(w).replace("'", "\\'"))
@@ -2715,9 +2713,7 @@ class SearchEngine:
         # re-tokenizes O(k*n) times — review r4)
         verify = (
             self.corpus.withColumn(
-                "_toks",
-                F.expr(f"regexp_extract_all(lower({node.field_name}), "
-                       f"'{jrx}', 0)"))
+                "_toks", F.expr(spark_sql_tokens_expr(node.field_name)))
             .where(F.expr(
                 f"CASE WHEN size(_toks) >= {k} THEN "
                 f"exists(sequence(1, size(_toks) - {k - 1}), i -> {conj}) "
