@@ -1007,11 +1007,20 @@ class SearchEngine:
                 for fld, spec in fields:
                     out_col = ("highlights" if len(fields) == 1
                                else f"highlights_{fld}")
+                    # highlight_query overrides the search query for
+                    # this field; matched_fields widens which query
+                    # clauses may mark this field's text (reference:
+                    # AbstractHighlighterBuilder.highlightQuery,
+                    # HighlightBuilder matchedFields)
+                    node = (dsl_mod.parse(spec["highlight_query"])
+                            if spec.get("highlight_query") else q_ast)
+                    mf = set(spec.get("matched_fields") or []) | {fld}
                     fetched = H.highlight(
-                        fetched, q_ast, text_col=fld,
+                        fetched, node, text_col=fld,
                         frag_size=int(spec.get("fragment_size", 100)),
                         n_frags=int(spec.get("number_of_fragments", 2)),
                         out_col=out_col,
+                        fields=mf,
                     )
             if src:
                 # _source filtering (reference: FetchSourceContext):

@@ -27,7 +27,7 @@ table).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Set, Tuple
+from typing import List, Optional, Sequence, Set, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -37,7 +37,7 @@ from opensearch_spark.analysis.analyzer import tokenize, tokenize_offsets
 PRE, POST = "<em>", "</em>"
 
 
-def query_spec(query) -> dict:
+def query_spec(query, fields: Optional[Set[str]] = None) -> dict:
     """Extract the highlightable structure of a query:
     ``{"terms": set[str], "phrases": [(terms, slop)]}``.
 
@@ -45,18 +45,41 @@ def query_spec(query) -> dict:
     or a parsed AST node: phrase nodes contribute position-aware
     phrase entries, every other positive clause contributes its
     analyzed terms; must_not / negative / exclude subtrees are
-    skipped."""
+    skipped.
+
+    ``fields`` restricts collection to clauses targeting one of those
+    field names (the unified highlighter's contract: a clause on
+    another field does not highlight this one; ``matched_fields``
+    widens the set — reference ``highlight/HighlightBuilder.java``
+    matchedFields / AbstractHighlighterBuilder.highlightQuery). A
+    multi-field clause (multi_match/combined_fields/query_string
+    ``fields``) contributes when any of its fields is in the set.
+    ``None`` keeps the historical collect-everything behavior."""
     if isinstance(query, str):
         return {"terms": set(tokenize(query)), "phrases": []}
 
     terms: Set[str] = set()
     phrases: List[Tuple[List[str], int]] = []
 
+    def on_field(n) -> bool:
+        if fields is None:
+            return True
+        fn = getattr(n, "field_name", None)
+        if isinstance(fn, str):
+            return fn in fields
+        multi = getattr(n, "fields", None)
+        if isinstance(multi, (list, tuple)) and multi:
+            # "field^2" boost suffixes strip to the bare name
+            return any(str(f).split("^")[0] in fields for f in multi)
+        return True  # field-less leaf (e.g. query_string default field)
+
     def walk(n):
         if n is None or isinstance(n, (str, list)):
             return
         kind = type(n).__name__
         if kind in ("MatchPhrase", "MatchOnlyTextPhrase"):
+            if not on_field(n):
+                return
             toks = tokenize(getattr(n, "query", "") or "")
             if len(toks) >= 2:
                 phrases.append((toks, int(getattr(n, "slop", 0) or 0)))
@@ -64,10 +87,11 @@ def query_spec(query) -> dict:
                 terms.update(toks)
             return
         q = getattr(n, "query", None)
-        if isinstance(q, str):
+        if isinstance(q, str) and on_field(n):
             terms.update(tokenize(q))
         v = getattr(n, "value", None)
-        if isinstance(v, str) and kind in ("Term", "SpanTerm"):
+        if isinstance(v, str) and kind in ("Term", "SpanTerm") \
+                and on_field(n):
             terms.update(tokenize(v))
         for attr in ("must", "filter", "should", "queries", "clauses"):
             for c in getattr(n, attr, []) or []:
@@ -279,12 +303,15 @@ def highlight(
     frag_size: int = 100,
     n_frags: int = 2,
     out_col: str = "highlights",
+    fields: Optional[Set[str]] = None,
 ) -> DataFrame:
     """Add an ``array<string>`` fragment column (default name
     ``highlights``) to fetched hit rows; multi-field highlight calls
     this once per field with distinct ``out_col`` names. ``query`` is
-    a parsed AST node (phrase-aware) or a plain text string."""
-    spec = query_spec(query)
+    a parsed AST node (phrase-aware) or a plain text string.
+    ``fields`` is the matched-fields set passed to
+    :func:`query_spec` (None = collect every clause)."""
+    spec = query_spec(query, fields=fields)
 
     @F.pandas_udf("array<string>")
     def hl(texts: pd.Series) -> pd.Series:

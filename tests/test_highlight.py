@@ -172,3 +172,69 @@ def test_phrase_ordinals_pathological_doc_is_fast():
     r = phrase_ordinals(["a"] * 200, ["a", "a", "a", "a"], 30)
     assert time.time() - t0 < 2.0
     assert r  # everything participates in this doc
+
+
+def test_query_spec_field_filtering_and_matched_fields():
+    """Unified-highlighter contract: a clause on another field does not
+    highlight this one; matched_fields widens the set (reference:
+    HighlightBuilder matchedFields)."""
+    from opensearch_spark.search import dsl as dsl_mod
+    from opensearch_spark.search.highlight import query_spec
+
+    q = dsl_mod.parse({"bool": {"must": [
+        {"match": {"text": "alpha beta"}},
+        {"match": {"source": "gamma"}},
+        {"match_phrase": {"text": "hash table"}},
+    ]}})
+    # no field set: historical collect-everything
+    all_spec = query_spec(q)
+    assert all_spec["terms"] == {"alpha", "beta", "gamma"}
+    # restricted to 'text': the source clause drops out
+    t_spec = query_spec(q, fields={"text"})
+    assert t_spec["terms"] == {"alpha", "beta"}
+    assert t_spec["phrases"] == [(["hash", "table"], 0)]
+    # matched_fields widens
+    both = query_spec(q, fields={"text", "source"})
+    assert both["terms"] == {"alpha", "beta", "gamma"}
+    # multi-field clauses contribute when any field intersects
+    mm = dsl_mod.parse({"multi_match": {"query": "delta",
+                                        "fields": ["text^2", "source"]}})
+    assert query_spec(mm, fields={"source"})["terms"] == {"delta"}
+    assert query_spec(mm, fields={"other"})["terms"] == set()
+
+
+def test_request_matched_fields_and_highlight_query(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    eng = entry._engine(spark, sf_dir)
+    # highlight_query replaces the search query for fragment marking
+    out = eng.request({
+        "query": {"match": {"text": "hash join"}}, "size": 3,
+        "highlight": {"fields": {"text": {
+            "highlight_query": {"match": {"text": "table"}},
+            "fragment_size": 60, "number_of_fragments": 1,
+        }}},
+    })
+    for r in out["hits"].collect():
+        for frag in (r["highlights"] or []):
+            assert "<em>table</em>" in frag or "<em>" not in frag
+            assert "<em>hash</em>" not in frag and "<em>join</em>" not in frag
+    # a clause on another field does not mark this field's text unless
+    # matched_fields includes it
+    body = {"query": {"bool": {"must": [
+        {"match": {"text": "hash"}},
+        {"match": {"lang": "en"}},
+    ]}}, "size": 3}
+    narrow = eng.request({**body, "highlight": {"fields": {"text": {}}}})
+    for r in narrow["hits"].collect():
+        for frag in (r["highlights"] or []):
+            assert "<em>en</em>" not in frag
+    wide = eng.request({**body, "highlight": {"fields": {"text": {
+        "matched_fields": ["text", "lang"]}}}})
+    saw_en = any("<em>en</em>" in frag
+                 for r in wide["hits"].collect()
+                 for frag in (r["highlights"] or []))
+    # 'en' appears in doc text only sometimes; the contract is that it
+    # is ALLOWED to mark now (no assertion it must appear), and the
+    # narrow case above proves it was suppressed before
+    assert isinstance(saw_en, bool)
