@@ -663,3 +663,35 @@ def _domain_mix_sql() -> str:
 
 
 ORACLES["p_domain_mix"] = _domain_mix_sql()
+
+
+def _curation_funnel_sql() -> str:
+    """Mirror of sampling.curation_funnel: the t_quality flag, the
+    d_exact_dedup keep-one, and the p_domain_mix hash threshold
+    composed in the same order."""
+    from opensearch_spark.pipelines.sampling import (
+        CURATION_SAMPLE_FRAC, DOMAIN_MIX_SEED, frac_hex_threshold,
+    )
+
+    thr = frac_hex_threshold(CURATION_SAMPLE_FRAC)
+    return f"""
+        WITH w AS (
+          SELECT doc_id, source, text,
+                 len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens
+          FROM documents
+        ),
+        q AS (
+          SELECT * FROM w
+          WHERE n_tokens >= 20
+            AND length(text) / greatest(n_tokens, 1) <= 12
+        ),
+        reps AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY sha256(text))
+        SELECT q.doc_id, q.source, CAST(q.n_tokens AS BIGINT) AS n_tokens
+        FROM q JOIN reps USING (doc_id)
+        WHERE substr(md5(CAST(q.doc_id AS VARCHAR) || ':{DOMAIN_MIX_SEED}'),
+                     1, 8) < '{thr}'
+    """
+
+
+ORACLES["p_curation_funnel"] = _curation_funnel_sql()

@@ -77,3 +77,48 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         u8_expr("doc_id", DOMAIN_MIX_SEED).alias("u8"),
     )
+
+
+CURATION_SAMPLE_FRAC = 0.5
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str,
+                    sample_frac: float = CURATION_SAMPLE_FRAC,
+                    seed: int = DOMAIN_MIX_SEED) -> DataFrame:
+    """The composed pretraining-data curation funnel in ONE Spark plan —
+    quality filter -> exact-dedup keep-one -> deterministic hash sample
+    (the C4/RefinedWeb funnel shape). Each stage is a certified
+    primitive (t_quality, d_exact_dedup, p_domain_mix); this entry
+    certifies that they COMPOSE without materialization barriers.
+
+    Plan shape (100 TB): ONE scan, ONE shuffle. The quality predicate
+    is inlined as map-side column exprs (the same exprs t_quality
+    certifies — no self-join against a second documents scan), the
+    keep-one is a row_number window partitioned by sha2 (equivalent to
+    the min-doc_id representative, without groupBy + join-back), and
+    the sample threshold is a codegen comparison. The sample runs
+    AFTER keep-one by design: filtering earlier would change which
+    representative survives (the rep must be chosen over the full
+    population)."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    words = F.split(F.col("text"), " ")
+    n_tok = F.size(F.filter(words, lambda w: w != F.lit("")))
+    quality_ok = (n_tok >= 20) & (
+        F.length("text") / F.greatest(n_tok, F.lit(1)) <= 12)
+    good = (
+        d.select("doc_id", "source", "text", n_tok.alias("n_tokens"))
+        .where(quality_ok)
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    kept = (
+        good.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    u = u8_expr("doc_id", seed)
+    return (
+        kept.where(u < F.lit(frac_hex_threshold(sample_frac)))
+        .select("doc_id", "source",
+                F.col("n_tokens").cast("long").alias("n_tokens"))
+    )

@@ -264,3 +264,21 @@ def test_range_field_filter_pushes_to_scan(spark, sf_dir):
     p = plan_str(df)
     assert "PushedFilters" in p
     assert "l_shipdate" in p.split("PushedFilters")[1][:300], p[:3000]
+
+
+def test_curation_funnel_is_one_scan_one_shuffle(spark, sf_dir):
+    """The composed curation funnel (quality -> dedup keep-one ->
+    hash sample) must stay ONE scan + ONE exchange: the quality
+    predicate is map-side, the keep-one is a sha2-partitioned window,
+    the sample threshold is a codegen filter. A groupBy + join-back
+    keep-one (3 exchanges) or a quality self-join regressing in would
+    triple the shuffle volume at 100 TB."""
+    from opensearch_spark.pipelines.sampling import curation_funnel
+
+    df = curation_funnel(spark, sf_dir)
+    p = executed_str(df)
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert "BroadcastExchange" not in final, final
+    assert final.count("FileScan parquet") <= 1 or \
+        final.count("Scan parquet") <= 1, final
