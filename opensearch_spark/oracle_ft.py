@@ -16,11 +16,7 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
-from opensearch_spark.analysis.analyzer import (
-    duckdb_token_regex,
-    duckdb_tokens_expr,
-    tokenize,
-)
+from opensearch_spark.analysis.analyzer import duckdb_tokens_expr, tokenize
 from opensearch_spark.analysis.smallfloat import quantize_breakpoints
 
 K1 = 1.2

@@ -1009,12 +1009,19 @@ class SearchEngine:
                                else f"highlights_{fld}")
                     # highlight_query overrides the search query for
                     # this field; matched_fields widens which query
-                    # clauses may mark this field's text (reference:
-                    # AbstractHighlighterBuilder.highlightQuery,
+                    # clauses may mark this field's text; the
+                    # reference-default require_field_match=true is
+                    # switchable off per request or per field
+                    # (reference: AbstractHighlighterBuilder
+                    # highlightQuery / requireFieldMatch,
                     # HighlightBuilder matchedFields)
                     node = (dsl_mod.parse(spec["highlight_query"])
                             if spec.get("highlight_query") else q_ast)
-                    mf = set(spec.get("matched_fields") or []) | {fld}
+                    rfm = bool(spec.get(
+                        "require_field_match",
+                        hl.get("require_field_match", True)))
+                    mf = (set(spec.get("matched_fields") or []) | {fld}
+                          if rfm else None)
                     fetched = H.highlight(
                         fetched, node, text_col=fld,
                         frag_size=int(spec.get("fragment_size", 100)),

@@ -219,22 +219,47 @@ def test_request_matched_fields_and_highlight_query(spark, sf_dir):
         for frag in (r["highlights"] or []):
             assert "<em>table</em>" in frag or "<em>" not in frag
             assert "<em>hash</em>" not in frag and "<em>join</em>" not in frag
-    # a clause on another field does not mark this field's text unless
-    # matched_fields includes it
-    body = {"query": {"bool": {"must": [
-        {"match": {"text": "hash"}},
-        {"match": {"lang": "en"}},
-    ]}}, "size": 3}
-    narrow = eng.request({**body, "highlight": {"fields": {"text": {}}}})
-    for r in narrow["hits"].collect():
-        for frag in (r["highlights"] or []):
-            assert "<em>en</em>" not in frag
-    wide = eng.request({**body, "highlight": {"fields": {"text": {
-        "matched_fields": ["text", "lang"]}}}})
-    saw_en = any("<em>en</em>" in frag
-                 for r in wide["hits"].collect()
-                 for frag in (r["highlights"] or []))
-    # 'en' appears in doc text only sometimes; the contract is that it
-    # is ALLOWED to mark now (no assertion it must appear), and the
-    # narrow case above proves it was suppressed before
-    assert isinstance(saw_en, bool)
+    # field filtering / matched_fields / require_field_match e2e is
+    # covered with a planted cross-field vocabulary in
+    # test_require_field_match_false_collects_everything
+
+
+def test_require_field_match_false_collects_everything(spark, tmp_path):
+    """require_field_match: false (reference default is true) restores
+    the collect-every-clause behavior per request or per field: a term
+    from a clause on ANOTHER field marks this field's text when (and
+    only when) the switch is off."""
+    from opensearch_spark.index.build import build_index
+    from opensearch_spark.search.engine import MultiFieldEngine
+
+    rows = [(0, "alpha beta shared gamma", "shared note"),
+            (1, "alpha plain text here", "other note"),
+            (2, "unrelated content words", "shared thing")]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, text string, tag string")
+    tdir, gdir = str(tmp_path / "t"), str(tmp_path / "g")
+    build_index(spark, corpus, tdir, text_col="text",
+                doc_id_col="doc_id", n_segments=2)
+    build_index(spark, corpus, gdir, text_col="tag",
+                doc_id_col="doc_id", n_segments=2)
+    eng = MultiFieldEngine(spark, {"text": tdir, "tag": gdir},
+                           corpus=corpus, doc_id_col="doc_id")
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "alpha"}}],
+        "should": [{"match": {"tag": "shared"}}],
+    }}, "size": 10}
+
+    def frags_of(out):
+        return {int(r["docId"]): list(r["highlights"] or [])
+                for r in out["hits"].collect()}
+
+    narrow = frags_of(eng.request(
+        {**body, "highlight": {"fields": {"text": {}}}}))
+    assert any("<em>alpha</em>" in f for f in narrow[0])
+    assert not any("<em>shared</em>" in f for f in narrow[0])
+    wide = frags_of(eng.request({**body, "highlight": {
+        "require_field_match": False, "fields": {"text": {}}}}))
+    assert any("<em>shared</em>" in f for f in wide[0])
+    per_field = frags_of(eng.request({**body, "highlight": {"fields": {
+        "text": {"require_field_match": False}}}}))
+    assert per_field == wide
