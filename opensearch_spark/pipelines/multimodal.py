@@ -80,3 +80,52 @@ def payload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests; its decoder is the stubbed part)."""
     feats = extract_features(binary_payloads(spark, sf_dir))
     return feats.select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "payload_sha")
+
+
+def _chunk_bounds(n: int) -> list:
+    """np.array_split boundaries for FEATURE_DIM chunks of n items:
+    the first n % FEATURE_DIM chunks get one extra element."""
+    l, r = divmod(n, FEATURE_DIM)
+    out, start = [], 0
+    for j in range(FEATURE_DIM):
+        ln = l + (1 if j < r else 0)
+        out.append((start, start + ln))
+        start += ln
+    return out
+
+
+def feature_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified flattened feature stream ``(doc_id, dim, feature)``
+    through the SAME mapInPandas/Arrow plumbing as extract_features:
+    chunk mean = exact int64 byte sum / chunk length, divided in
+    float64 — bit-reproducible in any engine, so a SQL oracle replays
+    the decode's numeric output exactly (the float32 presentation in
+    ``extract_features`` stays the similarity-operator contract).
+    Docs shorter than FEATURE_DIM bytes are excluded (their trailing
+    chunks are empty; the stub pads zeros — none exist in testdata)."""
+
+    pay = binary_payloads(spark, sf_dir)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, dims, raws = [], [], []
+            for doc_id, payload in zip(b["doc_id"], b["payload"].map(bytes)):
+                n = len(payload)
+                if n < FEATURE_DIM:
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                for j, (s, e) in enumerate(_chunk_bounds(n)):
+                    ids.append(doc_id)
+                    dims.append(j)
+                    raws.append(int(arr[s:e].sum(dtype=np.int64)) / (e - s))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "dim": pd.Series(dims, dtype="int32"),
+                "raw": pd.Series(raws, dtype="float64"),
+            })
+
+    out = pay.mapInPandas(fn, schema="doc_id long, dim int, raw double")
+    return out.select(
+        "doc_id", F.col("dim").cast("long").alias("dim"),
+        F.round("raw", 4).alias("feature"),
+    )

@@ -695,3 +695,47 @@ def _curation_funnel_sql() -> str:
 
 
 ORACLES["p_curation_funnel"] = _curation_funnel_sql()
+
+
+def _feature_stream_sql() -> str:
+    """Mirror of multimodal.feature_rows: UTF-8 byte values recovered
+    from hex(encode(text)), np.array_split chunking (first n % DIM
+    chunks take one extra byte), chunk mean = exact integer sum /
+    length in float64."""
+    from opensearch_spark.pipelines.multimodal import FEATURE_DIM as D
+
+    return f"""
+        WITH b AS (
+          SELECT doc_id, hex(encode(text)) AS h,
+                 octet_length(encode(text)) AS n
+          FROM documents
+          WHERE octet_length(encode(text)) >= {D}
+        ),
+        idx AS (
+          SELECT doc_id, h, n, unnest(range(0, n)) AS i FROM b
+        ),
+        bytes AS (
+          SELECT doc_id, i, n,
+                 (strpos('0123456789ABCDEF', substr(h, 2 * i + 1, 1)) - 1)
+                   * 16
+                 + (strpos('0123456789ABCDEF', substr(h, 2 * i + 2, 1)) - 1)
+                   AS v
+          FROM idx
+        ),
+        chunked AS (
+          SELECT doc_id,
+                 CASE WHEN i < (n % {D}) * ((n // {D}) + 1)
+                      THEN i // ((n // {D}) + 1)
+                      ELSE (n % {D})
+                           + (i - (n % {D}) * ((n // {D}) + 1)) // (n // {D})
+                 END AS dim,
+                 v
+          FROM bytes
+        )
+        SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+               round(sum(v)::DOUBLE / count(*), 4) AS feature
+        FROM chunked GROUP BY doc_id, dim
+    """
+
+
+ORACLES["m_feature_stream"] = _feature_stream_sql()

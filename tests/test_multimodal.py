@@ -39,3 +39,24 @@ def test_extract_features_e2e(spark, sf_dir):
         assert n == len(payload)
         assert sha == hashlib.sha256(payload).hexdigest()
         assert np.allclose(feat, mm._fake_decode(payload), rtol=1e-6)
+
+
+def test_feature_rows_match_fake_decode_chunking(spark, sf_dir):
+    """feature_rows (exact int-sum/float64 stream) uses the SAME
+    np.array_split chunking as _fake_decode's float32 presentation."""
+    pay = mm.binary_payloads(spark, sf_dir)
+    src = {r["doc_id"]: bytes(r["payload"]) for r in pay.limit(3).collect()}
+    rows = mm.feature_rows(spark, sf_dir)
+    got = {
+        (r["doc_id"], r["dim"]): r["feature"]
+        for r in rows.where(rows.doc_id.isin(*src.keys())).collect()
+    }
+    for doc_id, payload in src.items():
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        for j, (s, e) in enumerate(mm._chunk_bounds(len(payload))):
+            want = round(int(arr[s:e].sum(dtype=np.int64)) / (e - s), 4)
+            assert got[(doc_id, j)] == want
+        # same chunking as the float32 stub
+        f32 = mm._fake_decode(payload)
+        for j, (s, e) in enumerate(mm._chunk_bounds(len(payload))):
+            assert abs(float(f32[j]) - got[(doc_id, j)]) < 1e-2
