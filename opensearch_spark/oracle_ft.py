@@ -16,7 +16,11 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
-from opensearch_spark.analysis.analyzer import duckdb_tokens_expr, tokenize
+from opensearch_spark.analysis.analyzer import (
+    MAX_TOKEN_LENGTH,
+    duckdb_tokens_expr,
+    tokenize,
+)
 from opensearch_spark.analysis.smallfloat import quantize_breakpoints
 
 K1 = 1.2
@@ -522,10 +526,15 @@ def base_ctes_shingle(p: str, n: int) -> str:
             f"AND t{i}.pos = t0.pos + {i}")
         parts.append(f"t{i}.term")
     gram = " || '_' || ".join(parts)
+    # grams longer than max_token_length are dropped on BOTH sides
+    # (the engine's shingle column filters them identically): left in,
+    # the indexed column's re-tokenization would 255-split the gram
+    # while this positional join keeps it whole — df/dl drift
     return f"""
 tok{p} AS (
   SELECT t0.doc_id, {gram} AS term, t0.pos
   FROM tok t0 {' '.join(joins)}
+  WHERE length({gram}) <= {MAX_TOKEN_LENGTH}
 ),
 dl{p} AS (SELECT doc_id, count(*) AS dl FROM tok{p} GROUP BY doc_id),
 qz{p}(q_val) AS (VALUES {qvals}),

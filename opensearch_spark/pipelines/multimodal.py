@@ -82,18 +82,6 @@ def payload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "payload_sha")
 
 
-def _chunk_bounds(n: int) -> list:
-    """np.array_split boundaries for FEATURE_DIM chunks of n items:
-    the first n % FEATURE_DIM chunks get one extra element."""
-    l, r = divmod(n, FEATURE_DIM)
-    out, start = [], 0
-    for j in range(FEATURE_DIM):
-        ln = l + (1 if j < r else 0)
-        out.append((start, start + ln))
-        start += ln
-    return out
-
-
 def feature_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certified flattened feature stream ``(doc_id, dim, feature)``
     through the SAME mapInPandas/Arrow plumbing as extract_features:
@@ -114,10 +102,13 @@ def feature_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if n < FEATURE_DIM:
                     continue
                 arr = np.frombuffer(payload, dtype=np.uint8)
-                for j, (s, e) in enumerate(_chunk_bounds(n)):
+                # np.array_split directly — same chunking as the
+                # float32 stub by construction (review r5: no
+                # hand-mirrored boundary arithmetic to keep in sync)
+                for j, c in enumerate(np.array_split(arr, FEATURE_DIM)):
                     ids.append(doc_id)
                     dims.append(j)
-                    raws.append(int(arr[s:e].sum(dtype=np.int64)) / (e - s))
+                    raws.append(int(c.sum(dtype=np.int64)) / c.size)
             yield pd.DataFrame({
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "dim": pd.Series(dims, dtype="int32"),

@@ -117,3 +117,29 @@ def test_docs_only_source_verify_splits_long_tokens(spark, long_corpus,
                                 {"text": f"{'q' * 300} world"}},
                                k=10).collect()}
     assert got == {0}
+
+
+def test_saty_shingle_grams_drop_oversized(spark):
+    """search_as_you_type shingle grams built from 255-char split
+    chunks would exceed max_token_length and get re-split at index
+    time; both the column expression and the oracle drop them
+    instead (review r5)."""
+    import __spark_entry__ as entry
+
+    df = spark.createDataFrame(
+        [("alpha " + "q" * 300 + " omega end",)], "text string")
+    out = df.select(
+        F.expr(entry._SATY_TOKS).alias("toks"),
+        F.expr(entry._saty_shingle_expr(2, toks=entry._SATY_TOKS))
+        .alias("grams"),
+    ).collect()[0]
+    # tokens: alpha, q*255, q*45, omega, end
+    assert out["toks"] == tokenize("alpha " + "q" * 300 + " omega end")
+    grams = out["grams"].split(" ")
+    # 'q*255_q*45' (301 chars) and 'alpha_q*255' (261) are dropped;
+    # every surviving gram re-tokenizes to itself (no 255 split)
+    assert all(len(g) <= 255 for g in grams)
+    assert f"{'q' * 45}_omega" in grams and "omega_end" in grams
+    assert not any(len(g) > 255 for g in grams)
+    for g in grams:
+        assert tokenize(g) == [g]

@@ -43,7 +43,16 @@ def test_extract_features_e2e(spark, sf_dir):
 
 def test_feature_rows_match_fake_decode_chunking(spark, sf_dir):
     """feature_rows (exact int-sum/float64 stream) uses the SAME
-    np.array_split chunking as _fake_decode's float32 presentation."""
+    np.array_split chunking as _fake_decode's float32 presentation.
+    Reference rounding uses HALF_UP via Decimal — Python round() is
+    banker's and disagrees with Spark/DuckDB on exact dyadic ties
+    (e.g. a 77.03125 chunk mean, review r5)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r4(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.0001"), ROUND_HALF_UP))
+
     pay = mm.binary_payloads(spark, sf_dir)
     src = {r["doc_id"]: bytes(r["payload"]) for r in pay.limit(3).collect()}
     rows = mm.feature_rows(spark, sf_dir)
@@ -53,10 +62,13 @@ def test_feature_rows_match_fake_decode_chunking(spark, sf_dir):
     }
     for doc_id, payload in src.items():
         arr = np.frombuffer(payload, dtype=np.uint8)
-        for j, (s, e) in enumerate(mm._chunk_bounds(len(payload))):
-            want = round(int(arr[s:e].sum(dtype=np.int64)) / (e - s), 4)
-            assert got[(doc_id, j)] == want
-        # same chunking as the float32 stub
         f32 = mm._fake_decode(payload)
-        for j, (s, e) in enumerate(mm._chunk_bounds(len(payload))):
+        for j, c in enumerate(np.array_split(arr, mm.FEATURE_DIM)):
+            want = r4(int(c.sum(dtype=np.int64)) / c.size)
+            assert got[(doc_id, j)] == want
+            # same chunking as the float32 stub
             assert abs(float(f32[j]) - got[(doc_id, j)]) < 1e-2
+    # exact dyadic tie (a 32-byte chunk mean like 77 + 1/32): HALF_UP
+    # rounds .03125 up to .0313 where Python round() (banker's) gives
+    # .0312 — the divergence the Decimal reference exists to avoid
+    assert r4(77.03125) == 77.0313 and round(77.03125, 4) == 77.0312
