@@ -378,7 +378,11 @@ def _local_index_fn(block_size: int, docstats_dir: str, tok_expr: str,
                 "docId": pa.array(doc_ids, pa.int64()),
                 "seg": pa.array(seg_col.astype(np.int32), pa.int32()),
                 "dl": pa.array(dl.astype(np.int32), pa.int32()),
-                "norm_byte": pa.array(norm_byte.astype(np.int64), pa.int64()),
+                # int32, matching the wave path's pandas_udf("int") and
+                # incremental's OCC_SCHEMA: a mixed int32/int64 docstats
+                # dir (local build + later upsert generations) fails to
+                # read with PARQUET_COLUMN_DATA_TYPE_MISMATCH
+                "norm_byte": pa.array(norm_byte.astype(np.int32), pa.int32()),
                 "dl_q": pa.array(dl_q.astype(np.int64), pa.int64()),
                 "content_sha": t.column("content_sha"),
             }),

@@ -12,6 +12,7 @@ destination build is the normal zero-shuffle segment build.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -116,10 +117,14 @@ def update_by_query(
                 "use delete_by_query to remove documents"
             )
     elif str(script.get("lang", "")).lower() == "painless":
-        from opensearch_spark.search.painless import painless_update_to_sql
+        from opensearch_spark.search.painless import (
+            CTX_OP_FIELD,
+            painless_update_to_sql,
+        )
 
         colmap = painless_update_to_sql(
             str(script["source"]), script.get("params") or {})
+        op_sql = colmap.pop(CTX_OP_FIELD, None)
         # ONE projection with every expression bound to the ORIGINAL
         # row: the transpiler already inlined intermediate ctx._source
         # reads into each field's final expression (over pre-update
@@ -132,6 +137,53 @@ def update_by_query(
         ]
         exprs += [F.expr(str(v)).alias(c) for c, v in colmap.items()
                   if c not in docs.columns]
+        if op_sql is not None:
+            # ctx.op routing (reference: scripted update_by_query's
+            # per-row verdict): 'index' rows take the transform,
+            # 'noop' rows keep their ORIGINAL values and are not
+            # re-indexed, 'delete' rows are tombstoned
+            verdicts = docs.select(
+                "docId", F.expr(str(op_sql)).alias("_op")
+            ).localCheckpoint(eager=True)
+            bad = verdicts.where(
+                ~F.col("_op").isin("index", "noop", "delete")
+            ).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"update_by_query script set ctx.op = "
+                    f"{bad[0]['_op']!r}; must be index, noop or delete")
+            keep = verdicts.where(F.col("_op") == "index").select("docId")
+            noops = docs.join(
+                verdicts.where(F.col("_op") == "noop").select("docId"),
+                "docId", "left_semi")
+            del_ids = verdicts.where(
+                F.col("_op") == "delete").select("docId")
+            docs = docs.join(keep, "docId", "left_semi").select(*exprs)
+            n = docs.count()
+            n_del = del_ids.count()
+            if n == 0 and n_del == 0:
+                return {"updated": 0, "noops": noops.count(), "deleted": 0,
+                        "corpus": engine.corpus}
+            if n:
+                upsert_batch(
+                    spark, docs, index_dir,
+                    text_col=text_col or engine.text_field,
+                    doc_id_col="docId",
+                )
+            if n_del:
+                # distributed tombstone write (the delete_by_query
+                # path), AFTER the upsert so its compaction cannot
+                # purge these fresh tombstones
+                del_ids.write.mode("append").parquet(
+                    os.path.join(index_dir, "deletes"))
+            engine._search_plans.clear()
+            engine._msearch_plans.clear()
+            engine._term_df_map = None
+            corpus = untouched.unionByName(
+                noops, allowMissingColumns=True
+            ).unionByName(docs, allowMissingColumns=True)
+            return {"updated": int(n), "noops": int(noops.count()),
+                    "deleted": int(n_del), "corpus": corpus}
         docs = docs.select(*exprs)
     else:
         # raw {column: SQL} form: applied sequentially as documented

@@ -268,6 +268,10 @@ _DECL_CAST = {
 }
 
 _CTX_PREFIX = "ctx._source."
+# reserved ctx slot for ``ctx.op`` ('index' | 'noop' | 'delete' — the
+# reference's update_by_query row-level verdict); exposed to
+# update_by_query through painless_update_to_sql under this key
+CTX_OP_FIELD = "__op__"
 
 # hard bound on transpile-time loop unrolling: the emitted SQL grows
 # with every doc-dependent accumulation, and Catalyst expression trees
@@ -557,7 +561,9 @@ class _Parser:
             return f"(CASE WHEN `{field}` IS NULL THEN 0 ELSE 1 END)"
         raise PainlessError(f"painless: unsupported doc accessor .{attr}")
 
-    def _param(self) -> str:
+    def _param_value(self):
+        """Parse a ``params.name`` / ``params['name']`` accessor and
+        return ``(name, python_value)``."""
         kind, val = self.take()
         if val == ".":
             _k, name = self.take()
@@ -571,7 +577,10 @@ class _Parser:
             raise PainlessError("painless: expected params.name")
         if name not in self.params:
             raise PainlessError(f"painless: missing param {name!r}")
-        v = self.params[name]
+        return name, self.params[name]
+
+    def _param(self) -> str:
+        _name, v = self._param_value()
         return _e(_lit(v), isinstance(v, str),
                   const=v if v is None
                   or isinstance(v, (bool, int, float, str)) else _NO)
@@ -599,9 +608,12 @@ class _Parser:
         and return the field name."""
         self.take(".")
         _k, part = self.take()
+        if part == "op":
+            return CTX_OP_FIELD
         if part != "_source":
             raise PainlessError(
-                f"painless: only ctx._source is supported, got ctx.{part}")
+                f"painless: only ctx._source and ctx.op are supported, "
+                f"got ctx.{part}")
         kind, val = self.take()
         if val == ".":
             _k, field = self.take()
@@ -621,6 +633,8 @@ class _Parser:
                 "painless: ctx._source is only available in update "
                 "scripts (update_by_query)")
         field = self._ctx_field()
+        if field == CTX_OP_FIELD:
+            return self.ctx.get(_CTX_PREFIX + field, "'index'")
         return self.ctx.get(_CTX_PREFIX + field, f"`{field}`")
 
     # ------------------------------------------------------------------
@@ -780,6 +794,9 @@ class _Parser:
         _k, op = self.take()
         if op not in ("=", "+=", "-=", "*=", "/="):
             raise PainlessError(f"painless: expected assignment, got {op!r}")
+        if is_ctx and key == _CTX_PREFIX + CTX_OP_FIELD and op != "=":
+            raise PainlessError(
+                "painless: ctx.op only supports plain assignment")
         e = self.expr()
         if semi:
             self._semi()
@@ -907,9 +924,13 @@ class _Parser:
                 self.take()
             elif val in _DECL_CAST and self.toks[self.i + 1][0] == "name":
                 if self.toks[self.i + 2][1] == ":":
-                    raise PainlessError(
-                        "painless: for-each loops are out of scope "
-                        "(use the Python callable hook)")
+                    # for-each over a compile-time-constant list
+                    # (params arrays): unrolled one body execution per
+                    # element; data-dependent iterables still raise
+                    self._exec_foreach()
+                    self.env = {k: v for k, v in self.env.items()
+                                if k in outer}
+                    return
                 self._exec_decl()          # consumes the header's ';'
             elif kind == "name" and self.toks[self.i + 1][1] in (
                     "=", "+=", "-=", "*=", "/="):
@@ -976,6 +997,74 @@ class _Parser:
                 self._exec_update_clause()
         self.i = body_end
         self.env = {k: v for k, v in self.env.items() if k in outer}
+
+    def _exec_foreach(self):
+        """``for (<type> x : params.list)`` — the iterable must be a
+        compile-time-constant LIST (a params array, the common script
+        shape: iterate over user-supplied boosts/terms). Each element
+        binds the loop variable to its literal and the body unrolls,
+        exactly like the counted-loop path; doc-value or other
+        data-dependent iterables raise with the Python-hook message.
+        Cursor starts at the type keyword; consumes through the body."""
+        _k, kw = self.take()
+        _k2, name = self.take()
+        if name in self.env:
+            raise PainlessError(
+                f"painless: variable {name!r} is already declared "
+                "(Painless forbids redeclaration/shadowing)")
+        self.take(":")
+        k, val = self.take()
+        if val != "params":
+            raise PainlessError(
+                "painless: for-each iterates only params lists — "
+                "data-dependent iterables use the Python callable hook")
+        pname, items = self._param_value()
+        self.take(")")
+        if not isinstance(items, (list, tuple)):
+            raise PainlessError(
+                f"painless: for-each over params.{pname} needs a "
+                "list value")
+        body_start = self.i
+        _kind, v2 = self.peek()
+        if v2 == "{":
+            self._skip_balanced()
+        elif v2 in ("if", "for", "while", "do"):
+            raise PainlessError(
+                "painless: brace compound loop bodies ({ ... })")
+        else:
+            self._skip_stmt()
+        body_end = self.i
+        cast = _DECL_CAST[kw]
+        for elem in items:
+            if elem is not None and not isinstance(
+                    elem, (bool, int, float, str)):
+                raise PainlessError(
+                    "painless: for-each elements must be scalars "
+                    f"(got {type(elem).__name__} in params.{pname})")
+            self.unrolled += 1
+            if self.unrolled > LOOP_UNROLL_LIMIT:
+                raise PainlessError(
+                    f"painless: script exceeds the {LOOP_UNROLL_LIMIT}-"
+                    "iteration total unroll budget (nested loop trip "
+                    "counts multiply)")
+            self.i = body_start
+            tagged = kw == "String" or isinstance(elem, str)
+            c = _apply_cast_const(cast, elem)
+            self.types[name] = kw
+            self.env[name] = (
+                _with_const(f"CAST({_lit(elem)} AS {cast})", False, c)
+                if cast else _with_const(_lit(elem), tagged, c))
+            snap = set(self.env)
+            pend, fin = self._exec_branch()
+            if pend or fin is not None:
+                raise PainlessError(
+                    "painless: return inside a loop is out of scope "
+                    "(assign to a declared variable instead)")
+            self.env = {k2: v3 for k2, v3 in self.env.items()
+                        if k2 in snap}
+        self.env.pop(name, None)
+        self.types.pop(name, None)
+        self.i = body_end
 
     def _exec_if(self):
         """Execute one if/else-if/else chain. Returns (pending, final)
@@ -1126,8 +1215,13 @@ class _Parser:
         for name in dict.fromkeys(list(a) + list(b)):
             if not is_ctx and name not in snap:
                 continue  # branch-local declaration
-            default = (snap.get(name, f"`{name[len(_CTX_PREFIX):]}`")
-                       if is_ctx else snap[name])
+            if is_ctx:
+                untouched = ("'index'"
+                             if name == _CTX_PREFIX + CTX_OP_FIELD
+                             else f"`{name[len(_CTX_PREFIX):]}`")
+                default = snap.get(name, untouched)
+            else:
+                default = snap[name]
             va = a.get(name, default)
             vb = b.get(name, default)
             out[name] = (va if va == vb else
@@ -1163,7 +1257,12 @@ def painless_update_to_sql(source: str,
     reindex module's UpdateByQueryAction runs the same script per doc
     via Painless; here each field's final value is one Catalyst
     expression, so the whole update is a single vectorized
-    projection)."""
+    projection). A ``ctx.op = 'noop' | 'delete'`` assignment (plain or
+    branch-conditional) appears in the map under the reserved key
+    ``CTX_OP_FIELD`` (``__op__``) as an expression over the ORIGINAL
+    row evaluating to 'index' / 'noop' / 'delete' — update_by_query
+    routes rows on it (reference: UpdateByQueryRequest's scripted
+    ctx.op contract)."""
     p = _Parser(_lex(source.strip()), params or {}, "score", mode="update")
     pending, final = p.exec_script()
     if pending or final is not None:

@@ -211,3 +211,64 @@ def test_update_by_query(spark, tmp_path):
     hit = eng2.request({"query": {"match": {"content": "zzzpatched"}},
                         "size": 1, "_source": ["content"]})
     assert hit["hits"].collect()[0]["content"].startswith("zzzpatched ")
+
+
+def test_update_by_query_ctx_op_routing(spark, tmp_path):
+    """ctx.op in a painless update script routes rows: 'delete'
+    tombstones, 'noop' keeps the original and re-indexes nothing,
+    'index' (default) applies the transform (reference: scripted
+    update_by_query's per-row verdict)."""
+    from opensearch_spark.index.build import build_index
+    from opensearch_spark.index.reindex import update_by_query
+    from opensearch_spark.search.engine import SearchEngine
+    from opensearch_spark.testing.corpus import generate_corpus
+
+    corpus = spark.createDataFrame(generate_corpus(150, seed=52))
+    out = str(tmp_path / "ubqop")
+    build_index(spark, corpus, out, n_segments=2, shuffle_partitions=4)
+    eng = SearchEngine(spark, out, corpus=corpus)
+    total = eng.docstats.count()
+    matched = eng.search({"match": {"content": "def"}}, k=10000)
+    m_ids = {int(r["docId"]) for r in matched.collect()}
+    assert m_ids
+    key_of = {int(r["docId"]): len(r["path"]) % 3
+              for r in eng.corpus.select("docId", "path").collect()}
+
+    res = update_by_query(
+        spark, eng, out, {"match": {"content": "def"}},
+        {"lang": "painless",
+         "source": (
+             "if (ctx._source.path.length() % 3 == 0) "
+             "{ ctx.op = 'delete' } "
+             "else if (ctx._source.path.length() % 3 == 1) "
+             "{ ctx.op = 'noop' } else { ctx._source.content = "
+             "ctx._source.content + ' zzzopmark'; }"),
+         "params": {}},
+    )
+    want_del = {d for d in m_ids if key_of[d] == 0}
+    want_noop = {d for d in m_ids if key_of[d] == 1}
+    want_upd = m_ids - want_del - want_noop
+    assert res["deleted"] == len(want_del)
+    assert res["noops"] == len(want_noop)
+    assert res["updated"] == len(want_upd)
+    assert res["deleted"] > 0 and res["updated"] > 0
+
+    eng2 = SearchEngine(spark, out, corpus=res["corpus"],
+                        doc_id_col="docId")
+    # deleted docs are gone from search; noop + updated remain
+    assert eng2.count({"match": {"content": "def"}}) == \
+        len(want_noop | want_upd)
+    got_upd = {int(r["docId"]) for r in
+               eng2.search({"match": {"content": "zzzopmark"}},
+                           k=10000).collect()}
+    assert got_upd == want_upd
+    # corpus view drops exactly the deleted rows
+    assert res["corpus"].count() == total - len(want_del)
+    # noop docs keep their ORIGINAL content in the returned corpus
+    if want_noop:
+        d = next(iter(want_noop))
+        old = corpus.where(F.col("repo").isNotNull()).join(
+            eng.corpus.where(F.col("docId") == d).select("repo", "path"),
+            ["repo", "path"]).collect()[0]["content"]
+        new = res["corpus"].where(F.col("docId") == d).collect()[0]["content"]
+        assert new == old and "zzzopmark" not in new

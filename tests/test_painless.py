@@ -396,3 +396,54 @@ def test_nested_loop_total_unroll_budget():
         "double t = 0; for (int i = 0; i < 50; i++) { t += _score; } "
         "return t;")
     assert sql.count("`score`") == 50
+
+
+def test_foreach_over_params_list():
+    """for-each unrolls over compile-time-constant params lists."""
+    sql = painless_to_sql(
+        "double t = 0; for (double w : params.ws) { t += w * _score; } "
+        "return t;", {"ws": [1.5, 0.25]})
+    assert "1.5" in sql and "0.25" in sql and "CASE" not in sql
+    # String elements are string-tagged (== compiles to string compare)
+    sql = painless_to_sql(
+        "double t = 1; for (def s : params.names) "
+        "{ if (doc['lang'].value == s) { t = t * 2; } } return t;",
+        {"names": ["en", "de"]})
+    assert "(`lang` = 'en')" in sql and "(`lang` = 'de')" in sql
+    # empty list: body never executes
+    assert painless_to_sql(
+        "double t = 7; for (int x : params.e) { t += _score; } return t;",
+        {"e": []}) == "CAST(7.0 AS DOUBLE)"
+    # the loop variable is loop-scoped
+    with pytest.raises(PainlessError, match="unknown identifier"):
+        painless_to_sql(
+            "for (def x : params.l) { } return x;", {"l": [1]})
+    # error paths: data-dependent iterable, non-list param, in-loop
+    # return, unroll budget
+    for src, params, pat in [
+        ("for (def x : doc['f']) { } return 1;", {}, "params lists"),
+        ("for (def x : params.n) { } return 1;", {"n": 5}, "list value"),
+        ("double t=0; for (def x : params.l) { return x; } return t;",
+         {"l": [1]}, "inside a loop"),
+        ("double t=0; for (def x : params.big) { t += 1; } return t;",
+         {"big": list(range(2000))}, "unroll budget"),
+        ("for (def x : params.l) { } return 1;", {"l": [[1]]}, "scalars"),
+    ]:
+        with pytest.raises(PainlessError, match=pat):
+            painless_to_sql(src, params)
+
+
+def test_foreach_values_through_catalyst(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "en"), (2, 3.0, "zh")], "id long, score double, lang string")
+    sql = painless_to_sql(
+        "double b = 1.0; for (def m : params.langs) "
+        "{ if (doc['lang'].value == m) { b = b + params.step; } } "
+        "return _score * b;",
+        {"langs": ["en", "de"], "step": 0.5})
+    got = {r["id"]: r["v"] for r in
+           df.select("id", F.expr(sql).alias("v")).collect()}
+    assert got[1] == pytest.approx(2.0 * 1.5)
+    assert got[2] == pytest.approx(3.0 * 1.0)
