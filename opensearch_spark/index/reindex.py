@@ -78,7 +78,9 @@ def update_by_query(
     delete+add via ``upsert_batch`` (Lucene updates are delete + re-add
     into a new segment too).
 
-    Returns ``{"updated": n, "corpus": DataFrame}`` where ``corpus`` is
+    Returns ``{"updated": n, "noops": n, "deleted": n, "corpus":
+    DataFrame}`` — noops/deleted are nonzero only for painless scripts
+    using ``ctx.op`` — where ``corpus`` is
     the post-update corpus view (untouched docs ∪ rewritten docs) —
     reopen with ``SearchEngine(spark, index_dir, corpus=result
     ["corpus"], doc_id_col="docId", ...)`` so fetch/filter/agg results
@@ -103,8 +105,11 @@ def update_by_query(
     docs = docs.localCheckpoint(eager=True)
     untouched = untouched.localCheckpoint(eager=True)
     n = docs.count()
+    n_noop = n_del = 0
+    noops = del_ids = None
     if n == 0:
-        return {"updated": 0, "corpus": engine.corpus}
+        return {"updated": 0, "noops": 0, "deleted": 0,
+                "corpus": engine.corpus}
     if callable(script):
         docs = script(docs)
         # the transform must REWRITE rows, not drop them: a dropped doc
@@ -141,17 +146,24 @@ def update_by_query(
             # ctx.op routing (reference: scripted update_by_query's
             # per-row verdict): 'index' rows take the transform,
             # 'noop' rows keep their ORIGINAL values and are not
-            # re-indexed, 'delete' rows are tombstoned
+            # re-indexed, 'delete' rows are tombstoned. ONE aggregation
+            # job yields the three counts AND surfaces invalid/NULL
+            # verdicts (review r5: per-route counts were 5 jobs, and a
+            # NULL verdict slipped past isin() into no route at all)
             verdicts = docs.select(
                 "docId", F.expr(str(op_sql)).alias("_op")
             ).localCheckpoint(eager=True)
-            bad = verdicts.where(
-                ~F.col("_op").isin("index", "noop", "delete")
-            ).limit(1).collect()
+            counts = {r["_op"]: int(r["count"])
+                      for r in verdicts.groupBy("_op").count().collect()}
+            bad = [k for k in counts
+                   if k not in ("index", "noop", "delete")]
             if bad:
                 raise ValueError(
-                    f"update_by_query script set ctx.op = "
-                    f"{bad[0]['_op']!r}; must be index, noop or delete")
+                    f"update_by_query script set ctx.op = {bad[0]!r}; "
+                    "must be index, noop or delete")
+            n = counts.get("index", 0)
+            n_noop = counts.get("noop", 0)
+            n_del = counts.get("delete", 0)
             keep = verdicts.where(F.col("_op") == "index").select("docId")
             noops = docs.join(
                 verdicts.where(F.col("_op") == "noop").select("docId"),
@@ -159,43 +171,27 @@ def update_by_query(
             del_ids = verdicts.where(
                 F.col("_op") == "delete").select("docId")
             docs = docs.join(keep, "docId", "left_semi").select(*exprs)
-            n = docs.count()
-            n_del = del_ids.count()
-            if n == 0 and n_del == 0:
-                return {"updated": 0, "noops": noops.count(), "deleted": 0,
-                        "corpus": engine.corpus}
-            if n:
-                upsert_batch(
-                    spark, docs, index_dir,
-                    text_col=text_col or engine.text_field,
-                    doc_id_col="docId",
-                )
-            if n_del:
-                # distributed tombstone write (the delete_by_query
-                # path), AFTER the upsert so its compaction cannot
-                # purge these fresh tombstones
-                del_ids.write.mode("append").parquet(
-                    os.path.join(index_dir, "deletes"))
-            engine._search_plans.clear()
-            engine._msearch_plans.clear()
-            engine._term_df_map = None
-            corpus = untouched.unionByName(
-                noops, allowMissingColumns=True
-            ).unionByName(docs, allowMissingColumns=True)
-            return {"updated": int(n), "noops": int(noops.count()),
-                    "deleted": int(n_del), "corpus": corpus}
-        docs = docs.select(*exprs)
+        else:
+            docs = docs.select(*exprs)
     else:
         # raw {column: SQL} form: applied sequentially as documented
         # (a later expression sees earlier updates)
         for col, expr in script.items():
             docs = docs.withColumn(col, F.expr(str(expr)))
+    # ---- shared tail (all script forms, with or without ctx.op) ------
     # the engine's corpus always carries the derived docId column — it
     # IS the document identity, so the upsert re-keys on it directly
-    upsert_batch(
-        spark, docs, index_dir,
-        text_col=text_col or engine.text_field, doc_id_col="docId",
-    )
+    if n:
+        upsert_batch(
+            spark, docs, index_dir,
+            text_col=text_col or engine.text_field, doc_id_col="docId",
+        )
+    if n_del:
+        # distributed tombstone write (the delete_by_query path), AFTER
+        # the upsert so its compaction cannot purge these fresh
+        # tombstones
+        del_ids.write.mode("append").parquet(
+            os.path.join(index_dir, "deletes"))
     # poison the stale engine's caches so accidental reuse fails loudly
     # on the next file read instead of silently serving stale plans
     engine._search_plans.clear()
@@ -205,5 +201,9 @@ def update_by_query(
     # mutation of a new name, or a new raw column) — untouched docs get
     # NULL for it, matching the reference's sparse-source semantics
     # (review r5: plain unionByName raised AFTER the index was mutated)
-    return {"updated": int(n),
-            "corpus": untouched.unionByName(docs, allowMissingColumns=True)}
+    corpus = untouched
+    if noops is not None:
+        corpus = corpus.unionByName(noops, allowMissingColumns=True)
+    corpus = corpus.unionByName(docs, allowMissingColumns=True)
+    return {"updated": int(n), "noops": int(n_noop),
+            "deleted": int(n_del), "corpus": corpus}

@@ -29,7 +29,9 @@ Supported subset (documented contract — anything else raises):
   environments, branch-scoped declarations honoured), ``return expr;``
   on any subset of paths (every path must return by script end), and
   — through :func:`painless_update_to_sql`, used by update_by_query —
-  ``ctx._source.field = expr`` mutation with ``ctx._source`` reads.
+  ``ctx._source.field = expr`` mutation with ``ctx._source`` reads,
+  and ``ctx.op = 'index' | 'noop' | 'delete'`` (plain or
+  branch-conditional) for per-row update routing.
 
 - COUNTED LOOPS: ``for (init; cond; update) { ... }`` and
   ``while (cond) { ... }`` whose CONTROL (condition + update) depends
@@ -39,10 +41,13 @@ Supported subset (documented contract — anything else raises):
   transpile time (bounded by ``LOOP_UNROLL_LIMIT``), so the whole
   script is still ONE Catalyst expression; body statements may read
   doc values freely. ``i++``/``i--``/``++i`` statements are
-  supported. Data-dependent loop conditions, for-each, break/continue
-  and ``return`` inside a loop raise (those scripts use the Python
-  callable hook). A const-condition ``if``/ternary executes only the
-  taken branch's effects (no dead CASE arms in the unrolled SQL).
+  supported, and ``for (<type> x : params.list)`` FOR-EACH over a
+  compile-time-constant params list unrolls one body execution per
+  element. Data-dependent loop conditions or iterables (doc values),
+  break/continue and ``return`` inside a loop raise (those scripts
+  use the Python callable hook). A const-condition ``if``/ternary
+  executes only the taken branch's effects (no dead CASE arms in the
+  unrolled SQL).
 - VALUE METHOD CALLS: the common String methods — ``length contains
   startsWith endsWith indexOf toLowerCase toUpperCase trim isEmpty
   replace substring equals`` — plus numeric ``intValue/longValue/
@@ -55,9 +60,10 @@ division (Painless truncates for two integers — declare the result
 ``int``/``long``, cast ``(int)``, or use Math.floor when porting
 integer-division scripts), there is no integer overflow wrap-around,
 and a NULL ``if``/ternary/loop condition takes the else/exit path
-where Painless would throw. The full Painless type system, for-each,
-and user-defined functions are out of scope — those scripts use the
-Python callable hook instead (SURVEY §2.10 documented variant).
+where Painless would throw. The full Painless type system,
+data-dependent iteration, and user-defined functions are out of
+scope — those scripts use the Python callable hook instead (SURVEY
+§2.10 documented variant).
 """
 
 from __future__ import annotations

@@ -272,3 +272,33 @@ def test_update_by_query_ctx_op_routing(spark, tmp_path):
             ["repo", "path"]).collect()[0]["content"]
         new = res["corpus"].where(F.col("docId") == d).collect()[0]["content"]
         assert new == old and "zzzopmark" not in new
+
+
+def test_update_by_query_ctx_op_rejects_null_and_bad_verdicts(spark,
+                                                              tmp_path):
+    """A NULL or unknown ctx.op verdict must raise, not silently drop
+    the row from every route (review r5)."""
+    import pytest
+
+    from opensearch_spark.index.build import build_index
+    from opensearch_spark.index.reindex import update_by_query
+    from opensearch_spark.search.engine import SearchEngine
+    from opensearch_spark.testing.corpus import generate_corpus
+
+    corpus = spark.createDataFrame(generate_corpus(60, seed=53))
+    out = str(tmp_path / "ubqbad")
+    build_index(spark, corpus, out, n_segments=2, shuffle_partitions=4)
+    eng = SearchEngine(spark, out, corpus=corpus)
+    for src in ("ctx.op = params.mode;",            # None -> NULL verdict
+                "ctx.op = 'purge';"):               # unknown verdict
+        with pytest.raises(ValueError, match="ctx.op"):
+            update_by_query(
+                spark, eng, out, {"match": {"content": "def"}},
+                {"lang": "painless", "source": src,
+                 "params": {"mode": None}})
+    # zero-match queries return the full key set
+    res = update_by_query(
+        spark, eng, out, {"match": {"content": "zzznomatchzzz"}},
+        {"lang": "painless", "source": "ctx.op = 'noop';"})
+    assert res == {"updated": 0, "noops": 0, "deleted": 0,
+                   "corpus": res["corpus"]}
